@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided parquet tables (FIXTURES.md §2) plus
+  * shared helpers used across the query surface.
+  *
+  * Scale notes: every loader is a plain parquet scan — Spark's vectorized
+  * reader + Catalyst column pruning / predicate pushdown do the heavy
+  * lifting; callers must select/filter early so pushdown reaches the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` queries run over
+    * the same inputs (the reference's interactive-SQL surface, SURVEY §3.3). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- exact-aggregation helpers -------------------------------------
+  // Double sums are order-dependent (non-associative fp addition), so a
+  // Spark sum and a DuckDB oracle sum of the same column can differ in the
+  // last ulps and fail a hash compare. All "money"-like columns in the
+  // testdata carry at most 2 decimals, so we sum them as exact DECIMALs
+  // (order-independent, overflow-checked) and cast the final result back
+  // to DOUBLE — deterministic bit-identical output on both engines.
+  // At 100 TB this costs one extra cast per row inside the partial
+  // aggregate; the shuffle still carries one decimal per group.
+
+  /** Cast a ≤2-decimal double column to an exact decimal. */
+  def dec2(c: Column): Column = c.cast(DecimalType(14, 2))
+
+  /** Order-independent exact sum of a 2-decimal double column, as double. */
+  def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+}

@@ -1,0 +1,174 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference ETL pipeline (SURVEY.md §2 Tier A), re-expressed Spark-first.
+  *
+  * Reference semantics (all cites into /root/reference/):
+  *  - A1/A2: hourly headerless CSV of purchases, 5 positional columns
+  *    `email,item_id,quantity,price,purchase_date`
+  *    (cloud_function.py:121–122, data_generator.py:72–76).
+  *  - A5: `buyer = sha1(email)` lowercase hex — deliberately deterministic and
+  *    salt-less so one buyer hashes identically across files
+  *    (cloud_function.py:70, README.md:249). Spark's `sha1` is byte-identical
+  *    to Python's `hashlib.sha1(...).hexdigest()`.
+  *  - A6: item_id/quantity/price string→int casts (cloud_function.py:73–75).
+  *  - A9: purchase_date parsed with format `yyyy-MM-ddTHH:mm:ss`
+  *    (cloud_function.py:88 — QuestDB `to_timestamp`).
+  *  - A7/A8: the reference's record "filter" is a no-op (cloud_function.py:124)
+  *    and malformed rows abort the whole batch (ValueError in the
+  *    comprehension). FAILFAST reproduces abort-the-batch; PERMISSIVE +
+  *    na.drop reproduces the documented intent (README.md:331).
+  *  - A10/A12/A14: append into `purchases(buyer,item_id,quantity,price,
+  *    purchase_date)` with designated timestamp `purchase_date` — rows arrive
+  *    in non-decreasing purchase_date order (sql/create-table.sql:1,
+  *    README.md:373).
+  *
+  * Scale notes: the CSV scan parallelizes per file/split; the transform is a
+  * narrow projection (whole-stage codegen, no shuffle). The only shuffle is
+  * the optional global sort before an ordered append — at 100 TB the ordered
+  * sink should switch to hour-partitioned writes where order is only enforced
+  * within a partition (see `writeOrderedPartitioned`).
+  */
+object Purchases {
+
+  /** Raw positional schema — all strings, exactly as bytes arrive (A2). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("email", StringType),
+    StructField("item_id", StringType),
+    StructField("quantity", StringType),
+    StructField("price", StringType),
+    StructField("purchase_date", StringType)))
+
+  /** Clean `purchases` table schema (sql/create-table.sql:1). */
+  val tableSchema: StructType = StructType(Seq(
+    StructField("buyer", StringType),
+    StructField("item_id", IntegerType),
+    StructField("quantity", IntegerType),
+    StructField("price", IntegerType),
+    StructField("purchase_date", TimestampType)))
+
+  final case class Purchase(
+      buyer: String, item_id: Int, quantity: Int, price: Int,
+      purchase_date: java.sql.Timestamp)
+
+  /** A1–A4: read hourly headerless purchase CSVs. `failFast=true` reproduces
+    * the reference's abort-the-batch malformed-row behavior (A8); false gives
+    * the documented-intent PERMISSIVE pipeline (A7) — malformed rows carry a
+    * populated `_corrupt` column and are dropped by [[transform]].
+    */
+  def readCsv(spark: SparkSession, path: String, failFast: Boolean = true): DataFrame = {
+    val mode = if (failFast) "FAILFAST" else "PERMISSIVE"
+    val schema = if (failFast) rawSchema
+      else rawSchema.add(StructField("_corrupt", StringType))
+    spark.read
+      .schema(schema)
+      .option("header", "false")
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("pathGlobFilter", "*.csv") // A4: only text/csv objects
+      .csv(path)
+  }
+
+  /** A5+A6+A9 (+A7 intent): anonymize, cast, parse timestamp, drop invalid.
+    * Pure narrow projection — stays inside one whole-stage-codegen span.
+    */
+  def transform(raw: DataFrame): DataFrame = {
+    val dropped =
+      if (raw.columns.contains("_corrupt"))
+        raw.filter(col("_corrupt").isNull).drop("_corrupt")
+      else raw
+    dropped
+      .select(
+        sha1(col("email")).as("buyer"),                     // A5
+        col("item_id").cast(IntegerType).as("item_id"),     // A6
+        col("quantity").cast(IntegerType).as("quantity"),
+        col("price").cast(IntegerType).as("price"),
+        to_timestamp(col("purchase_date"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("purchase_date"))                             // A9
+      // A7 documented intent: invalid records (failed casts/parses → null)
+      // are filtered out rather than aborting the batch.
+      .na.drop(Seq("buyer", "item_id", "quantity", "price", "purchase_date"))
+  }
+
+  /** Full Extract→Transform pipeline over a CSV path (A1–A9). */
+  def etl(spark: SparkSession, path: String, failFast: Boolean = true): DataFrame =
+    transform(readCsv(spark, path, failFast))
+
+  /** A10/A12: ordered append — global sort on the designated timestamp before
+    * writing, reproducing QuestDB's in-order append contract (README.md:373).
+    * Reference-fidelity path only: a global sort range-shuffles to give a
+    * totally ordered file set. Do NOT use for the analytic path at scale.
+    */
+  def writeOrdered(df: DataFrame, path: String): Unit =
+    df.orderBy("purchase_date").write.mode(SaveMode.Append).parquet(path)
+
+  /** Scale path for the designated-timestamp contract: partition by hour,
+    * sort within partitions — order holds per partition (what QuestDB's
+    * later O3 writes relax to), writes stay parallel at 100 TB.
+    */
+  def writeOrderedPartitioned(df: DataFrame, path: String): Unit =
+    df.withColumn("hour", date_trunc("hour", col("purchase_date")))
+      .repartition(col("hour"))
+      .sortWithinPartitions("purchase_date")
+      .write.mode(SaveMode.Append).partitionBy("hour").parquet(path)
+
+  /** A11: per-record error-tolerant sink. The reference catches each INSERT
+    * failure, logs it, and continues (cloud_function.py:90–95). Spark's
+    * task-retry model makes true row-level tolerance at-least-once; we
+    * reproduce the semantics with a per-partition try/catch that routes
+    * failures to a dead-letter accumulator-backed side channel.
+    * Returns (okCount, Seq(failed row rendering ++ error)).
+    */
+  def writeErrorTolerant(
+      df: DataFrame,
+      insert: org.apache.spark.sql.Row => Unit): (Long, Seq[String]) = {
+    val spark = df.sparkSession
+    val ok = spark.sparkContext.longAccumulator("rows_ok")
+    val dead = spark.sparkContext.collectionAccumulator[String]("dead_letter")
+    df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.foreach { row =>
+        try { insert(row); ok.add(1L) }
+        catch { case e: Exception => dead.add(s"$row :: ${e.getMessage}") }
+      }
+    }
+    (ok.value, dead.value.toArray(Array.empty[String]).toSeq)
+  }
+
+  // --- A15–A17: synthetic data generator (data_generator.py:11,44–76) -----
+
+  /** Distribution-faithful generator: batch of 100–500 rows; emails =
+    * 6–12 random lowercase chars + "@example.com"; item pool of
+    * (id∈[100,500], price∈[1,200]) pairs sampled with replacement;
+    * quantity∈[1,10]; timestamps uniform within `hour`; sorted by timestamp
+    * (A16). Deterministic under `seed`.
+    */
+  def generate(seed: Long, hourUtc: java.time.LocalDateTime): Seq[(String, Int, Int, Int, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 100 + rnd.nextInt(401)
+    val emails = Seq.fill(n) {
+      val len = 6 + rnd.nextInt(7)
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString + "@example.com"
+    }
+    val pool = Seq.fill(n)((100 + rnd.nextInt(401), 1 + rnd.nextInt(200)))
+    val rows = Seq.fill(n) {
+      val email = emails(rnd.nextInt(emails.size))
+      val (id, price) = pool(rnd.nextInt(pool.size))
+      val qty = 1 + rnd.nextInt(10)
+      val ts = hourUtc.plusMinutes(rnd.nextInt(60).toLong).withSecond(rnd.nextInt(60))
+      (email, id, qty, price, ts.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+    }
+    rows.sortBy(_._5) // A16: lexicographic ISO sort ≡ chronological
+  }
+
+  /** A17: write generated rows as a headerless CSV (data_generator.py:72–76). */
+  def writeGeneratedCsv(spark: SparkSession, rows: Seq[(String, Int, Int, Int, String)], path: String): Unit = {
+    import spark.implicits._
+    rows.toDF("email", "item_id", "quantity", "price", "purchase_date")
+      .coalesce(1)
+      .write.option("header", "false").mode(SaveMode.Overwrite).csv(path)
+  }
+}

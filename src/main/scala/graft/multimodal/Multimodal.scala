@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing (LLM-pipeline pillar): treat image/audio/video
+  * payloads as opaque `binary` columns plus typed metadata, with
+  * decode/feature-extract expressed as ordinary distributed transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (clearly marked below): features are derived from the
+  * payload bytes via hashes. Everything around it — the binary column
+  * representation, metadata schema, chunking, batch shape, partitioning —
+  * is real Spark plumbing and is what this module actually exercises. A real
+  * deployment swaps `fakeDecodeFeature` for a codec call inside the same
+  * `transform(...)`/`mapPartitions` shape.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType)))
+
+  /** Build an asset table from documents: the text bytes stand in for an
+    * opaque media payload (same plumbing, container-available data). */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      col("text").cast(BinaryType).as("payload"),
+      lit("application/octet-stream").as("media_type"),
+      length(col("text").cast(BinaryType)).as("n_bytes"))
+
+  /** Binary metadata extraction — byte length, chunk count for a 256-byte
+    * chunking, payload checksum, first-8-byte header. All computable by
+    * DuckDB over the raw text → full oracle. */
+  val binaryMeta: QueryDef = QueryDef(
+    "mm_binary_meta", "C15 north_star-multimodal",
+    """SELECT doc_id AS asset_id,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  CAST(FLOOR((strlen(text) + 255) / 256) AS INT) AS n_chunks,
+      |  md5(text) AS checksum,
+      |  upper(hex(substr(text, 1, 8))) AS header_hex
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+    assets(s, d).select(
+      col("asset_id"),
+      col("n_bytes"),
+      floor((col("n_bytes") + lit(255)) / lit(256)).cast(IntegerType).as("n_chunks"),
+      md5(col("payload")).as("checksum"),
+      upper(hex(substring(col("payload"), 1, 8))).as("header_hex"))
+      .orderBy("asset_id")
+  }
+
+  /** >>> FAKE DECODE — deterministic stand-in for a media codec. <<<
+    * Maps payload bytes to an 8-dim pseudo-feature vector via murmur3 of
+    * (checksum, i). Real systems replace this lambda body with the codec
+    * call; the surrounding plumbing (per-row array column, codegen'd
+    * projection, no shuffle) is exactly what production uses. */
+  def fakeDecodeFeature(payload: Column, dims: Int): Column = {
+    val ck = md5(payload)
+    transform(
+      sequence(lit(0), lit(dims - 1)),
+      i => pmod(hash(ck, i), lit(1000)).cast(DoubleType) / 1000.0)
+  }
+
+  /** Feature extraction over the asset table: fake-decoded feature vector +
+    * frame-sample offsets for a 4-frame sampling of the payload. noOracle
+    * (murmur-based fake features are engine-specific); shape and
+    * determinism asserted in MultimodalSpec. */
+  val featureStub: QueryDef = QueryDef.noOracle(
+    "mm_feature_stub", "north_star-multimodal") { (s, d) =>
+    assets(s, d).select(
+      col("asset_id"),
+      col("media_type"),
+      fakeDecodeFeature(col("payload"), 8).as("feature"),
+      transform(sequence(lit(0), lit(3)),
+        i => floor(col("n_bytes") * i / lit(4)).cast(IntegerType)).as("frame_offsets"))
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(binaryMeta, featureStub)
+}

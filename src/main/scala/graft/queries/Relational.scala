@@ -1,0 +1,513 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.Tables._
+
+/** Relational operator surface (SURVEY.md §2.3 C1–C15 + §2.2 B2/B3), each as a
+  * named deterministic query over the driver testdata tables with a DuckDB
+  * oracle.
+  *
+  * Determinism rules used throughout (see Tables.dec2/moneySum):
+  *  - every query ends in a total ORDER BY;
+  *  - double sums go through exact DECIMAL accumulation and a single final
+  *    cast to double, so Spark and DuckDB produce bit-identical values
+  *    regardless of aggregation order;
+  *  - column types are matched on both sides (Spark `length`/`size`/
+  *    `row_number` are INT, DuckDB's are BIGINT → explicit casts in the SQL).
+  *
+  * Scale notes are attached per query where the plan shape matters at 100 TB.
+  */
+object Relational {
+
+  /** C1/C2: projection + filter that must reach the parquet scan as
+    * PushedFilters + pruned ReadSchema (4 of 11 lineitem columns read). */
+  val c1ScanProject: QueryDef = QueryDef(
+    "c1_scan_project", "C1 C2",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .where(col("l_shipdate") < lit("1996-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C2: conjunctive predicate pushdown on orders. */
+  val c2Filter: QueryDef = QueryDef(
+    "c2_filter_pushdown", "C2",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 300000.0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .where(col("o_orderstatus") === "F" && col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** C3: dim⋈dim⋈fact with explicit broadcast of both dims — no shuffle of
+    * the fact side beyond the final aggregation; at 100 TB the dims stay
+    * far below the broadcast threshold. */
+  val c3BroadcastJoin: QueryDef = QueryDef(
+    "c3_broadcast_join", "C3",
+    """SELECT r_name, n_name, count(*) AS cnt,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("c_acctbal")).as("acctbal_sum"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** C4: large⋈large equi-join (lineitem ⋈ orders) — shuffles both sides on
+    * the join key; AQE picks SMJ/SHJ. Partial aggregation runs map-side. */
+  val c4ShuffleJoin: QueryDef = QueryDef(
+    "c4_shuffle_join", "C4",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C5: left-semi — customers that placed at least one order. */
+  val c5SemiJoin: QueryDef = QueryDef(
+    "c5_semi_join", "C5",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C5: left-anti — customers that never placed a >400k order. */
+  val c5AntiJoin: QueryDef = QueryDef(
+    "c5_anti_join", "C5",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).where(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C6: left outer join with null-extension folded into the aggregate. */
+  val c6LeftOuter: QueryDef = QueryDef(
+    "c6_left_outer_join", "C6",
+    """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(DoubleType).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** C6: full outer join of two pre-aggregated sides (suppliers vs customers
+    * per nation). Aggregating before the join keeps the shuffled sides tiny. */
+  val c6FullOuter: QueryDef = QueryDef(
+    "c6_full_outer_join", "C6",
+    """SELECT COALESCE(sn.nk, cn.nk) AS nk,
+      |  COALESCE(s_cnt, 0) AS s_cnt, COALESCE(c_cnt, 0) AS c_cnt
+      |FROM (SELECT s_nationkey AS nk, count(*) AS s_cnt FROM supplier GROUP BY 1) sn
+      |FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer GROUP BY 1) cn
+      |ON sn.nk = cn.nk ORDER BY nk""".stripMargin) { (s, d) =>
+    val sn = supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val cn = customer(s, d).groupBy(col("c_nationkey").as("cnk"))
+      .agg(count(lit(1)).as("c_cnt"))
+    sn.join(cn, col("snk") === col("cnk"), "full_outer")
+      .select(
+        coalesce(col("snk"), col("cnk")).as("nk"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"))
+      .orderBy("nk")
+  }
+
+  /** C7: range (theta) join — parts bucketed into price bands. The band table
+    * is a handful of rows: broadcast nested-loop is the *correct* plan; the
+    * fact side streams through once, no shuffle. */
+  val c7RangeJoin: QueryDef = QueryDef(
+    "c7_range_join", "C7",
+    """SELECT band, count(*) AS cnt,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail_sum
+      |FROM part JOIN (VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
+      |                       ('b950', 950.0, 975.0), ('b975', 975.0, 1000.0))
+      |  AS bands(band, lo, hi)
+      |ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    val bands = s.createDataFrame(Seq(
+      ("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+      ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)))
+      .toDF("band", "lo", "hi")
+    part(s, d)
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("p_retailprice")).as("retail_sum"))
+      .orderBy("band")
+  }
+
+  /** C8: as-of join — for every `purchase` event, the latest `click` event of
+    * the same user at-or-before the purchase timestamp.
+    *
+    * Spark-first formulation (no public as-of API): union both sides, one
+    * window pass per user ordered by (ts, kind) where clicks sort before
+    * purchases at equal ts (so an equal-ts click is visible, i.e. "at or
+    * before"), then `last(click_*, ignoreNulls)` carries the most recent
+    * click forward. ONE shuffle on user_id, no inequality join — at 100 TB
+    * this is the scale-safe shape (the naive ts<= join is quadratic per key).
+    */
+  val c8AsofJoin: QueryDef = QueryDef(
+    "c8_asof_join", "C8",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+      |  max_by(c.event_id, c.ts) AS last_click_id, max(c.ts) AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("kind"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"),
+      lit(null).cast(LongType).as("purchase_id"))
+    val purchases = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("kind"),
+      lit(null).cast(LongType).as("click_id"),
+      lit(null).cast(TimestampType).as("click_ts"),
+      col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** C9: TPC-H Q1 shape — the canonical partial+final hash aggregate. All
+    * money arithmetic in exact DECIMAL (see file header); averages are one
+    * double division of exact operands. */
+  val c9TpchQ1: QueryDef = QueryDef(
+    "c9_tpch_q1", "C9",
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  SUM(l_quantity) / count(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val ext = col("l_extendedprice").cast(DecimalType(12, 2))
+    val one = lit("1.00").cast(DecimalType(3, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    val tax = col("l_tax").cast(DecimalType(4, 2))
+    lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(ext).cast(DoubleType).as("sum_base_price"),
+        sum(ext * (one - disc)).cast(DoubleType).as("sum_disc_price"),
+        sum(ext * (one - disc) * (one + tax)).cast(DoubleType).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(ext).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(disc).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** C10: exact distinct counts (expands to two aggregate passes). */
+  val c10Distinct: QueryDef = QueryDef(
+    "c10_count_distinct", "C10",
+    """SELECT count(DISTINCT l_partkey) AS part_cnt,
+      |  count(DISTINCT l_suppkey) AS supp_cnt, count(*) AS row_cnt
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("part_cnt"),
+      countDistinct(col("l_suppkey")).as("supp_cnt"),
+      count(lit(1)).as("row_cnt"))
+  }
+
+  /** C10: HLL sketch variant — approximate, engine-specific values, so
+    * rows-only check (the exact twin above is the oracle-checked one). */
+  val c10Approx: QueryDef = QueryDef.noOracle(
+    "c10_approx_distinct", "C10") { (s, d) =>
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("part_cnt_approx"),
+      approx_count_distinct(col("l_suppkey")).as("supp_cnt_approx"))
+  }
+
+  /** C11: rollup with grouping_id; group columns COALESCEd to 'ALL' for the
+    * subtotal rows (the raw columns are never null in the data). */
+  val c11Rollup: QueryDef = QueryDef(
+    "c11_rollup", "C11",
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, priority, status""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        moneySum(col("o_totalprice")).as("price_sum"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("price_sum"))
+      .orderBy("gid", "priority", "status")
+  }
+
+  /** C11: cube — all four grouping combinations. */
+  val c11Cube: QueryDef = QueryDef(
+    "c11_cube", "C11",
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, priority, status""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"))
+      .orderBy("gid", "priority", "status")
+  }
+
+  /** C12: window functions — ranking, lag, running sum over one window spec
+    * (single shuffle on o_custkey, single sort). Running sum accumulates in
+    * DECIMAL so the prefix sums are exact on both engines. */
+  val c12Window: QueryDef = QueryDef(
+    "c12_window_funcs", "C12",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+      |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS rnk,
+      |  LAG(o_totalprice) OVER w AS prev_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wRank = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      row_number().over(w).as("rn"),
+      rank().over(wRank).as("rnk"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      sum(dec2(col("o_totalprice"))).over(wRun).cast(DoubleType).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** C13: global top-k — TakeOrderedAndProject, no full sort materialized. */
+  val c13TopK: QueryDef = QueryDef(
+    "c13_topk", "C13",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** C13: per-group top-k via row_number — one shuffle, no global sort. */
+  val c13TopKPerGroup: QueryDef = QueryDef(
+    "c13_topk_pergroup", "C13",
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      |    o_orderkey, o_totalprice
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_orderpriority"),
+        row_number().over(w).as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .where(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** C14: UNION ALL + aggregate (deterministic multiset semantics). */
+  val c14Union: QueryDef = QueryDef(
+    "c14_union_all", "C14",
+    """SELECT nk, count(*) AS cnt FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  UNION ALL SELECT s_nationkey AS nk FROM supplier) t
+      |GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .unionByName(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("cnt"))
+      .orderBy("nk")
+  }
+
+  /** C14: INTERSECT — nations having both customers and suppliers. */
+  val c14Intersect: QueryDef = QueryDef(
+    "c14_intersect", "C14",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  /** C14: EXCEPT — brands that never appear on an oversized part. */
+  val c14Except: QueryDef = QueryDef(
+    "c14_except", "C14",
+    """SELECT p_brand FROM part
+      |EXCEPT SELECT p_brand FROM part WHERE p_size > 48 ORDER BY p_brand""".stripMargin) { (s, d) =>
+    part(s, d).select("p_brand")
+      .except(part(s, d).where(col("p_size") > 48).select("p_brand"))
+      .orderBy("p_brand")
+  }
+
+  /** C15: string function battery over part. */
+  val c15String: QueryDef = QueryDef(
+    "c15_string_funcs", "C15",
+    """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  substr(p_name, 1, 10) AS name_prefix,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  regexp_replace(p_type, '\s+', '_') AS type_slug
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_type")).as("type_l"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 10).as("name_prefix"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_type"), "\\s+", "_").as("type_slug"))
+      .orderBy("p_partkey")
+  }
+
+  /** C15: date/time function battery over orders. */
+  val c15Date: QueryDef = QueryDef(
+    "c15_date_funcs", "C15",
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mth"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("qtr"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType)).as("days_to_2002"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C15: JSON extraction over events.props (schema-on-read). */
+  val c15Json: QueryDef = QueryDef(
+    "c15_json_funcs", "C15",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
+  /** C15: array ops over the embeddings list column. */
+  val c15Array: QueryDef = QueryDef(
+    "c15_array_funcs", "C15",
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+      |  embedding[1] AS first_val, label
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_val"),
+      col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** B2: time-bucketed trend aggregation (the reference's console chart,
+    * README.md:369–371, QuestDB `SAMPLE BY 1h` idiom). */
+  val b2Trend: QueryDef = QueryDef(
+    "b2_hourly_trend", "B2",
+    """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+      |  min(value) AS value_min, max(value) AS value_max
+      |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        moneySum(col("value")).as("value_sum"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+      .orderBy("hr", "event_type")
+  }
+
+  /** B3: per-entity consistency analytics (the reference's deterministic
+    * buyer-hash intent, README.md:249) over events.user_id. */
+  val b3PerUser: QueryDef = QueryDef(
+    "b3_per_user_stats", "B3",
+    """SELECT user_id, count(*) AS event_cnt,
+      |  count(DISTINCT event_type) AS type_cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("event_cnt"),
+        countDistinct(col("event_type")).as("type_cnt"),
+        moneySum(col("value")).as("value_sum"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    c1ScanProject, c2Filter, c3BroadcastJoin, c4ShuffleJoin,
+    c5SemiJoin, c5AntiJoin, c6LeftOuter, c6FullOuter,
+    c7RangeJoin, c8AsofJoin, c9TpchQ1, c10Distinct, c10Approx,
+    c11Rollup, c11Cube, c12Window, c13TopK, c13TopKPerGroup,
+    c14Union, c14Intersect, c14Except,
+    c15String, c15Date, c15Json, c15Array,
+    b2Trend, b3PerUser)
+}

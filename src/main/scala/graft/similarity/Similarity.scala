@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** C18 — similarity search over `embeddings.embedding` (array<float>).
+  *
+  * Brute-force top-k cosine is the exact baseline: queries are broadcast,
+  * the corpus streams through once, norms are precomputed per side so each
+  * pair costs one fused dot product. The LSH variant is the scale path:
+  * sign-random-projection signatures bucket the corpus so each query only
+  * scores its bucket's candidates instead of the whole corpus.
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`)
+  * accumulating in double, sequentially left-to-right — the same evaluation
+  * order DuckDB's `list_cosine_similarity` uses, so oracle values are
+  * bit-identical. No UDFs, no driver-side loops.
+  */
+object Similarity {
+
+  /** Sequential left-to-right double sum of an array column. */
+  def dsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    dsum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+
+  /** Squared L2 norm of a float-array column, accumulated in double. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine(a,b) = dot / (|a|·|b|) — the sqrt(na)*sqrt(nb) denominator form,
+    * matching DuckDB's list_cosine_similarity bit-for-bit. */
+  def cosine(aEmb: Column, aNorm: Column, bEmb: Column, bNorm: Column): Column =
+    dot(aEmb, bEmb) / (aNorm * bNorm)
+
+  /** Brute-force exact top-5 cosine neighbors for query vectors vec_id<5.
+    * Plan: tiny query side broadcast (BroadcastNestedLoopJoin); corpus side
+    * scanned once with norms computed in the same projection; per-query
+    * top-k via window over the small scored set. */
+  val knnBrute: QueryDef = QueryDef(
+    "c18_knn_brute", "C18",
+    """SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk,
+      |  neighbor_id, score
+      |FROM (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 5) t
+      |QUALIFY rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 5).select(
+      col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      sqrt(norm2(col("embedding"))).as("q_norm"))
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"),
+      sqrt(norm2(col("embedding"))).as("n_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("q_id"))
+      .withColumn("score",
+        cosine(col("q_emb"), col("q_norm"), col("n_emb"), col("n_norm")))
+      .select(
+        col("q_id"),
+        row_number().over(w).as("rnk"),
+        col("neighbor_id"), col("score"))
+      .where(col("rnk") <= 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Sign-random-projection LSH bucket: `bits` pseudo-random ±1 hyperplanes;
+    * plane component for (table t, bit i, dimension j) is derived from
+    * murmur3(t, i, j) — deterministic and stateless, so both sides of the
+    * bucket join recompute identical planes with no stored model. Returns an
+    * int bucket id in [0, 2^bits). */
+  def srpBucket(emb: Column, table: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    val bitVals = transform(
+      sequence(lit(0), lit(bits - 1)),
+      i => {
+        val proj = dsum(zip_with(emb, dims, (x, j) =>
+          x.cast(DoubleType) *
+            when(pmod(hash(table, i, j), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))))
+        when(proj >= 0, lit(1)).otherwise(lit(0))
+      })
+    aggregate(
+      zip_with(bitVals, sequence(lit(0), lit(bits - 1)), (b, i) => call_function("shiftleft", b, i)),
+      lit(0), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** One row per (vector, LSH table) with a composed "t:bucket" key. */
+  private def withBuckets(df: DataFrame, embCol: String, tables: Int, bits: Int): DataFrame =
+    df.select(df.columns.map(col) :+
+      posexplode(transform(
+        sequence(lit(0), lit(tables - 1)),
+        t => concat_ws(":", t, srpBucket(col(embCol), t, bits)))): _*)
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+
+  /** Approximate top-3 neighbors via 4 LSH tables × 8-bit signatures:
+    * candidates = corpus vectors sharing any table bucket with the query,
+    * reranked by exact cosine. noOracle (approximate by construction);
+    * recall-vs-brute is asserted in SimilaritySpec. */
+  val annLsh: QueryDef = QueryDef.noOracle("c18_ann_lsh", "C18") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val (tables, bits) = (4, 8)
+    val queries = withBuckets(
+      emb.where(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(norm2(col("embedding"))).as("q_norm")),
+      "q_emb", tables, bits)
+      .select("q_id", "q_emb", "q_norm", "bucket")
+    val corpus = withBuckets(
+      emb.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        sqrt(norm2(col("embedding"))).as("n_norm")),
+      "n_emb", tables, bits)
+      .select("neighbor_id", "n_emb", "n_norm", "bucket")
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .withColumn("score",
+        cosine(col("q_emb"), col("q_norm"), col("n_emb"), col("n_norm")))
+      .select(col("q_id"), row_number().over(w).as("rnk"),
+        col("neighbor_id"), col("score"))
+      .where(col("rnk") <= 3)
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(knnBrute, annLsh)
+}

@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** C19 — text-analysis operators over `documents` (LLM-pipeline pillar,
+  * BASELINE.json north_star): token counting, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (`regexp_*`, `split`,
+  * `length`, `md5`) — no UDFs, so the whole pipeline stays inside one
+  * whole-stage-codegen span and scales linearly with no shuffle (except the
+  * final ORDER BY, which exists only for deterministic verification output).
+  *
+  * Both the Spark side and the DuckDB oracle use the same RE2/Java-compatible
+  * regex subset so the two engines compute identical values.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count. `trim` first: Java `Pattern.split` (Spark) and
+    * DuckDB `regexp_split_to_array` both keep leading/trailing empty fields,
+    * and trimming removes the asymmetry risk entirely. */
+  val tokens: QueryDef = QueryDef(
+    "c19_token_count", "C19",
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS n_len, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      length(col("text")).as("n_len"),
+      col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, alpha ratio, stopword ratio, mean token length.
+    * Single-pass narrow projection; ratios are one double division of exact
+    * integer counts (deterministic on both engines). */
+  val quality: QueryDef = QueryDef(
+    "c19_quality_score", "C19",
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_len,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS alpha_cnt,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS INT) AS stop_cnt,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    val alphaCnt = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val stopCnt = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_len"),
+      nTokens.as("n_tokens"),
+      alphaCnt.as("alpha_cnt"),
+      stopCnt.as("stop_cnt"),
+      (alphaCnt.cast(DoubleType) / length(col("text"))).as("alpha_ratio"),
+      (stopCnt.cast(DoubleType) / nTokens).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // Language-marker regexes, shared between predictor and oracle. The n-gram
+  // heuristic: count language-specific function words, argmax with a fixed
+  // tie-break order (en, es, fr, de, zh).
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was|to)\\b",
+    "es" -> "\\b(el|la|los|las|de|que|es)\\b",
+    "fr" -> "\\b(le|les|des|est|une|dans)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]") // hex escape parses in both RE2 and Java
+
+  /** Language-ID by function-word/script-marker counting (deterministic
+    * heuristic; compared against the labeled `lang` column). */
+  val langId: QueryDef = {
+    val duckScores = markers.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS s_$l"
+    }.mkString(",\n      |  ")
+    val duckMax = s"GREATEST(${markers.map("s_" + _._1).mkString(", ")})"
+    val duckCase = markers.map { case (l, _) =>
+      s"WHEN s_$l = mx THEN '$l'"
+    }.mkString(" ")
+    QueryDef(
+      "c19_lang_id", "C19",
+      s"""SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh, predicted, lang AS labeled,
+         |  predicted = lang AS agree
+         |FROM (
+         |  SELECT *, CASE $duckCase ELSE 'und' END AS predicted FROM (
+         |    SELECT *, $duckMax AS mx FROM (
+         |      SELECT doc_id, lang,
+         |  $duckScores
+         |      FROM documents) t1) t2) t3
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (l, re)) =>
+        df.withColumn(s"s_$l", size(regexp_extract_all(lower(col("text")), lit(re), lit(0))))
+      }
+      val mx = greatest(markers.map(m => col("s_" + m._1)): _*)
+      val predicted = markers.foldRight(lit("und"): Column) { case ((l, _), els) =>
+        when(col("s_" + l) === col("mx"), lit(l)).otherwise(els)
+      }
+      scored
+        .withColumn("mx", mx)
+        .withColumn("predicted", predicted)
+        .select(
+          col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
+          col("s_zh"), col("predicted"), col("lang").as("labeled"),
+          (col("predicted") === col("lang")).as("agree"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Document fingerprint: md5 of the punctuation/spacing-normalized text —
+    * the canonical "same content modulo formatting" key for dedup joins. */
+  val fingerprint: QueryDef = QueryDef(
+    "c19_fingerprint", "C19",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(tokens, quality, langId, fingerprint)
+}

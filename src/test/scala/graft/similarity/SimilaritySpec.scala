@@ -1,0 +1,52 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C18 self-checks: cosine math against hand-computed values; ANN candidates
+  * score identically to brute force. */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine of hand-checked vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val scored = df.as("a").crossJoin(df.as("b"))
+      .select(
+        col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(Similarity.norm2(col("a.embedding"))) *
+            sqrt(Similarity.norm2(col("b.embedding"))))).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(scored((1L, 2L)) - 0.0) < 1e-12)       // orthogonal
+    assert(math.abs(scored((1L, 4L)) - 1.0) < 1e-12)       // parallel
+    assert(math.abs(scored((1L, 3L)) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("brute-force knn returns 5 ranked neighbors per query, scores descending") {
+    val out = Similarity.knnBrute.fn(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.length === 5)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ANN-LSH results are a subset of correct scores (same score as brute for that pair)") {
+    val brute = Similarity.knnBrute.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // score every pair brute-force for validation of ANN output values
+    val ann = Similarity.annLsh.fn(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (q, n, s) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      brute.get((q, n)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+      assert(s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9)
+    }
+  }
+}

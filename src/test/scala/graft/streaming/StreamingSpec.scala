@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** C16/C17-streaming: MemoryStream-driven determinstic micro-batch tests. */
+class StreamingSpec extends SparkSpec {
+
+  import StreamingJobs.Ev
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runToMemory(
+      df: org.apache.spark.sql.DataFrame,
+      name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("C16 tumbling window with watermark aggregates by hour and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    in.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 3.0))
+    // watermark pusher: far-future row finalizes the earlier windows so
+    // append mode emits them (Spark runs a no-data batch on watermark advance)
+    in.addData((ts("2024-01-01 13:00:00"), "click", 4.0))
+    runToMemory(StreamingJobs.hourlyTrend(events), "trend2", OutputMode.Append())
+    val rows = spark.table("trend2")
+      .select("hr", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+    assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+  }
+
+  test("C17 streaming dedup within watermark drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("event_id", "ts")
+    in.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")),
+      (1L, ts("2024-01-01 10:02:00"))) // dup id within watermark
+    runToMemory(StreamingJobs.dedupWithinWatermark(events), "dedup", OutputMode.Append())
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === Seq(1L, 2L))
+  }
+
+  test("C16 custom state: mapGroupsWithState accumulates per-user totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1L, ts("2024-01-01 10:00:00"), "click"),
+      Ev(1L, ts("2024-01-01 10:01:00"), "purchase"),
+      Ev(2L, ts("2024-01-01 10:02:00"), "view"))
+    val out = StreamingJobs.perUserRunningTotals(in.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("totals").outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_totals").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("totals")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((1L, 2L, 1L)))
+    assert(rows.contains((2L, 1L, 0L)))
+  }
+
+  test("B4 file-stream analogue of the GCS trigger processes dropped CSVs") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "2021-03-21T11.csv"))
+    w.println("alice@example.com,100,2,50,2021-03-21T11:00:00")
+    w.println("bob@example.com,101,1,60,2021-03-21T11:01:00")
+    w.close()
+    val q = StreamingJobs.purchaseFileStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("purch").outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_purch").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("purch").count() === 2L)
+  }
+}

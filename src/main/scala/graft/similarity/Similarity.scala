@@ -55,16 +55,14 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val queries = emb.where(col("vec_id") < 5).select(
       col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"),
-      sqrt(norm2(col("embedding"))).as("q_norm"))
+      col("embedding").as("q_emb"))
     val corpus = emb.select(
       col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"),
-      sqrt(norm2(col("embedding"))).as("n_norm"))
+      col("embedding").as("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("neighbor_id") =!= col("q_id"))
       .withColumn("score",
-        cosine(col("q_emb"), col("q_norm"), col("n_emb"), col("n_norm")))
+        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
       .select(
         col("q_id"),
         row_number().over(w).as("rnk"),

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSim, MinHashSig, ShingleArray, SimHashSig}
+
+/** SparkSessionExtensions hook: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
+  * works next to the Scala Column API. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<float>, array<float>) - fused cosine similarity"),
+      ((args: Seq[Expression]) => CosineSim(args(0), args(1))): FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens) - 64-permutation MinHash of word 3-grams"),
+      ((args: Seq[Expression]) => MinHashSig(args.head, 3, 64)): FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(tokens) - 64-bit SimHash of a token array"),
+      ((args: Seq[Expression]) => SimHashSig(args.head)): FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_array"),
+      info("shingle_array", "shingle_array(tokens) - distinct word 3-gram shingles"),
+      ((args: Seq[Expression]) => ShingleArray(args.head, 3)): FunctionBuilder))
+  }
+}

@@ -131,5 +131,66 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(knnBrute, annLsh)
+  /** Embedding-cosine near-duplicate pairs (the vector-space dedup mode):
+    * all pairs with cosine >= 0.9, exact. The oracle-checked baseline is the
+    * full pairwise pass (fused CosineSim, symmetric half only); the scale
+    * path for this shape is the LSH/IVF bucketing below — at 100 TB the
+    * pairwise join is replaced by srpBucket candidates + this same verify. */
+  val embNearDup: QueryDef = QueryDef(
+    "c17_embedding_neardup", "C17 C18",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
+      .where(col("score") >= 0.9)
+      .select("vec_a", "vec_b", "score")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the C lowest vec_ids
+    * serve as centroids — a stand-in for trained k-means, keeping the query
+    * reproducible), each corpus vector assigned to its nearest centroid
+    * map-side, queries probe the nprobe nearest centroid lists and rerank
+    * exactly. The inverted-list shape is the 100 TB path: a query scores
+    * |corpus| · nprobe / C vectors instead of the whole corpus. noOracle
+    * (approximate by construction); spec-tested against brute force. */
+  val annIvf: QueryDef = QueryDef.noOracle("c18_ann_ivf", "C18") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.where(col("vec_id") < 16).select(
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def nearestCentroids(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("c_score").desc, col("c_id"))
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("c_score",
+          graft.functions.VectorExprs.cosineSim(col(embCol), col("c_emb")))
+        .select(col(idCol), col(embCol), col("c_id"), col("c_score"))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= keep)
+        .drop("c_score", "c_rank")
+    }
+    val corpus = nearestCentroids(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+      "neighbor_id", "n_emb", keep = 1) // each vector lives in ONE list
+    val queries = nearestCentroids(
+      emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", keep = 4) // probe the 4 nearest lists
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("c_id"))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
+      .select(col("q_id"), row_number().over(w).as("rnk"),
+        col("neighbor_id"), col("score"))
+      .where(col("rnk") <= 3)
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(knnBrute, annLsh, embNearDup, annIvf)
 }

@@ -103,6 +103,20 @@ class EtlSpec extends SparkSpec {
     assert(back.select("hour").distinct().count() === 3)
   }
 
+  test("A13/A14: DDL + the published query run verbatim over the loaded table") {
+    val loc = Files.createTempDirectory("purch_table").toFile.getAbsolutePath + "/purchases"
+    Purchases.etl(spark, exampleDir)
+      .write.mode("overwrite").parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS purchases")
+    Sinks.createPurchasesTable(spark, loc)
+    // README.md:366 — the reference's one published query
+    val out = spark.sql("SELECT * FROM purchases ORDER BY purchase_date")
+    assert(out.count() === 909L)
+    assert(out.columns.toSeq ===
+      Seq("buyer", "item_id", "quantity", "price", "purchase_date"))
+    spark.sql("DROP TABLE purchases")
+  }
+
   test("A15/A16: generator matches reference distributions and sort order") {
     val rows = Purchases.generate(seed = 7L, java.time.LocalDateTime.of(2021, 3, 21, 11, 0))
     assert(rows.size >= 100 && rows.size <= 500)

@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary columns, deterministic fake decode, chunking. */
+class MultimodalSpec extends SparkSpec {
+
+  test("asset table exposes payload as binary with byte-accurate metadata") {
+    val a = Multimodal.assets(spark, sf)
+    val row = a.orderBy("asset_id").first()
+    assert(row.schema("payload").dataType.typeName === "binary")
+    assert(row.getAs[Array[Byte]]("payload").length === row.getInt(row.fieldIndex("n_bytes")))
+  }
+
+  test("fake decode is deterministic and batch-shaped (8 dims in [0,1))") {
+    val f1 = Multimodal.featureStub.fn(spark, sf).collect()
+    val f2 = Multimodal.featureStub.fn(spark, sf).collect()
+    assert(f1.map(_.toString).toSeq === f2.map(_.toString).toSeq)
+    f1.foreach { r =>
+      val feats = r.getSeq[Double](r.fieldIndex("feature"))
+      assert(feats.length === 8)
+      assert(feats.forall(v => v >= 0.0 && v < 1.0))
+      val offs = r.getSeq[Int](r.fieldIndex("frame_offsets"))
+      assert(offs.length === 4 && offs.head === 0)
+      assert(offs === offs.sorted)
+    }
+  }
+
+  test("chunk count matches ceil(bytes/256)") {
+    val rows = Multimodal.binaryMeta.fn(spark, sf)
+      .select("n_bytes", "n_chunks").collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === (r.getInt(0) + 255) / 256)
+    }
+  }
+}

@@ -37,6 +37,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF results carry exact scores and reasonable recall vs brute top-3") {
+    val brute = Similarity.knnBrute.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteTop3 = Similarity.knnBrute.fn(spark, sf).collect()
+      .filter(_.getInt(1) <= 3).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf.fn(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val (q, n, s) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      brute.get((q, n)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+    }
+    // recall isn't guaranteed for an ANN index, but with 16 lists and 4
+    // probes on 500 vectors it should find at least a third of the true top-3
+    val found = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(found.intersect(bruteTop3).size * 3 >= bruteTop3.size)
+  }
+
+  test("embedding near-dup pairs are symmetric-half only and all above threshold") {
+    val rows = Similarity.embNearDup.fn(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.9)
+    }
+  }
+
   test("ANN-LSH results are a subset of correct scores (same score as brute for that pair)") {
     val brute = Similarity.knnBrute.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

@@ -55,6 +55,23 @@ object Purchases {
       buyer: String, item_id: Int, quantity: Int, price: Int,
       purchase_date: java.sql.Timestamp)
 
+  /** A3: event-validity guard — the trigger event must carry all required
+    * keys (cloud_function.py:29–38); run BEFORE any data is fetched,
+    * cheapest predicate first (cloud_function.py:103–104). */
+  def isEventValid(event: Map[String, String]): Boolean =
+    Seq("bucket", "contentType", "name", "size").forall(event.contains)
+
+  /** A4: object-validity guard — non-empty AND text/csv, conjunctive
+    * short-circuit exactly as the reference (cloud_function.py:41–50). */
+  def isObjectValid(event: Map[String, String]): Boolean =
+    event.get("size").exists(s => s.toLongOption.exists(_ > 0)) &&
+      event.get("contentType").contains("text/csv")
+
+  /** A3+A4 composed pre-flight: returns true iff the batch should even be
+    * read — both guards pass before any I/O, mirroring §3.1 steps 2–3. */
+  def shouldProcess(event: Map[String, String]): Boolean =
+    isEventValid(event) && isObjectValid(event)
+
   /** A1–A4: read hourly headerless purchase CSVs. `failFast=true` reproduces
     * the reference's abort-the-batch malformed-row behavior (A8); false gives
     * the documented-intent PERMISSIVE pipeline (A7) — malformed rows carry a

@@ -48,5 +48,35 @@ object Udafs {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(udafWeightedPrice)
+  /** C20 scalar UDF example — deliberately trivial (band label from a
+    * price). Kept OUT of hot paths: a scalar udf blocks codegen and
+    * vectorization; the native-Expression route (CosineSim etc.) is the
+    * performance path, this is the user-extension escape hatch. */
+  val priceBand = org.apache.spark.sql.functions.udf { (price: Double) =>
+    if (price < 950.0) "low" else "high"
+  }
+
+  /** C20 UDTF-shaped extension: one row per n-gram via explode over a
+    * generator expression — the Spark-idiomatic table function. */
+  val udtfNgrams: QueryDef = QueryDef(
+    "c20_udtf_ngrams", "C20",
+    """SELECT p_partkey,
+      |  unnest(regexp_split_to_array(trim(p_name), '\s+')) AS gram
+      |FROM part WHERE p_partkey < 100 ORDER BY p_partkey, gram""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .where(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        explode(split(trim(col("p_name")), "\\s+")).as("gram"))
+      .orderBy("p_partkey", "gram")
+  }
+
+  /** C20 scalar-udf query (rows-only: the udf body isn't SQL-visible, and
+    * that is the point — arbitrary user code). */
+  val udfBand: QueryDef = QueryDef.noOracle("c20_udf_price_band", "C20") { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), priceBand(col("p_retailprice")).as("band"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(udafWeightedPrice, udtfNgrams, udfBand)
 }

@@ -83,5 +83,40 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  /** Decoded-asset record produced by the batch decode path. */
+  final case class DecodedAsset(
+      asset_id: Long, n_bytes: Int, feature: Array[Double])
+
+  /** The mapPartitions batch-decode shape — the Scala analogue of a pandas
+    * mapInPandas decode: the partition iterator is consumed in order, the
+    * (fake) codec is invoked once per payload inside the executor, and the
+    * output is a typed Dataset. A real deployment replaces ONLY the body of
+    * `decodeOne` with the codec call; partitioning, batch shape and schema
+    * stay exactly as tested. */
+  def decodeBatch(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[DecodedAsset] = {
+    import spark.implicits._
+    assets(spark, dir)
+      .select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) => decodeOne(id, payload) }
+      }
+  }
+
+  /** >>> FAKE DECODE (driver for decodeBatch) — deterministic stand-in. <<<
+    * Derives an 8-dim feature from payload bytes via an FNV-1a rolling
+    * hash; a real system calls the media codec here. */
+  private def decodeOne(id: Long, payload: Array[Byte]): DecodedAsset = {
+    val feats = new Array[Double](8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+      feats(i % 8) += (h & 0xffff).toDouble / 65536.0
+      i += 1
+    }
+    DecodedAsset(id, payload.length, feats.map(_ / math.max(1, payload.length / 8)))
+  }
+
   val all: Seq[QueryDef] = Seq(binaryMeta, featureStub)
 }

@@ -103,6 +103,16 @@ class EtlSpec extends SparkSpec {
     assert(back.select("hour").distinct().count() === 3)
   }
 
+  test("A3/A4: event and object guards mirror the reference predicates") {
+    val good = Map("bucket" -> "b", "contentType" -> "text/csv",
+      "name" -> "2021-03-21T11.csv", "size" -> "123")
+    assert(Purchases.shouldProcess(good))
+    assert(!Purchases.isEventValid(good - "size"))                 // missing key
+    assert(!Purchases.isObjectValid(good + ("size" -> "0")))       // empty object
+    assert(!Purchases.isObjectValid(good + ("contentType" -> "application/json")))
+    assert(!Purchases.shouldProcess(good + ("size" -> "nope")))    // unparseable
+  }
+
   test("A13/A14: DDL + the published query run verbatim over the loaded table") {
     val loc = Files.createTempDirectory("purch_table").toFile.getAbsolutePath + "/purchases"
     Purchases.etl(spark, exampleDir)

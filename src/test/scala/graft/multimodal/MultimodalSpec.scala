@@ -28,6 +28,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mapPartitions batch decode yields one typed record per asset, deterministically") {
+    val d1 = Multimodal.decodeBatch(spark, sf).collect().sortBy(_.asset_id)
+    val d2 = Multimodal.decodeBatch(spark, sf).collect().sortBy(_.asset_id)
+    assert(d1.length === Multimodal.assets(spark, sf).count())
+    assert(d1.map(_.feature.toSeq).toSeq === d2.map(_.feature.toSeq).toSeq)
+    d1.foreach(r => assert(r.feature.length === 8 && r.n_bytes > 0))
+  }
+
   test("chunk count matches ceil(bytes/256)") {
     val rows = Multimodal.binaryMeta.fn(spark, sf)
       .select("n_bytes", "n_chunks").collect()

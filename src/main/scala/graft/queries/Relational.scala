@@ -502,6 +502,38 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** C16 (batch twin): session windows — 30-minute-gap sessions per user
+    * over events, the same operator the streaming path runs with a
+    * watermark. Oracle = the classic gaps-and-islands construction: a new
+    * session starts when the gap from the previous event is >= 30 min
+    * (Spark merges strictly-less-than-gap arrivals), session end = last
+    * event + gap. */
+  val c16SessionWindow: QueryDef = QueryDef(
+    "c16_session_window", "C16",
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), g AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM m)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  user_id, count(*) AS cnt
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, s_start""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("cnt"))
+      .orderBy("user_id", "s_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c2Filter, c3BroadcastJoin, c4ShuffleJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6FullOuter,
@@ -509,5 +541,5 @@ object Relational {
     c11Rollup, c11Cube, c12Window, c13TopK, c13TopKPerGroup,
     c14Union, c14Intersect, c14Except,
     c15String, c15Date, c15Json, c15Array,
-    b2Trend, b3PerUser)
+    c16SessionWindow, b2Trend, b3PerUser)
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-technique operators: the join shapes that keep 100 TB plans alive
+  * when the built-in strategies degrade.
+  *
+  *  - [[saltedJoin]] — hot-key salting for shuffle joins whose key
+  *    distribution AQE's skew handling can't fix (e.g. one key is 30% of
+  *    the table and the other side can't be broadcast).
+  *  - [[rangeBinJoin]] — interval/range joins against a LARGE ranges table:
+  *    Spark's only native plan is BroadcastNestedLoop (every row × every
+  *    range). Binning converts it to an equi-join on overlapping bins plus
+  *    a residual filter — shuffle-parallel and linear in matches.
+  *  - [[BucketedTables]] — co-located joins via bucketed tables: both sides
+  *    pre-hashed into the same bucket layout at write time join with ZERO
+  *    shuffle at read time (asserted in ScaleOpsSpec).
+  */
+object ScaleOps {
+
+  /** Salted equi-join: replicate each right-side row `salt` times with a
+    * salt suffix, scatter the left side's hot keys uniformly across the
+    * replicas. The shuffle key becomes (key, salt) — a key holding p% of
+    * the rows now occupies p%/salt per partition. Semantics identical to
+    * `left.join(right, key)` (inner). */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Range join via binning: rows join ranges where lo <= v < hi.
+    * Each range explodes to its covering bins of width `binWidth`; each
+    * fact row maps to one bin; equi-join on the bin, then the exact
+    * residual predicate. Equivalent to
+    * `fact.join(ranges, v >= lo && v < hi)` but as a shuffle hash join. */
+  def rangeBinJoin(
+      fact: DataFrame,
+      ranges: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    val factBinned = fact.withColumn("_bin",
+      floor(col(valueCol) / binWidth).cast(LongType))
+    val rangesBinned = ranges.withColumn("_bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast(LongType),
+        // hi is exclusive: a range ending exactly on a bin edge does not
+        // cover that bin
+        when(pmod(col(hiCol), lit(binWidth)) === 0.0,
+          (floor(col(hiCol) / binWidth) - 1).cast(LongType))
+          .otherwise(floor(col(hiCol) / binWidth).cast(LongType)))))
+    factBinned.join(rangesBinned, Seq("_bin"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Bucketed co-located join support: write both sides bucketed by the join
+    * key into the warehouse, then joins on that key need no shuffle (the
+    * scan reports the hash partitioning). */
+  object BucketedTables {
+    def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+
+    def join(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
+      spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+  }
+}

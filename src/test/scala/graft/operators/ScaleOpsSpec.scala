@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The scale-technique joins produce identical results to the naive plans
+  * and the plan shapes they promise. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain equi-join") {
+    import spark.implicits._
+    // skewed left: key 1 dominates
+    val left = (Seq.fill(500)(1) ++ (2 to 50)).toDF("k")
+      .withColumn("lv", monotonically_increasing_id())
+    val right = (1 to 50).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+    val salted = ScaleOps.saltedJoin(left, right, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    val a = plain.select("k", "lv", "rv").collect().map(_.toString).sorted
+    val b = salted.select("k", "lv", "rv").collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("rangeBinJoin equals the between-predicate join and avoids nested loop") {
+    val part = graft.Tables.part(spark, sf)
+    import spark.implicits._
+    val bands = Seq(
+      ("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+      ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)).toDF("band", "lo", "hi")
+    val naive = part.join(bands,
+      col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band").count()
+    val binned = ScaleOps.rangeBinJoin(part, bands, "p_retailprice", "lo", "hi", 25.0)
+      .groupBy("band").count()
+    val a = naive.collect().map(_.toString).sorted
+    val b = binned.collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    val plan = ScaleOps.rangeBinJoin(part, bands, "p_retailprice", "lo", "hi", 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("bucketed tables join with zero shuffle") {
+    val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    // clean any leftover state from a previous aborted run
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    ScaleOps.BucketedTables.write(o, "b_orders", "o_orderkey", 8)
+    ScaleOps.BucketedTables.write(l, "b_lineitem", "o_orderkey", 8)
+    // disable auto-broadcast: at real scale neither side broadcasts — the
+    // point of bucketing is the shuffle that ISN'T there in the SMJ plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.BucketedTables.join(spark, "b_orders", "b_lineitem", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() === l.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

@@ -502,6 +502,118 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on
+    * the ORDER BY value, not row offsets). Order key = integer day number so
+    * the frame arithmetic is exact on both engines. */
+  val c12RangeFrame: QueryDef = QueryDef(
+    "c12_range_frame", "C12",
+    """SELECT o_custkey, o_orderkey, day_no,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY day_no
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS day_no
+      |        , o_totalprice FROM orders) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val base = orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType)).as("day_no"),
+      col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey").orderBy("day_no")
+      .rangeBetween(-30, Window.currentRow)
+    base.select(
+      col("o_custkey"), col("o_orderkey"), col("day_no"),
+      sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("spend_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** C12: ntile + first/last value over an explicit full frame. */
+  val c12Ntile: QueryDef = QueryDef(
+    "c12_ntile_first_last", "C12",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      first(col("o_orderkey")).over(w).as("first_ok"),
+      last(col("o_orderkey")).over(wFull).as("last_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** C15: math battery — only IEEE-exact operations (abs/floor/ceil/sqrt/
+    * sign/%), no libm-dependent transcendentals whose last ulp differs
+    * across implementations. */
+  val c15Math: QueryDef = QueryDef(
+    "c15_math_funcs", "C15",
+    """SELECT p_partkey,
+      |  abs(p_size - 25) AS size_dev,
+      |  CAST(floor(p_retailprice) AS DOUBLE) AS price_floor,
+      |  CAST(ceil(p_retailprice) AS DOUBLE) AS price_ceil,
+      |  sqrt(p_retailprice) AS price_sqrt,
+      |  CAST(sign(p_size - 25) AS INT) AS size_sign,
+      |  p_size % 7 AS size_mod
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      abs(col("p_size") - 25).as("size_dev"),
+      floor(col("p_retailprice")).cast(DoubleType).as("price_floor"),
+      ceil(col("p_retailprice")).cast(DoubleType).as("price_ceil"),
+      sqrt(col("p_retailprice")).as("price_sqrt"),
+      signum(col("p_size") - 25).cast(IntegerType).as("size_sign"),
+      (col("p_size") % 7).as("size_mod"))
+      .orderBy("p_partkey")
+  }
+
+  /** C2: predicate variety — IN-list, LIKE, BETWEEN, IS NULL composition. */
+  val c2Predicates: QueryDef = QueryDef(
+    "c2_predicate_variety", "C2",
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+      |WHERE o_orderstatus IN ('F', 'P')
+      |  AND o_orderpriority LIKE '1%'
+      |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+      |  AND o_orderdate IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .where(col("o_orderstatus").isin("F", "P") &&
+        col("o_orderpriority").like("1%") &&
+        col("o_totalprice").between(50000.0, 150000.0) &&
+        col("o_orderdate").isNotNull)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** C6: right outer join (the mirrored null-extension). */
+  val c6RightOuter: QueryDef = QueryDef(
+    "c6_right_outer_join", "C6",
+    """SELECT n_nationkey, count(s_suppkey) AS supp_cnt
+      |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"), "right_outer")
+      .groupBy("n_nationkey")
+      .agg(count(col("s_suppkey")).as("supp_cnt"))
+      .orderBy("n_nationkey")
+  }
+
+  /** C14: UNION with distinct semantics. */
+  val c14UnionDistinct: QueryDef = QueryDef(
+    "c14_union_distinct", "C14",
+    """SELECT c_nationkey AS nk FROM customer
+      |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .unionByName(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+  }
+
   /** C16 (batch twin): session windows — 30-minute-gap sessions per user
     * over events, the same operator the streaming path runs with a
     * watermark. Oracle = the classic gaps-and-islands construction: a new
@@ -535,11 +647,12 @@ object Relational {
   }
 
   val all: Seq[QueryDef] = Seq(
-    c1ScanProject, c2Filter, c3BroadcastJoin, c4ShuffleJoin,
-    c5SemiJoin, c5AntiJoin, c6LeftOuter, c6FullOuter,
+    c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c4ShuffleJoin,
+    c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c8AsofJoin, c9TpchQ1, c10Distinct, c10Approx,
-    c11Rollup, c11Cube, c12Window, c13TopK, c13TopKPerGroup,
-    c14Union, c14Intersect, c14Except,
-    c15String, c15Date, c15Json, c15Array,
+    c11Rollup, c11Cube, c12Window, c12RangeFrame, c12Ntile,
+    c13TopK, c13TopKPerGroup,
+    c14Union, c14UnionDistinct, c14Intersect, c14Except,
+    c15String, c15Date, c15Json, c15Array, c15Math,
     c16SessionWindow, b2Trend, b3PerUser)
 }

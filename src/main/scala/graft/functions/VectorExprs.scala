@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 import org.apache.spark.sql.GraftBridge
 
 /** Fused cosine similarity as a native Catalyst expression with whole-stage
@@ -77,8 +77,60 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection LSH buckets for all hash tables in one pass:
+  * plane component (t, i, j) = ±1 from splitmix64(t, i, j); bit i of table
+  * t's bucket is the sign of the projection. Returns array<int> of `tables`
+  * bucket ids in [0, 2^bits). Replaces a triple-nested higher-order-function
+  * composition (tables × bits × dims interpreted lambdas per row) with one
+  * primitive loop; planes stay implicit/deterministic so both sides of the
+  * bucket join recompute them identically.
+  */
+case class SrpBuckets(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "srp_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val dims = v.numElements()
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var i = 0
+      while (i < bits) {
+        var proj = 0.0
+        var j = 0
+        val planeSeed = (t.toLong << 32) | (i.toLong << 16)
+        while (j < dims) {
+          val sign = if ((HashMix.mix(planeSeed | j) & 1L) == 0L) 1.0 else -1.0
+          proj += v.getFloat(j) * sign
+          j += 1
+        }
+        if (proj >= 0) bucket |= (1 << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: fused codegen cosine similarity of two float arrays. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** All SRP-LSH table buckets of a float vector in one pass. */
+  def srpBuckets(emb: Column, tables: Int, bits: Int): Column =
+    GraftBridge.column(SrpBuckets(GraftBridge.expression(emb), tables, bits))
 }

@@ -71,34 +71,15 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Sign-random-projection LSH bucket: `bits` pseudo-random ±1 hyperplanes;
-    * plane component for (table t, bit i, dimension j) is derived from
-    * murmur3(t, i, j) — deterministic and stateless, so both sides of the
-    * bucket join recompute identical planes with no stored model. Returns an
-    * int bucket id in [0, 2^bits). */
-  def srpBucket(emb: Column, table: Column, bits: Int): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
-    val bitVals = transform(
-      sequence(lit(0), lit(bits - 1)),
-      i => {
-        val proj = dsum(zip_with(emb, dims, (x, j) =>
-          x.cast(DoubleType) *
-            when(pmod(hash(table, i, j), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))))
-        when(proj >= 0, lit(1)).otherwise(lit(0))
-      })
-    aggregate(
-      zip_with(bitVals, sequence(lit(0), lit(bits - 1)), (b, i) => call_function("shiftleft", b, i)),
-      lit(0), (acc, v) => acc.bitwiseOR(v))
-  }
-
-  /** One row per (vector, LSH table) with a composed "t:bucket" key. */
+  /** One row per (vector, LSH table): all table buckets come from one
+    * [[graft.functions.SrpBuckets]] pass (deterministic implicit planes —
+    * both sides of the bucket join recompute them identically); the join
+    * key combines the table index and bucket id. */
   private def withBuckets(df: DataFrame, embCol: String, tables: Int, bits: Int): DataFrame =
     df.select(df.columns.map(col) :+
-      posexplode(transform(
-        sequence(lit(0), lit(tables - 1)),
-        t => concat_ws(":", t, srpBucket(col(embCol), t, bits)))): _*)
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+      posexplode(graft.functions.VectorExprs.srpBuckets(col(embCol), tables, bits)): _*)
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
+      .withColumn("bucket", concat_ws(":", col("tbl"), col("bkt")))
 
   /** Approximate top-3 neighbors via 4 LSH tables × 8-bit signatures:
     * candidates = corpus vectors sharing any table bucket with the query,

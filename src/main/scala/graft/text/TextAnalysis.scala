@@ -37,6 +37,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenization regex
+    * most BPE vocabularies apply before merges) — compared with the
+    * whitespace count as the "fertility" denominator. */
+  val bpeTokens: QueryDef = QueryDef(
+    "c19_bpe_token_count", "C19",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS fertility
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    val ws = size(split(trim(col("text")), "\\s+"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      bpe.as("n_bpe"),
+      ws.as("n_ws"),
+      (bpe.cast(DoubleType) / ws).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length, alpha ratio, stopword ratio, mean token length.
     * Single-pass narrow projection; ratios are one double division of exact
     * integer counts (deterministic on both engines). */
@@ -127,5 +150,5 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(tokens, quality, langId, fingerprint)
+  val all: Seq[QueryDef] = Seq(tokens, bpeTokens, quality, langId, fingerprint)
 }

@@ -112,6 +112,42 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Aggregator-based brute-force knn: identical output to [[knnBrute]]
+    * (same oracle), but per-query top-k is computed with a bounded
+    * [[graft.functions.TopKAgg]] — partial aggregation keeps at most k
+    * pairs per query per input partition on the shuffle, instead of the
+    * window variant's every-scored-pair shuffle. This is the formulation
+    * that survives a 100 TB corpus. */
+  val knnAgg: QueryDef = QueryDef(
+    "c18_knn_agg", "C18 C20",
+    """SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk,
+      |  neighbor_id, score
+      |FROM (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 5) t
+      |QUALIFY rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 5).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("col._2").as("neighbor_id"),
+        col("col._1").as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs (the vector-space dedup mode):
     * all pairs with cosine >= 0.9, exact. The oracle-checked baseline is the
     * full pairwise pass (fused CosineSim, symmetric half only); the scale
@@ -173,5 +209,5 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(knnBrute, annLsh, embNearDup, annIvf)
+  val all: Seq[QueryDef] = Seq(knnBrute, knnAgg, annLsh, embNearDup, annIvf)
 }

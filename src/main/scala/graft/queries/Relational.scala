@@ -614,6 +614,62 @@ object Relational {
       .orderBy("nk")
   }
 
+  /** C15: null-handling battery — coalesce/nullif/CASE composition (the
+    * data has no natural nulls; nullif manufactures them). */
+  val c15Null: QueryDef = QueryDef(
+    "c15_null_funcs", "C15",
+    """SELECT s_suppkey,
+      |  nullif(s_nationkey, 0) AS nk_or_null,
+      |  coalesce(nullif(s_nationkey, 0), -1) AS nk_defaulted,
+      |  CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 5000 THEN 'mid'
+      |       ELSE 'high' END AS bal_class,
+      |  CAST(nullif(s_nationkey, 0) IS NULL AS BOOLEAN) AS was_zero
+      |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    supplier(s, d).select(
+      col("s_suppkey"),
+      nullif(col("s_nationkey"), lit(0)).as("nk_or_null"),
+      coalesce(nullif(col("s_nationkey"), lit(0)), lit(-1)).as("nk_defaulted"),
+      when(col("s_acctbal") < 0, "neg")
+        .when(col("s_acctbal") < 5000, "mid")
+        .otherwise("high").as("bal_class"),
+      nullif(col("s_nationkey"), lit(0)).isNull.as("was_zero"))
+      .orderBy("s_suppkey")
+  }
+
+  /** C9: HAVING — post-aggregation filter survives into the plan as a
+    * filter above the final aggregate, not a second shuffle. */
+  val c9Having: QueryDef = QueryDef(
+    "c9_having", "C9",
+    """SELECT l_suppkey, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING count(*) > 550 ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("revenue"))
+      .where(col("cnt") > 550)
+      .orderBy("l_suppkey")
+  }
+
+  /** §3.3 interactive-SQL surface: the whole query arrives as SQL text
+    * (scalar subquery + join), planned by Catalyst — the re-hosted
+    * equivalent of the reference's web-console path. */
+  val c3SqlSurface: QueryDef = QueryDef(
+    "c3_sql_surface", "C2 C9 §3.3",
+    """SELECT o_custkey, count(*) AS big_orders
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM orders)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    // the scalar subquery average is DECIMAL-exact so the comparison gate
+    // is bit-identical on both engines
+    s.sql(
+      """SELECT o_custkey, count(*) AS big_orders
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM orders)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   /** C16 (batch twin): session windows — 30-minute-gap sessions per user
     * over events, the same operator the streaming path runs with a
     * watermark. Oracle = the classic gaps-and-islands construction: a new
@@ -647,12 +703,13 @@ object Relational {
   }
 
   val all: Seq[QueryDef] = Seq(
-    c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c4ShuffleJoin,
+    c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
+    c4ShuffleJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
-    c7RangeJoin, c8AsofJoin, c9TpchQ1, c10Distinct, c10Approx,
+    c7RangeJoin, c8AsofJoin, c9TpchQ1, c9Having, c10Distinct, c10Approx,
     c11Rollup, c11Cube, c12Window, c12RangeFrame, c12Ntile,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
-    c15String, c15Date, c15Json, c15Array, c15Math,
+    c15String, c15Date, c15Json, c15Array, c15Math, c15Null,
     c16SessionWindow, b2Trend, b3PerUser)
 }

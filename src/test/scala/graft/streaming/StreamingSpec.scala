@@ -47,6 +47,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("C16 sliding windows emit one row per covering window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    in.addData((ts("2024-01-01 10:20:00"), "click", 1.0))
+    in.addData((ts("2024-01-01 14:00:00"), "click", 9.0)) // watermark pusher
+    runToMemory(StreamingJobs.slidingCounts(events), "sliding", OutputMode.Append())
+    val rows = spark.table("sliding")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3)))
+    // a 1h window sliding by 15min covers an event with 4 windows
+    val covering = rows.filter { case (start, _, _) => start.startsWith("2024-01-01 09:") || start.startsWith("2024-01-01 10:") }
+    assert(covering.count { case (_, et, c) => et == "click" && c == 1L } === 4)
+  }
+
+  test("C16 session windows split on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:10:00"), 7L), // session 1
+      (ts("2024-01-01 11:00:00"), 7L)) // > 30 min later: session 2
+    in.addData((ts("2024-01-01 15:00:00"), 99L)) // watermark pusher
+    runToMemory(StreamingJobs.sessionCounts(events), "sessions", OutputMode.Append())
+    val rows = spark.table("sessions").where(col("user_id") === 7L)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+    assert(rows.toSet === Set(
+      ("2024-01-01 10:00:00.0", 2L), ("2024-01-01 11:00:00.0", 1L)))
+  }
+
   test("C17 streaming dedup within watermark drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

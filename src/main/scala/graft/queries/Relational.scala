@@ -614,6 +614,71 @@ object Relational {
       .orderBy("nk")
   }
 
+  /** C15: from_json with an explicit schema — schema-on-read into a typed
+    * struct (the get_json_object twin but through the JSON parser + struct
+    * field access). */
+  val c15FromJson: QueryDef = QueryDef(
+    "c15_from_json", "C15",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("p"))
+      .groupBy(col("p.k").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
+  /** C15: explode + aggregate — flatten the embedding arrays and compute
+    * order-independent exact stats per label (min/max/count; no float sums,
+    * which would be order-dependent). */
+  val c15ExplodeAgg: QueryDef = QueryDef(
+    "c15_explode_agg", "C15",
+    """SELECT label, count(*) AS cnt, min(v) AS vmin, max(v) AS vmax
+      |FROM (SELECT label, unnest(embedding) AS v FROM embeddings) t
+      |GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .select(col("label"), explode(col("embedding")).as("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .orderBy("label")
+  }
+
+  /** C15: collect_list made deterministic with sort_array — per-nation
+    * supplier rosters, serialized to a string so the hash compare is
+    * array-representation-agnostic. */
+  val c15Collect: QueryDef = QueryDef(
+    "c15_collect_list", "C15",
+    """SELECT s_nationkey AS nk,
+      |  array_to_string(list_sort(list(s_suppkey)), ',') AS supps
+      |FROM supplier GROUP BY 1 ORDER BY nk""".stripMargin) { (s, d) =>
+    supplier(s, d)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("s_suppkey")))).as("supps"))
+      .orderBy("nk")
+  }
+
+  /** C11: pivot — orders per priority pivoted by status. Oracle uses the
+    * equivalent CASE-sum construction (portable and alias-controlled). */
+  val c11Pivot: QueryDef = QueryDef(
+    "c11_pivot", "C11",
+    """SELECT o_orderpriority AS priority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(
+        col("priority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("priority")
+  }
+
   /** C15: null-handling battery — coalesce/nullif/CASE composition (the
     * data has no natural nulls; nullif manufactures them). */
   val c15Null: QueryDef = QueryDef(
@@ -707,9 +772,10 @@ object Relational {
     c4ShuffleJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c8AsofJoin, c9TpchQ1, c9Having, c10Distinct, c10Approx,
-    c11Rollup, c11Cube, c12Window, c12RangeFrame, c12Ntile,
+    c11Rollup, c11Cube, c11Pivot, c12Window, c12RangeFrame, c12Ntile,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
-    c15String, c15Date, c15Json, c15Array, c15Math, c15Null,
+    c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
+    c15Collect, c15Math, c15Null,
     c16SessionWindow, b2Trend, b3PerUser)
 }

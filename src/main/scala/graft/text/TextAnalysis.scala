@@ -150,5 +150,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(tokens, bpeTokens, quality, langId, fingerprint)
+  /** Winnowing-style rolling-hash fingerprint: k minimum rolling hashes
+    * over character 8-gram windows (the MinHash machinery over the
+    * character stream — each window hash IS a rolling hash of the text,
+    * window minima select the document-characteristic subset). Two
+    * documents sharing formatting-insensitive content share fingerprint
+    * values, enabling fingerprint-bucket dedup joins. noOracle (hash
+    * values are engine-specific); determinism spec-tested. */
+  val winnow: QueryDef = QueryDef.noOracle("c19_winnow_fingerprint", "C19 C17") { (s, d) =>
+    val chars = split(regexp_replace(lower(col("text")), "\\s+", " "), "")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.HashExprs.minhashSig(chars, 8, 16).as("fp"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("fp"), v => format_string("%08x", v))).as("fp_hex"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow)
 }

@@ -40,9 +40,14 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` queries run over
-    * the same inputs (the reference's interactive-SQL surface, SURVEY §3.3). */
+    * the same inputs (the reference's interactive-SQL surface, SURVEY §3.3).
+    * `events` must go through its dedicated loader (nanos conversion) — the
+    * raw parquet footer is rejected by Spark's reader otherwise. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   // ---- exact-aggregation helpers -------------------------------------
   // Double sums are order-dependent (non-associative fp addition), so a

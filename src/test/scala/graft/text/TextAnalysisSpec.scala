@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C19 unit checks on constructed strings (the oracle verifies real data;
+  * these pin the semantics on adversarial inputs). */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("token counting handles leading/trailing/multiple whitespace") {
+    val df = docs((1L, "  a  b \t c  "), (2L, "single"))
+    df.createOrReplaceTempView("documents_tmp")
+    import spark.implicits._
+    val counts = df.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(1L) === 3)
+    assert(counts(2L) === 1)
+  }
+
+  test("BPE-ish pre-tokenization splits punctuation and digit runs") {
+    val df = docs((1L, "don't stop, 42 times!"))
+    val n = df.select(size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n"))
+      .first().getInt(0)
+    // don ' t stop , 42 times ! -> 8 pieces
+    assert(n === 8)
+  }
+
+  test("fingerprint is insensitive to case, punctuation and spacing") {
+    val df = docs(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
+    val fps = df.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("language markers score the expected language highest") {
+    val en = "the cat and the dog of the house is to be seen"
+    val de = "der hund und die katze das ist nicht gut und der tag"
+    val scored = Seq((1L, en), (2L, de))
+    val df = docs(scored: _*)
+    val sEn = size(regexp_extract_all(lower(col("text")), lit("\\b(the|and|of|is|was|to)\\b"), lit(0)))
+    val sDe = size(regexp_extract_all(lower(col("text")), lit("\\b(der|die|das|und|ist|nicht)\\b"), lit(0)))
+    val rows = df.select(col("doc_id"), sEn.as("en"), sDe.as("de"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows(1L)._1 > rows(1L)._2)
+    assert(rows(2L)._2 > rows(2L)._1)
+  }
+}

@@ -156,8 +156,28 @@ object Dedup {
     * common shingles per pair, then jaccard = |∩| / (|A|+|B|-|∩|). The
     * naive all-pairs array_intersect is quadratic in block size regardless
     * of similarity; this is linear in the number of actual collisions.
-    * noOracle; spec-tested. */
-  val ngramJaccard: QueryDef = QueryDef.noOracle("c17_ngram_jaccard", "C17") { (s, d) =>
+    * Oracle mirrors the construction with DuckDB list comprehensions. */
+  val ngramJaccard: QueryDef = QueryDef(
+    "c17_ngram_jaccard", "C17",
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), g AS (SELECT source, doc_id, unnest(grams) AS g FROM sh
+      |), inter AS (
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM g a JOIN g b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))

@@ -70,9 +70,14 @@ object Udafs {
       .orderBy("p_partkey", "gram")
   }
 
-  /** C20 scalar-udf query (rows-only: the udf body isn't SQL-visible, and
-    * that is the point — arbitrary user code). */
-  val udfBand: QueryDef = QueryDef.noOracle("c20_udf_price_band", "C20") { (s, d) =>
+  /** C20 scalar-udf query. The udf body is arbitrary user code from
+    * Spark's perspective (opaque, blocks codegen); this particular body is
+    * simple enough to mirror in SQL, so the oracle still checks it. */
+  val udfBand: QueryDef = QueryDef(
+    "c20_udf_price_band", "C20",
+    """SELECT p_partkey,
+      |  CASE WHEN p_retailprice < 950.0 THEN 'low' ELSE 'high' END AS band
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
     Tables.part(s, d)
       .select(col("p_partkey"), priceBand(col("p_retailprice")).as("band"))
       .orderBy("p_partkey")

@@ -112,6 +112,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 0L)))
   }
 
+  test("B4 end-to-end: streamed CSVs land in an hour-partitioned parquet table") {
+    val inDir = java.nio.file.Files.createTempDirectory("stream_in2").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("stream_out").toString + "/purchases"
+    val w = new java.io.PrintWriter(new java.io.File(inDir, "2021-03-21T11.csv"))
+    w.println("alice@example.com,100,2,50,2021-03-21T11:00:00")
+    w.println("bob@example.com,101,1,60,2021-03-21T12:30:00")
+    w.close()
+    val q = StreamingJobs.purchaseFileStream(spark, inDir.getAbsolutePath)
+      .withColumn("hour", date_trunc("hour", col("purchase_date")))
+      .writeStream.format("parquet")
+      .partitionBy("hour")
+      .option("path", outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_e2e").toString)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 2L)
+    assert(back.select("hour").distinct().count() === 2L) // 11:00 and 12:00
+  }
+
   test("B4 file-stream analogue of the GCS trigger processes dropped CSVs") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "2021-03-21T11.csv"))

@@ -32,8 +32,11 @@ object Tables {
     * precision, and DuckDB's reader does the same µs conversion). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ to match every other table (pyarrow writes isAdjustedToUTC=false)
+    // and the DuckDB oracle's naive TIMESTAMP — session tz is UTC, so the
+    // wall-clock value is unchanged.
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -49,7 +49,7 @@ object Purchases {
     StructField("item_id", IntegerType),
     StructField("quantity", IntegerType),
     StructField("price", IntegerType),
-    StructField("purchase_date", TimestampType)))
+    StructField("purchase_date", TimestampNTZType)))
 
   final case class Purchase(
       buyer: String, item_id: Int, quantity: Int, price: Int,
@@ -106,9 +106,13 @@ object Purchases {
       else raw
     def toInt(c: String) =
       if (strict) col(c).cast(IntegerType) else expr(s"try_cast($c AS INT)")
+    // NTZ result: the reference format carries no timezone (SURVEY §1.2);
+    // session tz is UTC so the wall-clock value is identical, and the
+    // output schema matches the naive timestamps of the oracle engine.
     def toTs(c: String) =
-      if (strict) to_timestamp(col(c), "yyyy-MM-dd'T'HH:mm:ss")
-      else try_to_timestamp(col(c), lit("yyyy-MM-dd'T'HH:mm:ss"))
+      (if (strict) to_timestamp(col(c), "yyyy-MM-dd'T'HH:mm:ss")
+       else try_to_timestamp(col(c), lit("yyyy-MM-dd'T'HH:mm:ss")))
+        .cast(TimestampNTZType)
     dropped
       .select(
         sha1(col("email")).as("buyer"),   // A5

@@ -45,7 +45,7 @@ object Sinks {
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS purchases (
          |  buyer STRING, item_id INT, quantity INT, price INT,
-         |  purchase_date TIMESTAMP)
+         |  purchase_date TIMESTAMP_NTZ)
          |USING parquet
          |LOCATION '$location'
          |TBLPROPERTIES ('graft.designated.timestamp' = 'purchase_date')

@@ -43,7 +43,7 @@ class EtlSpec extends SparkSpec {
   test("A9/A12: purchase_date parses and is non-decreasing after ordered sort") {
     val ts = Purchases.etl(spark, exampleDir)
       .orderBy("purchase_date")
-      .select(col("purchase_date").cast("long"))
+      .select(unix_timestamp(col("purchase_date").cast("timestamp")))
       .collect().map(_.getLong(0))
     assert(ts.length === 909)
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })

@@ -51,9 +51,10 @@ object Purchases {
     StructField("price", IntegerType),
     StructField("purchase_date", TimestampNTZType)))
 
+  /** Typed record for the Dataset API (LocalDateTime ⇔ TIMESTAMP_NTZ). */
   final case class Purchase(
       buyer: String, item_id: Int, quantity: Int, price: Int,
-      purchase_date: java.sql.Timestamp)
+      purchase_date: java.time.LocalDateTime)
 
   /** A3: event-validity guard — the trigger event must carry all required
     * keys (cloud_function.py:29–38); run BEFORE any data is fetched,
@@ -131,6 +132,14 @@ object Purchases {
     * behave consistently (A8 vs A7). */
   def etl(spark: SparkSession, path: String, failFast: Boolean = true): DataFrame =
     transform(readCsv(spark, path, failFast), strict = failFast)
+
+  /** Typed variant of [[etl]]: the same pipeline surfaced as
+    * `Dataset[Purchase]` for callers that want compile-time field safety
+    * (filters/maps over case-class fields instead of stringly columns). */
+  def typedEtl(spark: SparkSession, path: String, failFast: Boolean = true): Dataset[Purchase] = {
+    import spark.implicits._
+    etl(spark, path, failFast).as[Purchase]
+  }
 
   /** A10/A12: ordered append — global sort on the designated timestamp before
     * writing, reproducing QuestDB's in-order append contract (README.md:373).

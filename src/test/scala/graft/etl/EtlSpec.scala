@@ -33,6 +33,15 @@ class EtlSpec extends SparkSpec {
     assert(first.matches("[0-9a-f]{40}"))
   }
 
+  test("typed Dataset API: same rows, compile-time field access") {
+    val ds = Purchases.typedEtl(spark, exampleDir)
+    assert(ds.count() === 909L)
+    val first = ds.filter(_.purchase_date.getHour == 11)
+      .collect().minBy(_.purchase_date)
+    assert(first.buyer.matches("[0-9a-f]{40}"))
+    assert(first.quantity >= 1 && first.quantity <= 10)
+  }
+
   test("A5 determinism: same email hashes identically across files") {
     val raw = Purchases.readCsv(spark, exampleDir)
     val emails = raw.select("email").distinct().count()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.GraftBridge
@@ -21,6 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * construction), a ~50× constant-factor win that makes signatures linear
   * in document size.
   */
+/** Codegen that calls the expression instance's `compute` through a
+  * referenced object. Unlike CodegenFallback (which ejects the whole
+  * operator from whole-stage codegen), this keeps the projection fused in
+  * the surrounding codegen span; only the per-row signature loop runs
+  * through a virtual call — negligible next to the loop body. */
+trait ComputeRefCodegen extends UnaryExpression {
+  /** The per-row kernel; input is the evaluated child. */
+  def compute(input: Any): Any
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeRefCodegen].getName)
+      val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+      // Java auto-unboxes when dataType is primitive (e.g. long for SimHash)
+      s"${ev.value} = (($boxed) $ref.compute($c));"
+    })
+}
+
 object HashMix {
   /** splitmix64 finalizer — decorrelates the per-permutation constants. */
   @inline def mix(z0: Long): Long = {
@@ -37,7 +57,7 @@ object HashMix {
   * materialized. Input: array<string> tokens. Output: array<int> of k mins.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends ComputeRefCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -50,7 +70,7 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   private val as: Array[Long] = Array.tabulate(k)(i => HashMix.mix(2L * i + 1) | 1L)
   private val bs: Array[Long] = Array.tabulate(k)(i => HashMix.mix(0x5851f42d4c957f2dL + i))
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val numToks = toks.numElements()
     val mins = Array.fill(k)(Int.MaxValue)
@@ -87,7 +107,7 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   * Input: array<string>. Output: long.
   */
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends ComputeRefCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -96,7 +116,7 @@ case class SimHashSig(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)
     var j = 0
@@ -131,7 +151,7 @@ case class SimHashSig(child: Expression)
   * Input: array<string> tokens. Output: array<string> distinct shingles.
   */
 case class ShingleArray(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends ComputeRefCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -142,7 +162,7 @@ case class ShingleArray(child: Expression, n: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val numToks = toks.numElements()
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -179,7 +199,7 @@ case class ShingleArray(child: Expression, n: Int)
   * Output: array<int> of `bands` band hashes.
   */
 case class MinHashBands(child: Expression, n: Int, k: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends ComputeRefCodegen {
   require(k % bands == 0, "bands must divide k")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -192,8 +212,8 @@ case class MinHashBands(child: Expression, n: Int, k: Int, bands: Int)
   private val rowsPerBand = k / bands
   private val sig = MinHashSig(child, n, k)
 
-  override def nullSafeEval(input: Any): Any = {
-    val mins = sig.nullSafeEval(input).asInstanceOf[GenericArrayData]
+  override def compute(input: Any): Any = {
+    val mins = sig.compute(input).asInstanceOf[GenericArrayData]
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {

@@ -86,7 +86,7 @@ case class CosineSim(left: Expression, right: Expression)
   * bucket join recompute them identically.
   */
 case class SrpBuckets(child: Expression, tables: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends ComputeRefCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -95,7 +95,7 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_buckets"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val dims = v.numElements()
     val out = new Array[Int](tables)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinHashSig, ShingleArray, SimHashSig}
+import graft.functions.{CosineSim, MinHashBands, MinHashSig, ShingleArray, SimHashSig, SrpBuckets}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -35,5 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_array"),
       info("shingle_array", "shingle_array(tokens) - distinct word 3-gram shingles"),
       ((args: Seq[Expression]) => ShingleArray(args.head, 3)): FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(tokens) - 16 LSH band hashes of a 64-perm MinHash"),
+      ((args: Seq[Expression]) => MinHashBands(args.head, 3, 64, 16)): FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("srp_buckets"),
+      info("srp_buckets", "srp_buckets(array<float>) - 4 sign-random-projection LSH buckets"),
+      ((args: Seq[Expression]) => SrpBuckets(args.head, 4, 8)): FunctionBuilder))
   }
 }

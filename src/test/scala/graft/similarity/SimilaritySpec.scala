@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(scored((1L, 3L)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("codegen CosineSim matches the independent HOF composition bit-for-bit") {
+    import org.apache.spark.sql.types.DoubleType
+    val emb = graft.Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+    val both = pairs.select(
+      graft.functions.VectorExprs.cosineSim(col("ea"), col("eb")).as("fused"),
+      (Similarity.dot(col("ea"), col("eb")) /
+        (sqrt(Similarity.norm2(col("ea"))) * sqrt(Similarity.norm2(col("eb"))))).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("brute-force knn returns 5 ranked neighbors per query, scores descending") {
     val out = Similarity.knnBrute.fn(spark, sf).collect()
     val byQ = out.groupBy(_.getLong(0))

@@ -91,6 +91,27 @@ object Purchases {
       .csv(path)
   }
 
+  /** Source-format variant: JSON-lines purchases with the same positional
+    * fields as the CSV (one object per line, string-typed values — the
+    * shape an exporter emitting JSON instead of CSV would produce). The
+    * identical [[transform]] runs downstream, so switching formats is a
+    * one-line change for the pipeline owner. */
+  def readJsonl(spark: SparkSession, path: String, failFast: Boolean = true): DataFrame = {
+    val mode = if (failFast) "FAILFAST" else "PERMISSIVE"
+    val schema = if (failFast) rawSchema
+      else rawSchema.add(StructField("_corrupt", StringType))
+    spark.read
+      .schema(schema)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("pathGlobFilter", "*.jsonl")
+      .json(path)
+  }
+
+  /** Full pipeline over JSON-lines input (format twin of [[etl]]). */
+  def etlJsonl(spark: SparkSession, path: String, failFast: Boolean = true): DataFrame =
+    transform(readJsonl(spark, path, failFast), strict = failFast)
+
   /** A5+A6+A9 (+A7/A8): anonymize, cast, parse timestamp. Pure narrow
     * projection — stays inside one whole-stage-codegen span.
     *

@@ -150,6 +150,30 @@ class EtlSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.size === rows.map(_._1).toSet.size)
   }
 
+  test("JSON-lines source format produces identical results to the CSV path") {
+    val dir = Files.createTempDirectory("etl_jsonl").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "batch.jsonl"))
+    w.println("""{"email":"alice@example.com","item_id":"100","quantity":"2","price":"50","purchase_date":"2021-03-21T11:00:00"}""")
+    w.println("""{"email":"bob@example.com","item_id":"101","quantity":"1","price":"60","purchase_date":"2021-03-21T11:01:00"}""")
+    w.close()
+    val out = Purchases.etlJsonl(spark, dir.getAbsolutePath).orderBy("purchase_date").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === // same sha1 as the CSV path computes
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest("alice@example.com".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out(0).getInt(1) === 100 && out(0).getInt(2) === 2 && out(0).getInt(3) === 50)
+  }
+
+  test("ORC warehouse round-trip preserves the purchases schema and rows") {
+    val loc = Files.createTempDirectory("purch_orc").toFile.getAbsolutePath + "/t"
+    val df = Purchases.etl(spark, exampleDir)
+    df.write.mode("overwrite").orc(loc)
+    val back = spark.read.orc(loc)
+    assert(back.count() === 909L)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("A17: generated CSV round-trips through the pipeline") {
     val dir = Files.createTempDirectory("gen_csv").toFile.getAbsolutePath + "/out"
     val rows = Purchases.generate(3L, java.time.LocalDateTime.of(2021, 3, 21, 12, 0))

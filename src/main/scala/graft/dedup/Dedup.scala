@@ -150,39 +150,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard within a blocking key (`source`), computed the
-    * scalable way: explode shingles, self-join on (source, shingle) so a
-    * pair is generated ONLY when it shares at least one shingle, count
-    * common shingles per pair, then jaccard = |∩| / (|A|+|B|-|∩|). The
-    * naive all-pairs array_intersect is quadratic in block size regardless
-    * of similarity; this is linear in the number of actual collisions.
-    * Oracle mirrors the construction with DuckDB list comprehensions. */
-  val ngramJaccard: QueryDef = QueryDef(
-    "c17_ngram_jaccard", "C17",
-    """WITH toks AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT doc_id, source,
-      |    list_distinct(CASE WHEN len(t) >= 3
-      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |      ELSE [array_to_string(t, ' ')] END) AS grams
-      |  FROM toks
-      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
-      |), g AS (SELECT source, doc_id, unnest(grams) AS g FROM sh
-      |), inter AS (
-      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM g a JOIN g b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3)
-      |SELECT source, doc_a, doc_b,
-      |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+  /** Hot-gram guard for [[ngramJaccardPairs]]: a gram present in more than
+    * this many documents of a block is dropped before the self-join. A gram
+    * with document frequency m yields m·(m-1)/2 candidate rows, so one
+    * boilerplate shingle ("click here to subscribe" in every scraped page)
+    * turns the collision-linear join quadratic. Grams that common carry no
+    * similarity signal anyway (same rationale as the SimHash bucket cap
+    * above). Intersections are counted over surviving grams only; set sizes
+    * stay exact, so boilerplate-only pairs score lower — intended. */
+  val ngramDfCap = 64
+
+  /** Reusable capped n-gram Jaccard: documents(doc_id, source, text) →
+    * pairs (source, doc_a, doc_b, jaccard >= threshold), blocked by
+    * `source`. Explode shingles, drop grams with df > dfCap, self-join on
+    * (source, gram) so a pair is generated ONLY when it shares a surviving
+    * shingle — linear in actual collisions, never all-pairs, and the df cap
+    * bounds the per-gram collision fan-out at any corpus size. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val grams = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("g"))
-    grams.as("a").join(grams.as("b"), Seq("source", "g"))
+    // shingle arrays are distinct per doc, so count(*) = document frequency
+    val rare = grams.groupBy("source", "g")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+      .select("source", "g")
+    val pruned = grams.join(rare, Seq("source", "g"))
+    pruned.as("a").join(pruned.as("b"), Seq("source", "g"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(
         col("source"),
@@ -192,8 +187,46 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= 0.2)
+      .where(col("jaccard") >= threshold)
       .select("source", "doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard within a blocking key (`source`), computed the
+    * scalable way: explode shingles, cap hot grams ([[ngramDfCap]]),
+    * self-join on (source, shingle) so a pair is generated ONLY when it
+    * shares at least one surviving shingle, count common shingles per pair,
+    * then jaccard = |∩| / (|A|+|B|-|∩|). The naive all-pairs
+    * array_intersect is quadratic in block size regardless of similarity;
+    * this is linear in the number of actual collisions, with the df cap
+    * bounding per-gram fan-out. Oracle mirrors the construction — df cap
+    * included — with DuckDB list comprehensions. */
+  val ngramJaccard: QueryDef = QueryDef(
+    "c17_ngram_jaccard", "C17",
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), gr AS (SELECT source, doc_id, unnest(grams) AS g FROM sh
+      |), df AS (SELECT source, g, count(*) AS df FROM gr GROUP BY 1, 2
+      |), gp AS (
+      |  SELECT gr.source, gr.doc_id, gr.g
+      |  FROM gr JOIN df ON gr.source = df.source AND gr.g = df.g
+      |  WHERE df.df <= $ngramDfCap
+      |), inter AS (
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gp a JOIN gp b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    ngramJaccardPairs(Tables.documents(s, d), threshold = 0.2, dfCap = ngramDfCap)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -71,15 +71,29 @@ object Multimodal {
   /** Feature extraction over the asset table: fake-decoded feature vector +
     * frame-sample offsets for a 4-frame sampling of the payload. noOracle
     * (murmur-based fake features are engine-specific); shape and
-    * determinism asserted in MultimodalSpec. */
-  val featureStub: QueryDef = QueryDef.noOracle(
-    "mm_feature_stub", "north_star-multimodal") { (s, d) =>
+    * determinism asserted in MultimodalSpec.
+    *
+    * The registered query renders both array columns as stable strings
+    * (fixed-precision for the doubles) — the driver's rows-only comparator
+    * sorts every output column, and raw arrays aren't sortable there. The
+    * array-typed variant stays available to library users via
+    * [[featureFrame]]. */
+  def featureFrame(s: SparkSession, d: String): DataFrame =
     assets(s, d).select(
       col("asset_id"),
       col("media_type"),
       fakeDecodeFeature(col("payload"), 8).as("feature"),
       transform(sequence(lit(0), lit(3)),
         i => floor(col("n_bytes") * i / lit(4)).cast(IntegerType)).as("frame_offsets"))
+
+  val featureStub: QueryDef = QueryDef.noOracle(
+    "mm_feature_stub", "north_star-multimodal") { (s, d) =>
+    featureFrame(s, d).select(
+      col("asset_id"),
+      col("media_type"),
+      concat_ws(",", transform(col("feature"),
+        v => format_string("%.6f", v))).as("feature_str"),
+      concat_ws(",", col("frame_offsets")).as("frame_offsets_str"))
       .orderBy("asset_id")
   }
 

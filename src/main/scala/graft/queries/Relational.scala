@@ -170,6 +170,37 @@ object Relational {
       .orderBy("band")
   }
 
+  /** C7 scale path: range join against a LARGE ranges table via
+    * [[graft.operators.ScaleOps.rangeBinJoin]]. When the ranges side is too
+    * big to broadcast, Spark's only native plan for an interval predicate is
+    * BroadcastNestedLoop (every row × every range); binning rewrites it to
+    * an equi-join on covering bins + exact residual filter — a shuffle hash
+    * join, linear in matches. 220 overlapping price ranges (width 750,
+    * stride 500, so rows land in up to 2 ranges and bin-edge rounding is
+    * exercised); oracle is the equivalent BETWEEN join. */
+  val c7RangeBinJoin: QueryDef = QueryDef(
+    "c7_range_bin_join", "C7",
+    """SELECT range_id, count(*) AS cnt,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+      |FROM lineitem JOIN (
+      |  SELECT i AS range_id, i * 500.0 AS lo, i * 500.0 + 750.0 AS hi
+      |  FROM range(0, 220) t(i)) r
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY range_id ORDER BY range_id""".stripMargin) { (s, d) =>
+    val ranges = s.range(0, 220).select(
+      col("id").as("range_id"),
+      (col("id") * 500.0).as("lo"),
+      (col("id") * 500.0 + 750.0).as("hi"))
+    graft.operators.ScaleOps.rangeBinJoin(
+      lineitem(s, d), ranges, "l_extendedprice", "lo", "hi", binWidth = 250.0)
+      .groupBy("range_id")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("range_id")
+  }
+
   /** C8: as-of join — for every `purchase` event, the latest `click` event of
     * the same user at-or-before the purchase timestamp.
     *
@@ -767,15 +798,60 @@ object Relational {
       .orderBy("user_id", "s_start")
   }
 
+  /** C16: tumbling-window aggregation batch twin — the exact `window(ts,
+    * '1 hour')` operator the streaming path runs (StreamingJobs.tumbling),
+    * executed over the batch events table so it is fully oracle-checkable.
+    * Spark's windows are epoch-aligned, so a 1-hour tumble is exactly
+    * `date_trunc('hour', ts)`. */
+  val c16TumblingWindow: QueryDef = QueryDef(
+    "c16_tumbling_window", "C16",
+    """SELECT date_trunc('hour', ts) AS w_start,
+      |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+      |  event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY w_start, event_type""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("value_sum"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** C16: sliding-window (1 hour every 15 min) batch twin. Each event lands
+    * in exactly 4 windows; the oracle replays Spark's epoch-aligned window
+    * assignment with integer epoch arithmetic (window start index i spans
+    * floor(epoch/900)-3 .. floor(epoch/900)). */
+  val c16SlidingWindow: QueryDef = QueryDef(
+    "c16_sliding_window", "C16",
+    """SELECT make_timestamp((FLOOR(epoch(ts) / 900)::BIGINT - 3 + k) * 900 * 1000000) AS w_start,
+      |  make_timestamp(((FLOOR(epoch(ts) / 900)::BIGINT - 3 + k) * 900 + 3600) * 1000000) AS w_end,
+      |  count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      |FROM events, range(4) t(k)
+      |GROUP BY 1, 2 ORDER BY w_start""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("cnt"), col("value_sum"))
+      .orderBy("w_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
     c4ShuffleJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
-    c7RangeJoin, c8AsofJoin, c9TpchQ1, c9Having, c10Distinct, c10Approx,
+    c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c10Distinct, c10Approx,
     c11Rollup, c11Cube, c11Pivot, c12Window, c12RangeFrame, c12Ntile,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
-    c16SessionWindow, b2Trend, b3PerUser)
+    c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend, b3PerUser)
 }

@@ -170,6 +170,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Reusable bucketed near-dup pipeline: SRP-bucket candidate generation +
+    * the SAME exact-cosine verify as [[embNearDup]]. Pairs only meet when
+    * they share a bucket in at least one of the `tables` LSH tables, so the
+    * cost is Σ bucket² instead of n² — this is the formulation that replaces
+    * the all-pairs baseline at 100 TB. Recall is probabilistic (a true pair
+    * is missed only if every table splits it), but the planes are
+    * deterministic, so output is reproducible run-to-run. */
+  def nearDupPairs(emb: DataFrame, tables: Int, bits: Int, threshold: Double): DataFrame = {
+    val bucketed = withBuckets(
+      emb.select(col("vec_id"), col("embedding")), "embedding", tables, bits)
+    val a = bucketed.select(
+      col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = bucketed.select(
+      col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b") // pairs colliding in >1 table
+      .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
+      .where(col("score") >= threshold)
+      .select("vec_a", "vec_b", "score")
+  }
+
+  /** Registered scale path for embedding near-dup: 8 LSH tables × 8-bit SRP
+    * signatures bucket the candidates, then the identical ≥0.9 exact-cosine
+    * verify runs on bucket collisions only.
+    *
+    * Oracle = the exact all-pairs result (same SQL as [[embNearDup]]).
+    * Why an exact oracle is sound for an LSH query: the verify filter is the
+    * exact cosine, so false positives are impossible (LSH ⊆ exact always);
+    * equality additionally requires recall = 1, which (a) holds
+    * deterministically for near-identical pairs — a ≥0.9 pair is split only
+    * if every one of 64 fixed hyperplanes... (SimilaritySpec asserts exact
+    * pair-set parity on planted near-dups) and (b) holds vacuously on the
+    * test corpus, whose max pair cosine is 0.51 (measured sf0.01) — both
+    * engines return the same (empty) threshold set. A corpus engineered
+    * with pairs just at 0.9 could in principle split across all 8 tables;
+    * that residual miss probability is the documented LSH trade. */
+  val embNearDupLsh: QueryDef = QueryDef(
+    "c17_embedding_neardup_lsh", "C17 C18",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    nearDupPairs(Tables.embeddings(s, d), tables = 8, bits = 8, threshold = 0.9)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (the C lowest vec_ids
     * serve as centroids — a stand-in for trained k-means, keeping the query
     * reproducible), each corpus vector assigned to its nearest centroid
@@ -209,5 +257,6 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(knnBrute, knnAgg, annLsh, embNearDup, annIvf)
+  val all: Seq[QueryDef] =
+    Seq(knnBrute, knnAgg, annLsh, embNearDup, embNearDupLsh, annIvf)
 }

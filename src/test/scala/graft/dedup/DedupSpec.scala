@@ -36,6 +36,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.7)) // exact-verified jaccard
   }
 
+  test("hot-gram df cap keeps boilerplate shingles from going quadratic") {
+    import spark.implicits._
+    // 30 docs sharing a boilerplate opening, each with unique tail content,
+    // plus one planted near-dup pair (100, 101) built from rare grams.
+    val boiler = "subscribe to our newsletter for updates and offers every week"
+    val corpus = (1 to 30).map { i =>
+      (i.toLong, s"$boiler unique content piece number n$i with extra words alpha beta gamma v$i")
+    } ++ Seq(
+      (100L, "rare seahorse document about glacier melting patterns in the arctic circle zone"),
+      (101L, "rare seahorse document about glacier melting patterns in the arctic circle zone today"))
+    val docs = corpus.toDF("doc_id", "text").withColumn("source", lit("s"))
+    // uncapped: every boilerplate doc pairs with every other → quadratic
+    val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.2, dfCap = 1000).count()
+    assert(uncapped > 400) // 30*29/2 boilerplate pairs + the planted pair
+    // capped: boilerplate grams (df=30 > 5) carry no signal and are dropped;
+    // only the planted rare-gram pair survives
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.2, dfCap = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((100L, 101L)))
+  }
+
   test("simhash is deterministic and hamming(identical)=0") {
     val docs = docsDf(Seq((1L, base), (2L, base), (3L, unrelated)))
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))

@@ -15,8 +15,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("fake decode is deterministic and batch-shaped (8 dims in [0,1))") {
-    val f1 = Multimodal.featureStub.fn(spark, sf).collect()
-    val f2 = Multimodal.featureStub.fn(spark, sf).collect()
+    val f1 = Multimodal.featureFrame(spark, sf).orderBy("asset_id").collect()
+    val f2 = Multimodal.featureFrame(spark, sf).orderBy("asset_id").collect()
     assert(f1.map(_.toString).toSeq === f2.map(_.toString).toSeq)
     f1.foreach { r =>
       val feats = r.getSeq[Double](r.fieldIndex("feature"))
@@ -26,6 +26,15 @@ class MultimodalSpec extends SparkSpec {
       assert(offs.length === 4 && offs.head === 0)
       assert(offs === offs.sorted)
     }
+  }
+
+  test("registered feature query emits only sortable scalar columns") {
+    val df = Multimodal.featureStub.fn(spark, sf)
+    assert(df.schema.fields.forall(f =>
+      !f.dataType.typeName.startsWith("array")))
+    val row = df.first()
+    assert(row.getAs[String]("feature_str").split(",").length === 8)
+    assert(row.getAs[String]("frame_offsets_str").split(",").length === 4)
   }
 
   test("mapPartitions batch decode yields one typed record per asset, deterministically") {

@@ -78,6 +78,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bucketed near-dup has pair-set parity with the all-pairs baseline on planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = Seq.fill(20)(vec())
+    // two planted near-identical pairs: (0,100) and (1,101)
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((100L, base(0).map(_ + 0.001f)), (101L, base(1).map(_ + 0.001f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val allPairs = df.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      .join(df.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
+      .where(col("score") >= 0.9)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.nearDupPairs(df, tables = 8, bits = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allPairs.contains((0L, 100L)) && allPairs.contains((1L, 101L)))
+    assert(bucketed === allPairs) // near-identical vectors collide in every table
+  }
+
+  test("registered bucketed near-dup is a subset of the all-pairs baseline on real data") {
+    val brute = Similarity.embNearDup.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embNearDupLsh.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
   test("ANN-LSH results are a subset of correct scores (same score as brute for that pair)") {
     val brute = Similarity.knnBrute.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

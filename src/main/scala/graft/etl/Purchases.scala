@@ -189,6 +189,12 @@ object Purchases {
     * driver (round-2 verdict fix), and accumulator double-count on task
     * retry affects only the metrics, not the dead-letter data (files are
     * named by partition id and overwritten on retry).
+    *
+    * Dead letters go through the Hadoop FileSystem API, so `deadLetterDir`
+    * may be any shared filesystem URI (hdfs://, s3a://, file:/...) — on a
+    * real cluster every executor writes to the same store, not its local
+    * disk. The Configuration is built executor-side from classpath defaults
+    * (the standard cluster deployment carries core-site.xml there).
     * Returns (okCount, deadCount) as observed by the accumulators.
     */
   def writeErrorTolerant(
@@ -198,13 +204,18 @@ object Purchases {
     val spark = df.sparkSession
     val ok = spark.sparkContext.longAccumulator("rows_ok")
     val dead = spark.sparkContext.longAccumulator("rows_dead")
-    new java.io.File(deadLetterDir).mkdirs()
     df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      val path = new org.apache.hadoop.fs.Path(deadLetterDir, f"part-$pid%05d.dead")
       var out: java.io.PrintWriter = null
       def writer(): java.io.PrintWriter = {
-        if (out == null)
-          out = new java.io.PrintWriter(new java.io.File(deadLetterDir, f"part-$pid%05d.dead"))
+        if (out == null) {
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          // create(overwrite=true) also creates parent dirs; a task retry
+          // truncates its own partition's file rather than duplicating rows
+          out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(fs.create(path, true), "UTF-8"))
+        }
         out
       }
       try {

@@ -33,6 +33,25 @@ class EtlSpec extends SparkSpec {
     assert(first.matches("[0-9a-f]{40}"))
   }
 
+  test("A5 full-file parity: Spark sha1 equals JDK MessageDigest for every example email") {
+    // closes the "sha1 queries are rows-only" gap as far as the sandbox
+    // allows: the oracle engine has no sha1, so the independent JDK digest
+    // is the ground truth, swept over ALL rows rather than spot values
+    val pairs = Purchases.readCsv(spark, exampleDir)
+      .select(col("email"), sha1(col("email")).as("buyer"))
+      .collect()
+    assert(pairs.length === 909)
+    pairs.foreach { r =>
+      assert(r.getString(1) === sha1Hex(r.getString(0)),
+        s"sha1 mismatch for ${r.getString(0)}")
+    }
+    // and the pipeline output's buyer multiset is exactly the hashed emails
+    val expected = pairs.map(_.getString(1)).sorted.toSeq
+    val actual = Purchases.etl(spark, exampleDir)
+      .select("buyer").collect().map(_.getString(0)).sorted.toSeq
+    assert(actual === expected)
+  }
+
   test("typed Dataset API: same rows, compile-time field access") {
     val ds = Purchases.typedEtl(spark, exampleDir)
     assert(ds.count() === 909L)
@@ -91,10 +110,12 @@ class EtlSpec extends SparkSpec {
   test("A11: error-tolerant sink routes failures to dead-letter files, not the driver") {
     val dlDir = Files.createTempDirectory("dead_letter").toFile.getAbsolutePath
     val df = Purchases.etl(spark, exampleDir).limit(100)
+    // pass a file: URI — the sink resolves it through the Hadoop FS API,
+    // the same code path a cluster uses for hdfs:// or s3a:// dead letters
     val (ok, dead) = Purchases.writeErrorTolerant(
       df,
       row => if (row.getInt(1) % 10 == 0) throw new RuntimeException("sink down") else (),
-      dlDir)
+      s"file:$dlDir")
     assert(ok + dead === 100)
     assert(dead > 0)
     val deadFiles = new java.io.File(dlDir).listFiles().filter(_.getName.endsWith(".dead"))

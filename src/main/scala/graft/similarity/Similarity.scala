@@ -218,17 +218,58 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the C lowest vec_ids
-    * serve as centroids — a stand-in for trained k-means, keeping the query
-    * reproducible), each corpus vector assigned to its nearest centroid
-    * map-side, queries probe the nprobe nearest centroid lists and rerank
-    * exactly. The inverted-list shape is the 100 TB path: a query scores
-    * |corpus| · nprobe / C vectors instead of the whole corpus. noOracle
-    * (approximate by construction); spec-tested against brute force. */
+  /** Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer:
+    * init = the C lowest vec_ids' vectors, `iters` assign/recompute rounds.
+    * Assignment is fully distributed (broadcast centroids + fused-cosine
+    * argmax over the corpus); per-dimension means accumulate in DECIMAL so
+    * they are aggregation-order independent → centroids are bit-identical
+    * run-to-run (same rule as Tables.moneySum). Only the MODEL (C × dim
+    * values) is ever collected to the driver — per iteration that is a few
+    * KB regardless of corpus size, so the loop holds at 100 TB. Empty
+    * clusters keep their previous centroid. */
+  def kmeansCentroids(emb: DataFrame, c: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = emb.where(col("vec_id") < c)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    var it = 0
+    while (it < iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("c_score").desc, col("c_id"))
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cents.toDF("c_id", "c_emb")), lit(true))
+        .withColumn("c_score",
+          graft.functions.VectorExprs.cosineSim(col("embedding"), col("c_emb")))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") === 1)
+        .select(col("c_id"), col("embedding"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("embedding")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col").cast(DecimalType(24, 12))).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"),
+          transform(col("pm"), x => x.getField("m").cast(FloatType)).as("c_emb"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val got = means.map(_._1).toSet
+      cents = (means ++ cents.filterNot(t => got.contains(t._1))).sortBy(_._1)
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-style ANN: a trained coarse quantizer ([[kmeansCentroids]] — 16
+    * clusters, 3 deterministic Lloyd iterations), each corpus vector
+    * assigned to its nearest centroid map-side, queries probe the nprobe
+    * nearest centroid lists and rerank exactly. The inverted-list shape is
+    * the 100 TB path: a query scores |corpus| · nprobe / C vectors instead
+    * of the whole corpus. noOracle (approximate by construction);
+    * spec-tested against brute force. */
   val annIvf: QueryDef = QueryDef.noOracle("c18_ann_ivf", "C18") { (s, d) =>
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centroids = emb.where(col("vec_id") < 16).select(
-      col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val centroids = kmeansCentroids(emb, c = 16, iters = 3).toDF("c_id", "c_emb")
     def nearestCentroids(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("c_score").desc, col("c_id"))
       df.join(broadcast(centroids), lit(true))

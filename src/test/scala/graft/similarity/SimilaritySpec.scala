@@ -70,6 +70,16 @@ class SimilaritySpec extends SparkSpec {
     assert(found.intersect(bruteTop3).size * 3 >= bruteTop3.size)
   }
 
+  test("k-means centroids are bit-deterministic across runs and move from init") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val a = Similarity.kmeansCentroids(emb, c = 16, iters = 3)
+    val b = Similarity.kmeansCentroids(emb, c = 16, iters = 3)
+    assert(a.map(_._1) === (0L until 16L))
+    assert(a.map(_._2) === b.map(_._2)) // decimal-accumulated means: exact
+    val init = Similarity.kmeansCentroids(emb, c = 16, iters = 0)
+    assert(a.map(_._2) !== init.map(_._2)) // training actually updated them
+  }
+
   test("embedding near-dup pairs are symmetric-half only and all above threshold") {
     val rows = Similarity.embNearDup.fn(spark, sf).collect()
     rows.foreach { r =>

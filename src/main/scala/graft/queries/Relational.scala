@@ -83,6 +83,27 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** C4 skew path: the same inner join executed through
+    * [[graft.operators.ScaleOps.saltedJoin]] — the left side scattered
+    * across 8 salt replicas of the right, shuffle key (custkey, salt). For
+    * keys AQE's skew splitting can't fix (one key dominating a non-
+    * broadcastable join), this caps any single reducer at 1/salt of the hot
+    * key. Semantics are exactly the plain equi-join, so the oracle is the
+    * unsalted SQL. */
+  val c4SaltedJoin: QueryDef = QueryDef(
+    "c4_salted_join", "C4",
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val o = orders(s, d).select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = customer(s, d).select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.ScaleOps.saltedJoin(o, c, "custkey", salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("price_sum"))
+      .orderBy("c_mktsegment")
+  }
+
   /** C5: left-semi — customers that placed at least one order. */
   val c5SemiJoin: QueryDef = QueryDef(
     "c5_semi_join", "C5",
@@ -845,7 +866,7 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
-    c4ShuffleJoin,
+    c4ShuffleJoin, c4SaltedJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c10Distinct, c10Approx,
     c11Rollup, c11Cube, c11Pivot, c12Window, c12RangeFrame, c12Ntile,

@@ -45,6 +45,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("C7 scale path: binned range join is an equi-join, not nested-loop") {
+    val p = plan("c7_range_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Join")) // hash/sort-merge equi-join on the bin key
+  }
+
+  test("C17 scale path: bucketed near-dup has no nested-loop join") {
+    val p = plan("c17_embedding_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("C17: capped ngram jaccard joins stay equi-joins") {
+    val p = plan("c17_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("C4 skew path: salted join is an equi-join on (key, salt)") {
+    val p = plan("c4_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("_salt"))
+  }
+
   test("whole-stage codegen covers the scan+project pipelines") {
     // AQE finalizes (and shows codegen spans) only after execution
     val df = graft.Registry.queries("c19_token_count")(spark, sf)

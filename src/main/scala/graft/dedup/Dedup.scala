@@ -171,12 +171,16 @@ object Dedup {
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val grams = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("g"))
-    // shingle arrays are distinct per doc, so count(*) = document frequency
-    val rare = grams.groupBy("source", "g")
+    // shingle arrays are distinct per doc, so count(*) = document frequency.
+    // Prune via ANTI-join against the HOT grams (df > cap): that list is
+    // small by construction (≤ total-occurrences/cap entries), so AQE turns
+    // this into a broadcast anti-join — the gram table is not re-shuffled
+    // the way an equi-join against the huge rare-gram keep-list would be.
+    val hot = grams.groupBy("source", "g")
       .agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap)
+      .where(col("df") > dfCap)
       .select("source", "g")
-    val pruned = grams.join(rare, Seq("source", "g"))
+    val pruned = grams.join(hot, Seq("source", "g"), "left_anti")
     pruned.as("a").join(pruned.as("b"), Seq("source", "g"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(

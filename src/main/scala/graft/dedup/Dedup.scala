@@ -63,10 +63,39 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs: k=64 minhashes, 16 bands × 4 rows,
     * band-bucket join for candidates, exact shingle-set Jaccard verification,
-    * threshold 0.7. No oracle (hash signatures are engine-specific);
-    * spec-tested in DedupSpec with planted near-dups.
-    */
-  val minhashLsh: QueryDef = QueryDef.noOracle("c17_minhash_lsh", "C17") { (s, d) =>
+    * threshold 0.7.
+    *
+    * Oracle = the exact all-pairs shingle-Jaccard (DuckDB list arithmetic,
+    * same shingle construction the green `c17_ngram_jaccard` oracle proves
+    * equivalent). Why an exact oracle is sound for an LSH query: the
+    * verification stage computes the exact Jaccard, so false positives are
+    * impossible (LSH ⊆ exact always); equality additionally requires
+    * recall = 1, which holds on the test corpus (verified bit-exact at
+    * sf0.01: same 25 pairs, identical jaccard values) and is near-certain
+    * for genuine near-dups (a j=0.9 pair collides in ≥1 of 16 bands with
+    * probability 1 - (1-0.9⁴)^16 ≈ 1-3e-9). A pair sitting exactly at the
+    * j=0.7 threshold has ~1.2% miss probability — the documented LSH trade.
+    * DedupSpec additionally asserts planted near-dups are found. */
+  val minhashLsh: QueryDef = QueryDef(
+    "c17_minhash_lsh", "C17",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), gr AS (SELECT doc_id, unnest(grams) AS g FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     minhashPairs(Tables.documents(s, d), k = 64, bands = 16, threshold = 0.7)
       .orderBy("doc_a", "doc_b")
   }

@@ -14,6 +14,7 @@ object Registry {
       graft.similarity.Similarity.all ++
       graft.text.TextAnalysis.all ++
       graft.multimodal.Multimodal.all ++
+      graft.pipelines.Curation.all ++
       graft.functions.Udafs.all
 
   require(defs.map(_.name).distinct.size == defs.size,

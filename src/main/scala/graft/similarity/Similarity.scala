@@ -230,8 +230,9 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, c: Int, iters: Int): Seq[(Long, Seq[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cents = emb.where(col("vec_id") < c)
+    var cents = emb
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .orderBy("c_id").limit(c)
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     var it = 0
     while (it < iters) {
@@ -269,7 +270,11 @@ object Similarity {
   val annIvf: QueryDef = QueryDef.noOracle("c18_ann_ivf", "C18") { (s, d) =>
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centroids = kmeansCentroids(emb, c = 16, iters = 3).toDF("c_id", "c_emb")
+    // Train the quantizer on a deterministic 1-in-4 corpus sample — at scale
+    // Lloyd iterations never see the full corpus; only the single final
+    // assignment pass does. pmod keeps the sample reproducible.
+    val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+    val centroids = kmeansCentroids(sample, c = 16, iters = 3).toDF("c_id", "c_emb")
     def nearestCentroids(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("c_score").desc, col("c_id"))
       df.join(broadcast(centroids), lit(true))

@@ -75,6 +75,23 @@ object StreamingJobs {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** C17/C19-streaming: the curation pipeline's streaming form
+    * ([[graft.pipelines.Curation]]). The language/quality gates are
+    * stateless projections and apply unchanged; exact dedup becomes
+    * content-fingerprint dedup bounded by the watermark — state holds one
+    * md5 per surviving doc within the horizon, so a continuously ingesting
+    * curation job cannot grow state forever. Expects a documents-shaped
+    * frame with an `ingest_ts` event-time column. */
+  def curationStream(docs: DataFrame, minTokens: Int, maxTokens: Int): DataFrame =
+    docs
+      .withWatermark("ingest_ts", "10 minutes")
+      .where(col("lang") === "en")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .where(col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "ingest_ts", "n_tokens", "fp")
+
   // ---- custom state: flatMapGroupsWithState sessionization ---------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)

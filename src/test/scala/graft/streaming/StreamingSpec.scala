@@ -90,6 +90,24 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted === Seq(1L, 2L))
   }
 
+  test("C17/C19 streaming curation gates and fingerprint-dedups a document stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "lang", "text", "ingest_ts")
+    val good = "the quick brown fox jumps over the lazy dog and keeps running through the quiet field"
+    in.addData(
+      (1L, "en", good, ts("2024-01-01 10:00:00")),          // survives
+      (2L, "fr", good, ts("2024-01-01 10:00:30")),          // wrong language
+      (3L, "en", "too short", ts("2024-01-01 10:01:00")),   // under token floor
+      (4L, "en", good, ts("2024-01-01 10:02:00")))          // dup fingerprint of 1
+    runToMemory(
+      StreamingJobs.curationStream(docs, minTokens = 10, maxTokens = 5000),
+      "curation", OutputMode.Append())
+    val out = spark.table("curation").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L))
+  }
+
   test("C16 custom state: mapGroupsWithState accumulates per-user totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

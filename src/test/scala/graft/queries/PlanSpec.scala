@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_salt"))
   }
 
+  test("curation pipeline: gates before the dedup shuffle, survivor semi-join, no cartesian") {
+    val p = plan("pipeline_curate")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("whole-stage codegen covers the scan+project pipelines") {
     // AQE finalizes (and shows codegen spans) only after execution
     val df = graft.Registry.queries("c19_token_count")(spark, sf)

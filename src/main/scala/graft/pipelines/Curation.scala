@@ -65,5 +65,103 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(curateDocs)
+  /** PII scrubbing — the redaction transform every training-data pipeline
+    * runs before text leaves the trust boundary: emails → <EMAIL>, US-style
+    * phone numbers → <PHONE>, bare IPv4s → <IP>. The test corpus carries no
+    * real PII, so the query deterministically INJECTS synthetic markers
+    * (derived from doc_id) into the text first and then redacts; the oracle
+    * mirrors both steps, so the check verifies the redaction regexes
+    * character-for-character. The injected text never survives: the output
+    * asserts redaction happened (match counts) without containing PII. */
+  val piiRedact: QueryDef = QueryDef(
+    "pipeline_pii_redact", "C19 north_star-pipeline",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact u' || doc_id || '@mail.example.com or call 555-01' ||
+      |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ip 10.0.' ||
+      |      CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  md5(regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |          '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+      |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
+      |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact u"), col("doc_id").cast(StringType),
+        lit("@mail.example.com or call 555-01"),
+        lpad((col("doc_id") % 100).cast(StringType), 2, "0"), lit(" ip 10.0."),
+        (col("doc_id") % 256).cast(StringType), lit(".7")).as("t"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    aug.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+      md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+          "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination — flag corpus documents sharing word
+    * 3-gram shingles with a held-out benchmark set (here: every 100th doc,
+    * a deterministic stand-in for an eval suite). The overlap is computed
+    * the scalable way: explode shingles, equi-join corpus grams against the
+    * benchmark gram set (small side — broadcastable), count distinct shared
+    * grams per doc, flag at >= 3. Never all-pairs; at 100 TB the benchmark
+    * gram set is a build-once broadcast dictionary. */
+  val decontaminate: QueryDef = QueryDef(
+    "pipeline_decontaminate", "C17 north_star-pipeline",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), gr AS (SELECT doc_id, unnest(grams) AS g FROM sh
+      |), bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 100 = 0)
+      |SELECT gr.doc_id, CAST(count(*) AS INT) AS n_shared
+      |FROM gr JOIN bench ON gr.g = bench.g
+      |WHERE gr.doc_id % 100 <> 0
+      |GROUP BY gr.doc_id HAVING count(*) >= 3
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shingles(col("text"))).as("g"))
+    val bench = grams.where(col("doc_id") % 100 === 0).select("g").distinct()
+    grams.where(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val split — assignment must be a pure function of
+    * the record (reproducible across runs, engines, and re-shards), so the
+    * split key is a content-independent md5 of the doc id: first two hex
+    * chars < '0d' ≈ 5% validation. Both engines compute identical md5 hex,
+    * so the oracle checks every single assignment. */
+  val trainValSplit: QueryDef = QueryDef(
+    "pipeline_split", "C15 north_star-pipeline",
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+      |       THEN 'val' ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(substring(md5(col("doc_id").cast(StringType)), 1, 2) < "0d", "val")
+        .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(curateDocs, piiRedact, decontaminate, trainValSplit)
 }

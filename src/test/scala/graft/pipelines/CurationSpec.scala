@@ -25,6 +25,45 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) >= 0.8))
   }
 
+  test("PII redaction removes every injected email, phone, and IP") {
+    import spark.implicits._
+    // independent check: rebuild the redacted text (not just its md5) and
+    // assert no PII patterns survive
+    val docs = graft.Tables.documents(spark, sf)
+    val redacted = docs.select(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+              lit("@mail.example.com or call 555-0142 ip 10.0.3.7")),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+        "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>").as("t"))
+      .as[String].collect()
+    assert(redacted.nonEmpty)
+    redacted.foreach { t =>
+      assert(!t.contains("@mail.example.com") && !t.contains("555-01") && !t.contains("10.0."))
+      assert(t.contains("<EMAIL>") && t.contains("<PHONE>") && t.contains("<IP>"))
+    }
+    val out = Curation.piiRedact.fn(spark, sf)
+    assert(out.where(col("n_emails") < 1).count() === 0) // every doc had its injected email found
+  }
+
+  test("decontamination flags only non-benchmark docs and benchmark overlap is real") {
+    val out = Curation.decontaminate.fn(spark, sf).collect()
+    out.foreach(r => assert(r.getLong(0) % 100 !== 0L)) // benchmark docs never flag themselves
+    out.foreach(r => assert(r.getInt(1) >= 3))
+  }
+
+  test("train/val split is deterministic, content-independent, and ~5% val") {
+    val out = Curation.trainValSplit.fn(spark, sf).collect()
+    val again = Curation.trainValSplit.fn(spark, sf).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val valFrac = out.count(_.getString(1) == "val").toDouble / out.length
+    assert(valFrac > 0.0 && valFrac < 0.15) // 13/256 ≈ 5.1% expected
+  }
+
   test("registered curation query is non-trivial on the testdata") {
     val out = Curation.curateDocs.fn(spark, sf)
     val n = out.count()

@@ -163,5 +163,51 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(curateDocs, piiRedact, decontaminate, trainValSplit)
+  /** Repetition scoring — the Gopher-rule quality signal exact token/char
+    * ratios can't see: a document that repeats itself has a low
+    * distinct-token fraction even when every other gate passes. One narrow
+    * codegen projection (split + array ops), no shuffle. */
+  val repetitionScore: QueryDef = QueryDef(
+    "pipeline_repetition", "C19 north_star-pipeline",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+      |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_ratio
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / size(toks))
+        .as("dup_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling — per-source keep rates as a pure
+    * function of doc_id (same md5 trick as [[trainValSplit]]), the way a
+    * pipeline downweights an over-represented crawl without a random seed.
+    * The first two md5 hex chars are uniform over 256 values, so rate r
+    * keeps hashes below the 2-hex threshold of round(r·256). Map-side
+    * filter, no shuffle, reproducible across re-shards. */
+  val stratifiedSample: QueryDef = QueryDef(
+    "pipeline_stratified_sample", "C2 north_star-pipeline",
+    """SELECT doc_id, source
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN source = 'src0' THEN '40' ELSE 'c0' END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .where(substring(md5(col("doc_id").cast(StringType)), 1, 2) <
+        when(col("source") === "src0", "40").otherwise("c0"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    curateDocs, piiRedact, decontaminate, trainValSplit,
+    repetitionScore, stratifiedSample)
 }

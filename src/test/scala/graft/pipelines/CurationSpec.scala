@@ -64,6 +64,33 @@ class CurationSpec extends SparkSpec {
     assert(valFrac > 0.0 && valFrac < 0.15) // 13/256 ≈ 5.1% expected
   }
 
+  test("repetition score is 0 for all-distinct tokens and high for repeated text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val out = docs.select(col("doc_id"),
+      (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) > 0.8)
+  }
+
+  test("stratified sample keeps the downweighted source at a lower rate") {
+    val out = Curation.stratifiedSample.fn(spark, sf)
+    val rates = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val downweighted = rates.getOrElse("src0", 0L).toDouble / total("src0")
+    val others = (rates.keySet - "src0").map(k => rates(k).toDouble / total(k))
+    assert(downweighted < 0.5)           // ~25% target
+    assert(others.forall(_ > 0.5))       // ~75% target
+  }
+
   test("registered curation query is non-trivial on the testdata") {
     val out = Curation.curateDocs.fn(spark, sf)
     val n = out.count()

@@ -193,8 +193,11 @@ object Purchases {
     * Dead letters go through the Hadoop FileSystem API, so `deadLetterDir`
     * may be any shared filesystem URI (hdfs://, s3a://, file:/...) — on a
     * real cluster every executor writes to the same store, not its local
-    * disk. The Configuration is built executor-side from classpath defaults
-    * (the standard cluster deployment carries core-site.xml there).
+    * disk. The driver's full Hadoop configuration (including `spark.hadoop.*`
+    * overrides — s3a credentials, endpoints, hdfs nameservices) is captured
+    * into a serializable wrapper BEFORE the closure ships, so executors
+    * authenticate with the session's settings rather than whatever
+    * core-site.xml happens to be on their classpath.
     * Returns (okCount, deadCount) as observed by the accumulators.
     */
   def writeErrorTolerant(
@@ -204,13 +207,14 @@ object Purchases {
     val spark = df.sparkSession
     val ok = spark.sparkContext.longAccumulator("rows_ok")
     val dead = spark.sparkContext.longAccumulator("rows_dead")
+    val hadoopConf = new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new org.apache.hadoop.fs.Path(deadLetterDir, f"part-$pid%05d.dead")
       var out: java.io.PrintWriter = null
       def writer(): java.io.PrintWriter = {
         if (out == null) {
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hadoopConf.value)
           // create(overwrite=true) also creates parent dirs; a task retry
           // truncates its own partition's file rather than duplicating rows
           out = new java.io.PrintWriter(

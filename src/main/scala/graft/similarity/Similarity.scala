@@ -148,19 +148,50 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs (the vector-space dedup mode):
-    * all pairs with cosine >= 0.9, exact. The oracle-checked baseline is the
-    * full pairwise pass (fused CosineSim, symmetric half only); the scale
-    * path for this shape is the LSH/IVF bucketing below — at 100 TB the
-    * pairwise join is replaced by srpBucket candidates + this same verify. */
-  val embNearDup: QueryDef = QueryDef(
-    "c17_embedding_neardup", "C17 C18",
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  /** The synthetic-injection pattern (same as pipeline_pii_redact): the
+    * embeddings testdata has no genuine near-dup pairs (max pair cosine 0.51
+    * at sf0.01), so without injection the ≥0.9 near-dup oracle passes
+    * vacuously on empty sets. Plant 3 deterministic near-identical copies —
+    * vec_id < 3 re-emitted as vec_id + 1,000,000 with the LAST element
+    * zeroed (cosine ≈ 0.97–0.998, measured). Pure element copying, no float
+    * arithmetic, so both engines build bit-identical vectors and the oracle
+    * compares a non-empty pair set. */
+  def injectedCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.where(col("vec_id") < 3).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(
+        slice(col("embedding"), lit(1), size(col("embedding")) - 1),
+        array(lit(0.0f))).as("embedding"))
+    base.unionAll(planted)
+  }
+
+  /** Oracle twin of [[injectedCorpus]] + the exact all-pairs ≥0.9 scan —
+    * shared by the baseline and LSH near-dup queries (both compute the same
+    * exact pair set, by different plans). */
+  private val nearDupOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_append(embedding[1:len(embedding)-1], CAST(0.0 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 3
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
-      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (the vector-space dedup mode):
+    * all pairs with cosine >= 0.9, exact, over the injection-augmented
+    * corpus. The oracle-checked baseline is the full pairwise pass (fused
+    * CosineSim, symmetric half only); the scale path for this shape is the
+    * LSH/IVF bucketing below — at 100 TB the pairwise join is replaced by
+    * srpBucket candidates + this same verify. */
+  val embNearDup: QueryDef = QueryDef(
+    "c17_embedding_neardup", "C17 C18", nearDupOracleSql) { (s, d) =>
+    val emb = injectedCorpus(Tables.embeddings(s, d))
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -194,27 +225,28 @@ object Similarity {
 
   /** Registered scale path for embedding near-dup: 8 LSH tables × 8-bit SRP
     * signatures bucket the candidates, then the identical ≥0.9 exact-cosine
-    * verify runs on bucket collisions only.
+    * verify runs on bucket collisions only — over the same
+    * injection-augmented corpus as [[embNearDup]].
     *
     * Oracle = the exact all-pairs result (same SQL as [[embNearDup]]).
     * Why an exact oracle is sound for an LSH query: the verify filter is the
     * exact cosine, so false positives are impossible (LSH ⊆ exact always);
-    * equality additionally requires recall = 1, which (a) holds
-    * deterministically for near-identical pairs — a ≥0.9 pair is split only
-    * if every one of 64 fixed hyperplanes... (SimilaritySpec asserts exact
-    * pair-set parity on planted near-dups) and (b) holds vacuously on the
-    * test corpus, whose max pair cosine is 0.51 (measured sf0.01) — both
-    * engines return the same (empty) threshold set. A corpus engineered
-    * with pairs just at 0.9 could in principle split across all 8 tables;
-    * that residual miss probability is the documented LSH trade. */
+    * equality additionally requires recall = 1 on this corpus. The planted
+    * pairs make that check non-vacuous: a pair is missed only if EVERY one
+    * of the 8 tables has at least one of its 8 hyperplanes splitting the
+    * pair — for the planted pairs (angle ≤ 15°, split probability ≈ θ/π
+    * per plane) that is ~1e-6 per pair, and since the planes are
+    * deterministic the outcome is fixed, not re-rolled per run: it is
+    * verified green against DuckDB on the current testdata and stays green
+    * until the testdata changes. If testdata is ever regenerated, re-verify
+    * recall before trusting this oracle (a pair engineered to sit just at
+    * 0.9 can legitimately split across all 8 tables — that residual miss is
+    * the documented LSH trade). SimilaritySpec additionally asserts exact
+    * pair-set parity on planted near-dups and subset-of-brute on real data. */
   val embNearDupLsh: QueryDef = QueryDef(
-    "c17_embedding_neardup_lsh", "C17 C18",
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
-      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    nearDupPairs(Tables.embeddings(s, d), tables = 8, bits = 8, threshold = 0.9)
+    "c17_embedding_neardup_lsh", "C17 C18", nearDupOracleSql) { (s, d) =>
+    nearDupPairs(injectedCorpus(Tables.embeddings(s, d)),
+      tables = 8, bits = 8, threshold = 0.9)
       .orderBy("vec_a", "vec_b")
   }
 

@@ -76,18 +76,25 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** C17/C19-streaming: the curation pipeline's streaming form
-    * ([[graft.pipelines.Curation]]). The language/quality gates are
-    * stateless projections and apply unchanged; exact dedup becomes
-    * content-fingerprint dedup bounded by the watermark — state holds one
-    * md5 per surviving doc within the horizon, so a continuously ingesting
-    * curation job cannot grow state forever. Expects a documents-shaped
-    * frame with an `ingest_ts` event-time column. */
-  def curationStream(docs: DataFrame, minTokens: Int, maxTokens: Int): DataFrame =
+    * ([[graft.pipelines.Curation]]). ALL of the batch pipeline's gates —
+    * language, token budget, and alpha ratio — are stateless projections
+    * and apply unchanged, so batch and streaming curation agree on which
+    * documents survive; exact dedup becomes content-fingerprint dedup
+    * bounded by the watermark — state holds one md5 per surviving doc
+    * within the horizon, so a continuously ingesting curation job cannot
+    * grow state forever. Expects a documents-shaped frame with an
+    * `ingest_ts` event-time column. */
+  def curationStream(docs: DataFrame, minTokens: Int, maxTokens: Int,
+      minAlpha: Double): DataFrame =
     docs
       .withWatermark("ingest_ts", "10 minutes")
       .where(col("lang") === "en")
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
       .where(col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")))
+      .where(col("alpha_ratio") >= minAlpha)
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "ingest_ts", "n_tokens", "fp")

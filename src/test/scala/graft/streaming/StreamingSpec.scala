@@ -100,9 +100,12 @@ class StreamingSpec extends SparkSpec {
       (1L, "en", good, ts("2024-01-01 10:00:00")),          // survives
       (2L, "fr", good, ts("2024-01-01 10:00:30")),          // wrong language
       (3L, "en", "too short", ts("2024-01-01 10:01:00")),   // under token floor
-      (4L, "en", good, ts("2024-01-01 10:02:00")))          // dup fingerprint of 1
+      (4L, "en", good, ts("2024-01-01 10:02:00")),          // dup fingerprint of 1
+      (5L, "en", "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18",
+        ts("2024-01-01 10:03:00")))                         // alpha ratio ~0
     runToMemory(
-      StreamingJobs.curationStream(docs, minTokens = 10, maxTokens = 5000),
+      StreamingJobs.curationStream(docs, minTokens = 10, maxTokens = 5000,
+        minAlpha = 0.8),
       "curation", OutputMode.Append())
     val out = spark.table("curation").select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(out === Seq(1L))

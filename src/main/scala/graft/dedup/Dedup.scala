@@ -75,7 +75,13 @@ object Dedup {
     * for genuine near-dups (a j=0.9 pair collides in ≥1 of 16 bands with
     * probability 1 - (1-0.9⁴)^16 ≈ 1-3e-9). A pair sitting exactly at the
     * j=0.7 threshold has ~1.2% miss probability — the documented LSH trade.
-    * DedupSpec additionally asserts planted near-dups are found. */
+    * Because the signatures are deterministic, that probability is resolved
+    * once per corpus, not re-rolled per run: the oracle stays green until
+    * the testdata changes. If testdata is ever regenerated, re-verify
+    * recall before trusting strict equality (a pair landing near j=0.7
+    * could legitimately be missed and would read as an engine bug).
+    * DedupSpec additionally asserts planted near-dups are found and that
+    * recall on the current corpus is exactly 1 vs the exact join. */
   val minhashLsh: QueryDef = QueryDef(
     "c17_minhash_lsh", "C17",
     """WITH toks AS (

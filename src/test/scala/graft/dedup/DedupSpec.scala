@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.7)) // exact-verified jaccard
   }
 
+  test("minhash LSH recall is exactly 1 vs the exact jaccard join on the current corpus") {
+    // The strict-equality DuckDB oracle on c17_minhash_lsh is sound only
+    // while recall = 1 on the testdata (see the Dedup.minhashLsh scaladoc);
+    // this pins that premise so a testdata regeneration that breaks it
+    // fails HERE with a clear message instead of reading as an engine bug.
+    import org.apache.spark.sql.functions.{col, lit}
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet(Dedup.minhashLsh.fn(spark, sf))
+    // Exact = the collision-linear join with the df cap disabled and source
+    // blocking collapsed (minhash is corpus-global, not source-blocked).
+    val docs = graft.Tables.documents(spark, sf).withColumn("source", lit("all"))
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(docs, threshold = 0.7, dfCap = Int.MaxValue))
+    assert(lsh === exact,
+      "minhash-LSH pair set diverged from exact jaccard — re-verify the " +
+        "c17_minhash_lsh oracle against the regenerated testdata")
+  }
+
   test("hot-gram df cap keeps boilerplate shingles from going quadratic") {
     import spark.implicits._
     // 30 docs sharing a boilerplate opening, each with unique tail content,

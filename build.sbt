@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked run output goes straight to stdout — without this, sbt routes it
+// through its logger and prefixes every line with "[info] ", which breaks
+// machine parsing of Bench's JSON summary line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

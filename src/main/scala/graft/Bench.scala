@@ -1,12 +1,45 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Timing uses a noop-format write so the FULL plan
   * executes and every output column materializes — `.count()` would let
   * Catalyst prune columns and collapse projection-only queries to a
-  * metadata scan (round-2 verdict fix). */
+  * metadata scan (round-2 verdict fix).
+  *
+  * Output layout is tail-window-aware: the harness that captures this run
+  * keeps only the last ~2000 characters of stdout, and with 77 registered
+  * queries a single all-queries JSON line is longer than that — its head
+  * (with the total) gets truncated away. So the LAST line printed is a
+  * compact summary (total + the headline query per SURVEY section) that
+  * always fits in the window whole, while the full per-query map goes to
+  * the preceding line and to BENCHFULL.json in the working directory. */
 object Bench {
+
+  /** One representative query per SURVEY §2 section — the set whose timings
+    * ride in the compact summary line. Keep this list short: the summary
+    * line must stay well under the ~2000-char stdout tail window. */
+  private val headline: Seq[String] = Seq(
+    "a09_purchases_typed", "b2_hourly_trend", "b3_per_user_stats",
+    "c1_scan_project", "c2_filter_pushdown", "c3_broadcast_join",
+    "c4_shuffle_join", "c5_semi_join", "c6_full_outer_join", "c7_range_join",
+    "c8_asof_join", "c9_tpch_q1", "c10_count_distinct", "c11_cube",
+    "c12_window_funcs", "c13_topk", "c14_union_distinct", "c15_string_funcs",
+    "c16_session_window", "c17_minhash_lsh", "c17_ngram_jaccard",
+    "c17_embedding_neardup_lsh", "c18_knn_agg", "c18_ann_ivf",
+    "c19_quality_score", "c20_udaf_weighted_price", "mm_binary_meta",
+    "pipeline_curate")
+
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
+
+  private def toJson(entries: Seq[(String, Double)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,10 +62,18 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"queries":${toJson(results)},"metric":"total_all_queries","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(fullLine)
+    try Files.write(Paths.get("BENCHFULL.json"),
+      (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCHFULL.json write failed: ${e.getMessage}")
+    }
+    val head = results.filter(r => headline.contains(r._1))
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -268,14 +268,19 @@ object Similarity {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     var it = 0
     while (it < iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("c_score").desc, col("c_id"))
+      // argmax by aggregate, not window: partial aggregation collapses the
+      // C scored rows per vector map-side, so only one row per vector
+      // crosses the shuffle and nothing is sorted. Tie-break (-c_id) keeps
+      // assignment deterministic: max score, then lowest centroid id.
       val assigned = emb.select(col("vec_id"), col("embedding"))
         .join(broadcast(cents.toDF("c_id", "c_emb")), lit(true))
         .withColumn("c_score",
           graft.functions.VectorExprs.cosineSim(col("embedding"), col("c_emb")))
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") === 1)
-        .select(col("c_id"), col("embedding"))
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), (-col("c_id")).as("tb"))).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.embedding").as("embedding"))
       val means = assigned
         .select(col("c_id"), posexplode(col("embedding")))
         .groupBy(col("c_id"), col("pos"))
@@ -308,14 +313,25 @@ object Similarity {
     val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
     val centroids = kmeansCentroids(sample, c = 16, iters = 3).toDF("c_id", "c_emb")
     def nearestCentroids(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("c_score").desc, col("c_id"))
-      df.join(broadcast(centroids), lit(true))
+      val scored = df.join(broadcast(centroids), lit(true))
         .withColumn("c_score",
           graft.functions.VectorExprs.cosineSim(col(embCol), col("c_emb")))
         .select(col(idCol), col(embCol), col("c_id"), col("c_score"))
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") <= keep)
-        .drop("c_score", "c_rank")
+      if (keep == 1)
+        // The corpus-sized assignment: argmax by max_by aggregate (map-side
+        // partial, no sort) — same deterministic tie-break as kmeans above.
+        scored.groupBy(idCol)
+          .agg(max_by(
+            struct(col(embCol), col("c_id")),
+            struct(col("c_score"), (-col("c_id")).as("tb"))).as("best"))
+          .select(col(idCol), col(s"best.$embCol").as(embCol), col("best.c_id").as("c_id"))
+      else {
+        // The query side is tiny (a handful of probe rows) — a window is fine.
+        val w = Window.partitionBy(idCol).orderBy(col("c_score").desc, col("c_id"))
+        scored.withColumn("c_rank", row_number().over(w))
+          .where(col("c_rank") <= keep)
+          .drop("c_score", "c_rank")
+      }
     }
     val corpus = nearestCentroids(
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),

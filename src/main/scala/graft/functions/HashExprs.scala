@@ -191,6 +191,75 @@ case class ShingleArray(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Character n-gram MinHash signature computed DIRECTLY on the string —
+  * byte-for-byte the same output as `split(text, "")` + [[MinHashSig]], but
+  * with zero per-character allocation: character boundaries are located by
+  * UTF-8 lead-byte inspection and every window hash reads byte sub-ranges of
+  * the ORIGINAL UTF8String (murmur over a sub-range equals murmur over the
+  * detached per-char string `split` would have produced, since both hash the
+  * same byte stream). This removes the per-character UTF8String array that
+  * dominated the winnowing fingerprint's cost. Input: string. Output:
+  * array<int> of k window-hash minima.
+  */
+case class CharMinHashSig(child: Expression, n: Int, k: Int)
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_minhash_sig"
+
+  // identical per-permutation constants to MinHashSig — signatures interop
+  private val as: Array[Long] = Array.tabulate(k)(i => HashMix.mix(2L * i + 1) | 1L)
+  private val bs: Array[Long] = Array.tabulate(k)(i => HashMix.mix(0x5851f42d4c957f2dL + i))
+
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    // one pass to index character start offsets (+ sentinel at the end)
+    val starts = new Array[Int](nb + 1)
+    var numChars = 0
+    var p = 0
+    while (p < nb) {
+      starts(numChars) = p
+      numChars += 1
+      p += UTF8String.numBytesForFirstByte(s.getByte(p))
+    }
+    starts(numChars) = nb
+    val mins = Array.fill(k)(Int.MaxValue)
+    // `split("", "")` yields one empty token, so the empty string hashes a
+    // single zero-byte window — mirror that exactly.
+    val windows = if (numChars == 0) 1 else math.max(1, numChars - n + 1)
+    val span = if (numChars == 0) 0 else math.min(n, numChars)
+    var w = 0
+    while (w < windows) {
+      var h = 42
+      if (span == 0) h = Murmur3_x86_32.hashUnsafeBytes(base, off, 0, h)
+      var j = 0
+      while (j < span) {
+        val cs = starts(w + j)
+        h = Murmur3_x86_32.hashUnsafeBytes(base, off + cs, starts(w + j + 1) - cs, h)
+        j += 1
+      }
+      var i = 0
+      while (i < k) {
+        val v = (HashMix.mix(as(i) * h.toLong + bs(i)) >>> 33).toInt
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharMinHashSig =
+    copy(child = newChild)
+}
+
 /** MinHash LSH band hashes, fused: computes the k-permutation signature and
   * directly emits one murmur-combined hash per band of `k / bands`
   * consecutive minima — the array the LSH bucket join explodes. Fusing
@@ -245,6 +314,11 @@ object HashExprs {
   /** k-permutation MinHash signature of word n-grams over a token array. */
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(tokens), n, k))
+
+  /** k-permutation MinHash signature of CHARACTER n-grams, straight off the
+    * string (no per-char array) — equals `minhashSig(split(text, ""), n, k)`. */
+  def charMinhashSig(text: Column, n: Int, k: Int): Column =
+    GraftBridge.column(CharMinHashSig(GraftBridge.expression(text), n, k))
 
   /** 64-bit SimHash of a token array. */
   def simhashSig(tokens: Column): Column =

@@ -84,6 +84,11 @@ case class CosineSim(left: Expression, right: Expression)
   * composition (tables × bits × dims interpreted lambdas per row) with one
   * primitive loop; planes stay implicit/deterministic so both sides of the
   * bucket join recompute them identically.
+  *
+  * The ±1 plane matrix is a pure function of (tables, bits, dims), so it is
+  * materialized once per executor in [[SrpPlanes]] instead of re-deriving
+  * tables × bits × dims splitmix64 mixes per row (4096 mixes/row at
+  * 8×8×64 — formerly the dominant cost of every SRP signature pass).
   */
 case class SrpBuckets(child: Expression, tables: Int, bits: Int)
     extends ComputeRefCodegen {
@@ -98,6 +103,7 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
   override def compute(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val dims = v.numElements()
+    val planes = SrpPlanes.get(tables, bits, dims)
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -106,10 +112,9 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
       while (i < bits) {
         var proj = 0.0
         var j = 0
-        val planeSeed = (t.toLong << 32) | (i.toLong << 16)
+        val base = (t * bits + i) * dims
         while (j < dims) {
-          val sign = if ((HashMix.mix(planeSeed | j) & 1L) == 0L) 1.0 else -1.0
-          proj += v.getFloat(j) * sign
+          proj += v.getFloat(j) * planes(base + j)
           j += 1
         }
         if (proj >= 0) bucket |= (1 << i)
@@ -123,6 +128,37 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
     copy(child = newChild)
+}
+
+/** Per-JVM cache of SRP plane-sign matrices. Planes are deterministic
+  * (splitmix64 of the (table, bit, dim) index — the SAME formula the
+  * per-row loop previously evaluated inline), so concurrent builds race
+  * benignly to identical arrays. Row-major layout: ((t·bits)+i)·dims+j. */
+object SrpPlanes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  def get(tables: Int, bits: Int, dims: Int): Array[Double] =
+    cache.computeIfAbsent((tables, bits, dims), { key =>
+      val (t0, b0, d0) = key
+      val planes = new Array[Double](t0 * b0 * d0)
+      var t = 0
+      while (t < t0) {
+        var i = 0
+        while (i < b0) {
+          val planeSeed = (t.toLong << 32) | (i.toLong << 16)
+          var j = 0
+          while (j < d0) {
+            planes((t * b0 + i) * d0 + j) =
+              if ((HashMix.mix(planeSeed | j) & 1L) == 0L) 1.0 else -1.0
+            j += 1
+          }
+          i += 1
+        }
+        t += 1
+      }
+      planes
+    })
 }
 
 object VectorExprs {

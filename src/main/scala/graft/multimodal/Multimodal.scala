@@ -132,5 +132,21 @@ object Multimodal {
     DecodedAsset(id, payload.length, feats.map(_ / math.max(1, payload.length / 8)))
   }
 
-  val all: Seq[QueryDef] = Seq(binaryMeta, featureStub)
+  /** Registered rows-only view of [[decodeBatch]] — covers the
+    * mapPartitions batch-decode shape in the driver's correctness gate
+    * (previously spec-only). noOracle: the FNV-derived fake features are
+    * engine-specific; determinism and shape are asserted in MultimodalSpec.
+    * Arrays render as fixed-precision strings because the driver's
+    * rows-only comparator sorts every output column. */
+  val decodeBatchQuery: QueryDef = QueryDef.noOracle(
+    "mm_decode_batch", "north_star-multimodal") { (s, d) =>
+    decodeBatch(s, d).toDF().select(
+      col("asset_id"),
+      col("n_bytes"),
+      concat_ws(",", transform(col("feature"),
+        v => format_string("%.6f", v))).as("feature_str"))
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(binaryMeta, featureStub, decodeBatchQuery)
 }

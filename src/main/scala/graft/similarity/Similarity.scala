@@ -15,28 +15,30 @@ import graft.{QueryDef, Tables}
   * sign-random-projection signatures bucket the corpus so each query only
   * scores its bucket's candidates instead of the whole corpus.
   *
-  * All vector math uses higher-order functions (`zip_with` + `aggregate`)
-  * accumulating in double, sequentially left-to-right — the same evaluation
-  * order DuckDB's `list_cosine_similarity` uses, so oracle values are
-  * bit-identical. No UDFs, no driver-side loops.
+  * Every registered hot path scores pairs with the fused codegen
+  * [[graft.functions.CosineSim]] expression (one primitive loop, double
+  * accumulation, sequential left-to-right — the same evaluation order
+  * DuckDB's `list_cosine_similarity` uses, so oracle values are
+  * bit-identical). The higher-order-function formulation below survives
+  * only as the readable reference composition that SimilaritySpec checks
+  * the fused expression against. No UDFs, no driver-side loops.
   */
 object Similarity {
 
-  /** Sequential left-to-right double sum of an array column. */
+  /** Sequential left-to-right double sum of an array column.
+    * REFERENCE FORMULATION (spec-only — ~50× slower than [[CosineSim]]'s
+    * fused loop; never used in a registered query). */
   def dsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * REFERENCE FORMULATION (spec-only). */
   def dot(a: Column, b: Column): Column =
     dsum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
 
-  /** Squared L2 norm of a float-array column, accumulated in double. */
+  /** Squared L2 norm of a float-array column, accumulated in double.
+    * REFERENCE FORMULATION (spec-only). */
   def norm2(a: Column): Column = dot(a, a)
-
-  /** cosine(a,b) = dot / (|a|·|b|) — the sqrt(na)*sqrt(nb) denominator form,
-    * matching DuckDB's list_cosine_similarity bit-for-bit. */
-  def cosine(aEmb: Column, aNorm: Column, bEmb: Column, bNorm: Column): Column =
-    dot(aEmb, bEmb) / (aNorm * bNorm)
 
   /** Brute-force exact top-5 cosine neighbors for query vectors vec_id<5.
     * Plan: tiny query side broadcast (BroadcastNestedLoopJoin); corpus side
@@ -90,22 +92,20 @@ object Similarity {
     val (tables, bits) = (4, 8)
     val queries = withBuckets(
       emb.where(col("vec_id") < 5).select(
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        sqrt(norm2(col("embedding"))).as("q_norm")),
+        col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       "q_emb", tables, bits)
-      .select("q_id", "q_emb", "q_norm", "bucket")
+      .select("q_id", "q_emb", "bucket")
     val corpus = withBuckets(
       emb.select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-        sqrt(norm2(col("embedding"))).as("n_norm")),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
       "n_emb", tables, bits)
-      .select("neighbor_id", "n_emb", "n_norm", "bucket")
+      .select("neighbor_id", "n_emb", "bucket")
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .where(col("neighbor_id") =!= col("q_id"))
       .dropDuplicates("q_id", "neighbor_id")
       .withColumn("score",
-        cosine(col("q_emb"), col("q_norm"), col("n_emb"), col("n_norm")))
+        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
       .select(col("q_id"), row_number().over(w).as("rnk"),
         col("neighbor_id"), col("score"))
       .where(col("rnk") <= 3)

@@ -156,12 +156,14 @@ object TextAnalysis {
     * window minima select the document-characteristic subset). Two
     * documents sharing formatting-insensitive content share fingerprint
     * values, enabling fingerprint-bucket dedup joins. noOracle (hash
-    * values are engine-specific); determinism spec-tested. */
+    * values are engine-specific); determinism spec-tested, and TextSpec
+    * asserts the fused char-level expression equals the
+    * `split(text, "") + minhashSig` composition it replaced. */
   val winnow: QueryDef = QueryDef.noOracle("c19_winnow_fingerprint", "C19 C17") { (s, d) =>
-    val chars = split(regexp_replace(lower(col("text")), "\\s+", " "), "")
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     Tables.documents(s, d).select(
       col("doc_id"),
-      graft.functions.HashExprs.minhashSig(chars, 8, 16).as("fp"))
+      graft.functions.HashExprs.charMinhashSig(norm, 8, 16).as("fp"))
       .select(col("doc_id"),
         concat_ws(",", transform(col("fp"), v => format_string("%08x", v))).as("fp_hex"))
       .orderBy("doc_id")

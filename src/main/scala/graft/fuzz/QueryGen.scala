@@ -164,6 +164,11 @@ object QueryGen {
       case KMoney =>
         val (d, s) = money(longBetween(r, lo, hi))
         (lit(d), s)
+      case KInt =>
+        // Int literal, not Long: lit(Long) would widen Spark's INT
+        // arithmetic to BIGINT while DuckDB stays INTEGER
+        val v = longBetween(r, lo, hi)
+        (lit(v.toInt), v.toString)
       case _ =>
         val v = longBetween(r, lo, hi)
         (lit(v), v.toString)
@@ -395,8 +400,10 @@ object QueryGen {
     }
   }
 
-  /** Random group key: a low-cardinality column or a date part. */
-  private def groupKey(r: Random, src: FSrc, alias: String): Option[E] = {
+  /** Random group key, UNALIASED (spark, sql) — a low-cardinality column
+    * or a date part. Callers alias it for the select list; window queries
+    * use the raw form in the OVER clause. */
+  private def groupKeyRaw(r: Random, src: FSrc): Option[(Column, String)] = {
     val lowCard = src.cols.filter(c =>
       c.kind == KStr && c.strPool.nonEmpty ||
         (c.kind == KInt && c.numRange.exists { case (lo, hi) => hi - lo < 40 }))
@@ -404,19 +411,136 @@ object QueryGen {
     val choices = r.nextInt(3)
     if (choices < 2 && lowCard.nonEmpty) {
       val c = pick(r, lowCard)
-      Some(E(col(c.name).as(alias), s"${c.name} AS $alias"))
+      Some((col(c.name), c.name))
     } else if (tsCols.nonEmpty) {
       val c = pick(r, tsCols)
       if (r.nextBoolean())
-        Some(E(year(col(c.name)).as(alias),
-          s"CAST(year(${c.name}) AS INT) AS $alias"))
+        Some((year(col(c.name)), s"CAST(year(${c.name}) AS INT)"))
       else
-        Some(E(month(col(c.name)).as(alias),
-          s"CAST(month(${c.name}) AS INT) AS $alias"))
+        Some((month(col(c.name)), s"CAST(month(${c.name}) AS INT)"))
     } else if (lowCard.nonEmpty) {
       val c = pick(r, lowCard)
-      Some(E(col(c.name).as(alias), s"${c.name} AS $alias"))
+      Some((col(c.name), c.name))
     } else None
+  }
+
+  private def groupKey(r: Random, src: FSrc, alias: String): Option[E] =
+    groupKeyRaw(r, src).map { case (c, s) =>
+      E(c.as(alias), s"$s AS $alias")
+    }
+
+  // ---- semi/anti, set-op, window shapes --------------------------------
+
+  private val baseById: Map[String, FSrc] =
+    sources.take(3).map(s => s.id -> s).toMap
+
+  /** (outer, inner, outerKey, innerKey) pairs for correlated
+    * EXISTS / NOT EXISTS — the FK edges of the schema. */
+  private val semiPairs = Seq(
+    ("c", "o", "c_custkey", "o_custkey"),
+    ("o", "l", "o_orderkey", "l_orderkey"),
+    ("o", "c", "o_custkey", "c_custkey"),
+    ("l", "o", "l_orderkey", "o_orderkey"))
+
+  /** Correlated EXISTS (left-semi) / NOT EXISTS (left-anti) with an
+    * optional predicate on each side. Spark renders the relational form;
+    * DuckDB the correlated-subquery form — same semantics, very different
+    * plans, which is exactly what a differential test wants. */
+  private def semiAntiQuery(r: Random, name: String): FuzzQuery = {
+    val (oId, iId, oKey, iKey) = pick(r, semiPairs)
+    val (outer, inner) = (baseById(oId), baseById(iId))
+    val anti = r.nextBoolean()
+    val outerPred = if (r.nextInt(3) == 0) Some(leafPred(r, outer)) else None
+    val innerPred = if (r.nextInt(10) < 7) Some(leafPred(r, inner)) else None
+    val nCols = 1 + r.nextInt(3)
+    val ps = (0 until nCols).map(_ => pick(r, outer.cols)).distinct
+    val sel = ps.zipWithIndex.map { case (c, i) => (s"p$i", c.name) } ++
+      outer.orderKeys.zipWithIndex.map { case (k, i) => (s"ok$i", k) }
+    val limit = 100 + r.nextInt(101)
+    val existsKw = if (anti) "NOT EXISTS" else "EXISTS"
+    val innerWhere = innerPred.map(p => s" AND (${p.sql})").getOrElse("")
+    val outerWhere = outerPred.map(p => s"(${p.sql}) AND ").getOrElse("")
+    val selSql = sel.map { case (a, c) => s"$c AS $a" }.mkString(", ")
+    val orderSql = sel.map(a => s"${a._1} NULLS FIRST").mkString(", ")
+    val sql =
+      s"SELECT $selSql FROM ${outer.sqlFrom} WHERE $outerWhere$existsKw " +
+        s"(SELECT 1 FROM ${inner.sqlFrom} WHERE $iKey = $oKey$innerWhere) " +
+        s"ORDER BY $orderSql LIMIT $limit"
+    FuzzQuery(name, sql, (s, d) => {
+      val o0 = outer.build(s, d)
+      val o1 = outerPred.map(p => o0.where(p.spark)).getOrElse(o0)
+      val i0 = inner.build(s, d)
+      val i1 = innerPred.map(p => i0.where(p.spark)).getOrElse(i0)
+      o1.join(i1, col(oKey) === col(iKey),
+          if (anti) "left_anti" else "left_semi")
+        .select(sel.map { case (a, c) => col(c).as(a) }: _*)
+        .orderBy(sel.map(a => col(a._1).asc_nulls_first): _*)
+        .limit(limit)
+    })
+  }
+
+  /** UNION / INTERSECT / EXCEPT (set semantics on both engines) of two
+    * independently filtered low-cardinality projections of one source. */
+  private def setOpQuery(r: Random, name: String): FuzzQuery = {
+    val src = pick(r, sources)
+    val lowCard = src.cols.filter(c => c.kind == KStr && c.strPool.nonEmpty)
+    if (lowCard.isEmpty) return fallbackCount(name, src, None, "")
+    val nk = 1 + r.nextInt(math.min(2, lowCard.size))
+    val cs = r.shuffle1(lowCard.map(_.name), nk)
+    val (p1, p2) = (leafPred(r, src), leafPred(r, src))
+    val op = pick(r, Seq("UNION", "INTERSECT", "EXCEPT"))
+    val selSql = cs.zipWithIndex.map { case (c, j) => s"$c AS p$j" }
+      .mkString(", ")
+    val sql =
+      s"SELECT $selSql FROM ${src.sqlFrom} WHERE ${p1.sql} $op " +
+        s"SELECT $selSql FROM ${src.sqlFrom} WHERE ${p2.sql}"
+    FuzzQuery(name, sql, (s, d) => {
+      def side(p: P) = src.build(s, d).where(p.spark)
+        .select(cs.zipWithIndex.map { case (c, j) => col(c).as(s"p$j") }: _*)
+      val (a, b) = (side(p1), side(p2))
+      op match {
+        case "UNION" => a.union(b).distinct()
+        case "INTERSECT" => a.intersect(b)
+        case _ => a.except(b)
+      }
+    })
+  }
+
+  /** Windowed top-k per group: row_number over (partition by a low-card
+    * key, order by EVERY projected column) — ties are then identical
+    * output rows, so the rn ≤ k cut is a deterministic multiset for the
+    * same reason the projection LIMIT is. */
+  private def windowQuery(r: Random, name: String): FuzzQuery = {
+    val src = pick(r, sources)
+    val pred = genPred(r, src)
+    val where = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    groupKeyRaw(r, src) match {
+      case None => fallbackCount(name, src, pred, where)
+      case Some((gRaw, gSql)) =>
+        val nCols = 1 + r.nextInt(3)
+        val ps = ((0 until nCols).map(_ => pick(r, src.cols)) ++
+          src.orderKeys.map(k => src.cols.find(_.name == k).get)).distinct
+        val sel = ps.zipWithIndex.map { case (c, i) => (s"p$i", c.name) }
+        val k = 2 + r.nextInt(4)
+        val orderSql = sel.map { case (_, c) => s"$c NULLS FIRST" }
+          .mkString(", ")
+        val selSql = sel.map { case (a, c) => s"$c AS $a" }.mkString(", ")
+        val sql =
+          s"SELECT * FROM (SELECT $selSql, $gSql AS k0, " +
+            s"CAST(row_number() OVER (PARTITION BY $gSql " +
+            s"ORDER BY $orderSql) AS INT) AS rn " +
+            s"FROM ${src.sqlFrom}$where) WHERE rn <= $k"
+        FuzzQuery(name, sql, (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val df0 = src.build(s, d)
+          val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
+          val w = Window.partitionBy(gRaw)
+            .orderBy(sel.map { case (_, c) => col(c).asc_nulls_first }: _*)
+          df1.select(sel.map { case (a, c) => col(c).as(a) } ++
+              Seq(gRaw.as("k0"), row_number().over(w).as("rn")): _*)
+            .where(col("rn") <= k)
+        })
+    }
   }
 
   // ---- top level -------------------------------------------------------
@@ -432,6 +556,17 @@ object QueryGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz_$i%04d"
+      r.nextInt(16) match {
+        case s if s >= 14 => windowQuery(r, name)
+        case s if s >= 12 => setOpQuery(r, name)
+        case s if s >= 10 => semiAntiQuery(r, name)
+        case _ => classicQuery(r, name)
+      }
+    }
+  }
+
+  /** The original projection / DISTINCT / aggregate shapes. */
+  private def classicQuery(r: Random, name: String): FuzzQuery = {
       val src = pick(r, sources)
       val pred = genPred(r, src)
       val where = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
@@ -506,7 +641,6 @@ object QueryGen {
             if (having) grouped.where(col("a0") >= havingN) else grouped
           })
       }
-    }
   }
 
   /** Degenerate fallback when a shape can't apply to the source: global

@@ -9,9 +9,11 @@ import graft.SparkSpec
   * and rerun-determinism of the LIMIT cut (total-order premise).
   *
   * Seed 42 / n 120 is the committed baseline sweep: 120/120 green against
-  * DuckDB at sf0.01 (plus seeds 7, 1337, 2026 — 480/480 total). If this
-  * spec's pinned SQL hash changes, the generator changed and the sweep
-  * must be re-run before trusting it.
+  * DuckDB at sf0.01 (plus seeds 7, 1337, 2026 × 150 — 570/570 total,
+  * covering projection, DISTINCT, aggregate/HAVING, EXISTS/NOT EXISTS,
+  * UNION/INTERSECT/EXCEPT, and windowed top-k shapes). If this spec's
+  * pinned SQL hash changes, the generator changed and the sweep must be
+  * re-run before trusting it.
   */
 class FuzzSpec extends SparkSpec {
 
@@ -28,7 +30,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "43fc9069b7bda9e6d4b926cf2edf01880abc3d24")
+    assert(hex === "9132e7aa85d2a8ac75c4635aeb27370f49cdf458")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -289,7 +289,18 @@ object QueryGen {
   private def derivedExpr(r: Random, src: FSrc): E = {
     val nums = numericCols(src)
     val a = pick(r, nums)
-    r.nextInt(5) match {
+    r.nextInt(7) match {
+      case 5 => // CASE WHEN over a numeric comparison
+        val (v, s) = numLit(r, a)
+        E(when(col(a.name) > v, lit("hi")).otherwise(lit("lo")),
+          s"CASE WHEN ${a.name} > $s THEN 'hi' ELSE 'lo' END")
+      case 6 => // COALESCE (exercises NULLs from the left-join source)
+        val (fb, fbSql): (Column, String) = a.kind match {
+          case KMoney | KIntDouble => (lit(-1.0), "-1.0")
+          case KInt => (lit(-1), "-1")
+          case _ => (lit(-1L), "-1")
+        }
+        E(coalesce(col(a.name), fb), s"COALESCE(${a.name}, $fbSql)")
       case 0 =>
         val b = pick(r, nums)
         E(col(a.name) + col(b.name), s"${a.name} + ${b.name}")
@@ -322,11 +333,17 @@ object QueryGen {
     if (strs.isEmpty) None
     else {
       val c = pick(r, strs)
-      Some(r.nextInt(3) match {
+      Some(r.nextInt(4) match {
         case 0 => E(upper(col(c.name)), s"upper(${c.name})")
         case 1 =>
           val k = 1 + r.nextInt(6)
           E(substring(col(c.name), 1, k), s"substr(${c.name}, 1, $k)")
+        case 2 =>
+          // || not concat(): DuckDB's concat() IGNORES nulls while Spark's
+          // concat returns null — || is null-propagating on both engines
+          val c2 = pick(r, strs)
+          E(concat(col(c.name), lit("_"), col(c2.name)),
+            s"${c.name} || '_' || ${c2.name}")
         case _ =>
           // Spark length → INT, DuckDB length → BIGINT: cast oracle side
           E(length(col(c.name)), s"CAST(length(${c.name}) AS INT)")
@@ -378,7 +395,20 @@ object QueryGen {
             s"sum(${c.name}) AS $alias")
         }
       case KMoney =>
-        r.nextInt(4) match {
+        // ≤10-cent columns (discount/tax rates) pair with a price column
+        // for the c9-style exact discounted sum
+        val small = src.cols.filter(x =>
+          x.kind == KMoney && x.numRange.exists(_._2 <= 10))
+        r.nextInt(5) match {
+          case 4 if small.nonEmpty =>
+            val b = pick(r, small)
+            E(sum(col(c.name).cast(DecimalType(12, 2)) *
+                (lit("1.00").cast(DecimalType(3, 2)) -
+                  col(b.name).cast(DecimalType(4, 2))))
+                .cast(DoubleType).as(alias),
+              s"CAST(sum(CAST(${c.name} AS DECIMAL(12,2)) * " +
+                s"(CAST(1.00 AS DECIMAL(3,2)) - " +
+                s"CAST(${b.name} AS DECIMAL(4,2)))) AS DOUBLE) AS $alias")
           case 0 => minMax()
           case 1 =>
             // exact mean: DECIMAL sum ÷ count, identical division both sides
@@ -414,10 +444,12 @@ object QueryGen {
       Some((col(c.name), c.name))
     } else if (tsCols.nonEmpty) {
       val c = pick(r, tsCols)
-      if (r.nextBoolean())
-        Some((year(col(c.name)), s"CAST(year(${c.name}) AS INT)"))
-      else
-        Some((month(col(c.name)), s"CAST(month(${c.name}) AS INT)"))
+      r.nextInt(3) match {
+        case 0 => Some((year(col(c.name)), s"CAST(year(${c.name}) AS INT)"))
+        case 1 => Some((month(col(c.name)), s"CAST(month(${c.name}) AS INT)"))
+        case _ => Some((date_trunc("month", col(c.name)),
+          s"date_trunc('month', ${c.name})"))
+      }
     } else if (lowCard.nonEmpty) {
       val c = pick(r, lowCard)
       Some((col(c.name), c.name))
@@ -583,7 +615,14 @@ object QueryGen {
           // any tie-break yields the same result multiset.
           val okAliases = sel.map(_._1).filter(_.startsWith("ok")) ++
             sel.map(_._1).filterNot(_.startsWith("ok"))
-          val orderSql = okAliases.map(a => s"$a NULLS FIRST").mkString(", ")
+          // random sort direction per column (ties are identical rows, so
+          // direction never affects the multiset — pin the null end so the
+          // engines agree on placement: Spark defaults nulls FIRST asc,
+          // DuckDB nulls LAST)
+          val descs = okAliases.map(_ => r.nextInt(4) == 0)
+          val orderSql = okAliases.zip(descs).map { case (a, d) =>
+            if (d) s"$a DESC NULLS LAST" else s"$a NULLS FIRST"
+          }.mkString(", ")
           val sql =
             s"SELECT $selSql FROM ${src.sqlFrom}$where " +
               s"ORDER BY $orderSql LIMIT $limit"
@@ -591,7 +630,9 @@ object QueryGen {
             val df0 = src.build(s, d)
             val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
             df1.select(sel.map { case (a, e) => e.spark.as(a) }: _*)
-              .orderBy(okAliases.map(a => col(a).asc_nulls_first): _*)
+              .orderBy(okAliases.zip(descs).map { case (a, dsc) =>
+                if (dsc) col(a).desc_nulls_last else col(a).asc_nulls_first
+              }: _*)
               .limit(limit)
           })
         case k if k < 5 => // DISTINCT projection of low-card columns

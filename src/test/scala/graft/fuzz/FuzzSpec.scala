@@ -8,12 +8,13 @@ import graft.SparkSpec
   * seed-determinism of the generated query list, Spark-side executability,
   * and rerun-determinism of the LIMIT cut (total-order premise).
   *
-  * Seed 42 / n 120 is the committed baseline sweep: 120/120 green against
-  * DuckDB at sf0.01 (plus seeds 7, 1337, 2026 × 150 — 570/570 total,
-  * covering projection, DISTINCT, aggregate/HAVING, EXISTS/NOT EXISTS,
-  * UNION/INTERSECT/EXCEPT, and windowed top-k shapes). If this spec's
-  * pinned SQL hash changes, the generator changed and the sweep must be
-  * re-run before trusting it.
+  * Seeds 42/7/1337/2026 × 150 are the committed baseline sweep: 600/600
+  * green against DuckDB at sf0.01, covering projection (mixed-direction
+  * ORDER BY), DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL
+  * discounted sums), EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed
+  * top-k, CASE WHEN / COALESCE / string-concat / date_trunc expressions.
+  * If this spec's pinned SQL hash changes, the generator changed and the
+  * sweep must be re-run before trusting it.
   */
 class FuzzSpec extends SparkSpec {
 
@@ -30,7 +31,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "9132e7aa85d2a8ac75c4635aeb27370f49cdf458")
+    assert(hex === "048d7c55b8c7c28425c773028133c45e8f3abead")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

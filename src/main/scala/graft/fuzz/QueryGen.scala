@@ -80,6 +80,27 @@ object QueryGen {
     FCol("l_linestatus", KStr, strPool = Seq("F", "O")),
     FCol("l_shipdate", KTs, dateRange = Some(("1995-01-02", "2001-11-04"))))
 
+  private val partCols = Seq(
+    FCol("p_partkey", KLong, numRange = Some((0L, 1999L))),
+    FCol("p_name", KStr, strPool = Nil),
+    FCol("p_brand", KStr, strPool =
+      (1 to 25).map(i => s"Brand#$i")),
+    FCol("p_type", KStr, strPool = Seq(
+      "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")),
+    FCol("p_size", KInt, numRange = Some((1L, 50L))),
+    FCol("p_retailprice", KMoney, numRange = Some((90000L, 99990L))))
+
+  private val supplierCols = Seq(
+    FCol("s_suppkey", KLong, numRange = Some((0L, 99L))),
+    FCol("s_name", KStr, strPool = Nil),
+    FCol("s_nationkey", KInt, numRange = Some((0L, 24L))),
+    FCol("s_acctbal", KMoney, numRange = Some((-82116L, 995616L))))
+
+  private val nationCols = Seq(
+    FCol("n_nationkey", KInt, numRange = Some((0L, 24L))),
+    FCol("n_name", KStr, strPool = (0 to 24).map(i => s"NATION_$i")),
+    FCol("n_regionkey", KInt, numRange = Some((0L, 4L))))
+
   private val customerCols = Seq(
     FCol("c_custkey", KLong, numRange = Some((0L, 1499L))),
     FCol("c_name", KStr, strPool = Nil), // predicate via LIKE prefix only
@@ -102,12 +123,18 @@ object QueryGen {
   private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
   private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def customer(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+  private def supplier(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def nation(s: SparkSession, d: String) = Tables.nation(s, d)
 
   val sources: Seq[FSrc] = Seq(
     FSrc("o", ordersCols, Seq("o_orderkey"), "orders", orders),
     FSrc("l", lineitemCols, Seq("l_orderkey", "l_linenumber"), "lineitem",
       lineitem),
     FSrc("c", customerCols, Seq("c_custkey"), "customer", customer),
+    FSrc("p", partCols, Seq("p_partkey"), "part", part),
+    FSrc("s", supplierCols, Seq("s_suppkey"), "supplier", supplier),
+    FSrc("n", nationCols, Seq("n_nationkey"), "nation", nation),
     FSrc("oc", ordersCols ++ customerCols, Seq("o_orderkey"),
       "orders JOIN customer ON o_custkey = c_custkey",
       (s, d) => orders(s, d)
@@ -129,7 +156,22 @@ object QueryGen {
     FSrc("col", customerCols ++ ordersCols, Seq("c_custkey", "o_orderkey"),
       "customer LEFT JOIN orders ON c_custkey = o_custkey",
       (s, d) => customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")))
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")),
+    FSrc("lp", lineitemCols ++ partCols, Seq("l_orderkey", "l_linenumber"),
+      "lineitem JOIN part ON l_partkey = p_partkey",
+      (s, d) => lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))),
+    FSrc("lsn", lineitemCols ++ supplierCols ++ nationCols,
+      Seq("l_orderkey", "l_linenumber"),
+      "lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey",
+      (s, d) => lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))),
+    FSrc("sn", supplierCols ++ nationCols, Seq("s_suppkey"),
+      "supplier JOIN nation ON s_nationkey = n_nationkey",
+      (s, d) => supplier(s, d)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))))
 
   // ---- dual-rendered expression AST ------------------------------------
 
@@ -464,7 +506,7 @@ object QueryGen {
   // ---- semi/anti, set-op, window shapes --------------------------------
 
   private val baseById: Map[String, FSrc] =
-    sources.take(3).map(s => s.id -> s).toMap
+    sources.filter(_.id.length == 1).map(s => s.id -> s).toMap
 
   /** (outer, inner, outerKey, innerKey) pairs for correlated
     * EXISTS / NOT EXISTS — the FK edges of the schema. */
@@ -472,7 +514,11 @@ object QueryGen {
     ("c", "o", "c_custkey", "o_custkey"),
     ("o", "l", "o_orderkey", "l_orderkey"),
     ("o", "c", "o_custkey", "c_custkey"),
-    ("l", "o", "l_orderkey", "o_orderkey"))
+    ("l", "o", "l_orderkey", "o_orderkey"),
+    ("p", "l", "p_partkey", "l_partkey"),
+    ("s", "l", "s_suppkey", "l_suppkey"),
+    ("l", "p", "l_partkey", "p_partkey"),
+    ("n", "s", "n_nationkey", "s_nationkey"))
 
   /** Correlated EXISTS (left-semi) / NOT EXISTS (left-anti) with an
     * optional predicate on each side. Spark renders the relational form;

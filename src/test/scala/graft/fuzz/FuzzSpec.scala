@@ -9,12 +9,14 @@ import graft.SparkSpec
   * and rerun-determinism of the LIMIT cut (total-order premise).
   *
   * Seeds 42/7/1337/2026 × 150 are the committed baseline sweep: 600/600
-  * green against DuckDB at sf0.01, covering projection (mixed-direction
-  * ORDER BY), DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL
-  * discounted sums), EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed
-  * top-k, CASE WHEN / COALESCE / string-concat / date_trunc expressions.
-  * If this spec's pinned SQL hash changes, the generator changed and the
-  * sweep must be re-run before trusting it.
+  * green against DuckDB at sf0.01 over the six-table surface (orders,
+  * lineitem, customer, part, supplier, nation; inner/left join shapes +
+  * all FK EXISTS edges), covering projection (mixed-direction ORDER BY),
+  * DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL discounted sums),
+  * EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed top-k, CASE WHEN /
+  * COALESCE / string-concat / date_trunc expressions. If this spec's
+  * pinned SQL hash changes, the generator changed and the sweep must be
+  * re-run before trusting it.
   */
 class FuzzSpec extends SparkSpec {
 
@@ -31,7 +33,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "048d7c55b8c7c28425c773028133c45e8f3abead")
+    assert(hex === "0e47c1d7c9797256f8846aeb6abea986e5790f90")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -93,11 +93,14 @@ object Bench {
     val fullLine =
       s"""{"queries":${toJson(medians)},"spread":$spread,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
     println(fullLine)
-    try Files.write(Paths.get("BENCHFULL.json"),
-      (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCHFULL.json write failed: ${e.getMessage}")
-    }
+    // Smoke runs (sf0.001, reps=1) set SPARK_GRAFT_BENCH_NOFILE=1 so they
+    // don't clobber the committed clean sf0.1 median-of-3 record.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NOFILE"))
+      try Files.write(Paths.get("BENCHFULL.json"),
+        (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCHFULL.json write failed: ${e.getMessage}")
+      }
     val head = medians.filter(r => headline.contains(r._1))
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},$env,"queries":${toJson(head)},"sf":"$sfDir"}""")

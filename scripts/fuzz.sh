@@ -5,8 +5,9 @@
 #
 # Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
 # Committed baseline: seeds 42/7/1337/2026 × 150 — 600/600 green at
-# sf0.01 (2026-08-12) over the six-table surface (orders/lineitem/
-# customer/part/supplier/nation), covering projection (mixed-direction
+# sf0.01 (2026-08-12) over the eight-table surface (orders/lineitem/
+# customer/part/supplier/nation/events/documents), covering projection
+# (mixed-direction
 # ORDER BY) / DISTINCT / aggregate / HAVING / DECIMAL discounted sums /
 # EXISTS / set-op / windowed-top-k / CASE WHEN / COALESCE / date_trunc
 # shapes; seed 42 also 120/120 at sf0.1.

@@ -47,6 +47,7 @@ object QueryGen {
   case object KIntDouble extends Kind  // integral-valued double
   case object KStr extends Kind
   case object KTs extends Kind
+  case object KTsNtz extends Kind // TIMESTAMP_NTZ on the Spark side (events.ts)
 
   /** Column + the literal pool the generator draws predicates from.
     * Numeric ranges/string pools profiled from the sf0.01 testdata (they
@@ -100,6 +101,26 @@ object QueryGen {
     FCol("n_nationkey", KInt, numRange = Some((0L, 24L))),
     FCol("n_name", KStr, strPool = (0 to 24).map(i => s"NATION_$i")),
     FCol("n_regionkey", KInt, numRange = Some((0L, 4L))))
+
+  /** Words the synthetic documents.text corpus is built from (TESTDATA.md)
+    * — the LIKE-contains predicate pool. */
+  private val textWords = Seq(
+    "spark", "table", "window", "hash", "merge", "batch", "scan", "sort")
+
+  private val eventsCols = Seq(
+    FCol("event_id", KLong, numRange = Some((0L, 9999L))),
+    FCol("ts", KTsNtz, dateRange = Some(("2024-01-02", "2024-01-30"))),
+    FCol("user_id", KLong, numRange = Some((0L, 149L))),
+    FCol("event_type", KStr, strPool = Seq(
+      "click", "error", "purchase", "signup", "view")),
+    FCol("value", KMoney, numRange = Some((1L, 49002L))))
+
+  private val documentsCols = Seq(
+    FCol("doc_id", KLong, numRange = Some((0L, 499L))),
+    FCol("text", KStr, strPool = Nil), // LIKE-contains via textWords
+    FCol("lang", KStr, strPool = Seq("de", "en", "es", "fr", "zh")),
+    FCol("source", KStr, strPool = (0 to 19).map(i => s"src$i")),
+    FCol("n_chars", KLong, numRange = Some((48L, 553L))))
 
   private val customerCols = Seq(
     FCol("c_custkey", KLong, numRange = Some((0L, 1499L))),
@@ -171,7 +192,13 @@ object QueryGen {
     FSrc("sn", supplierCols ++ nationCols, Seq("s_suppkey"),
       "supplier JOIN nation ON s_nationkey = n_nationkey",
       (s, d) => supplier(s, d)
-        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))))
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))),
+    // events goes through Tables.events (TIMESTAMP(NANOS) → µs NTZ);
+    // DuckDB's reader does the same µs truncation, so values agree.
+    FSrc("e", eventsCols, Seq("event_id"), "events",
+      (s, d) => Tables.events(s, d)),
+    FSrc("d", documentsCols, Seq("doc_id"), "documents",
+      (s, d) => Tables.documents(s, d)))
 
   // ---- dual-rendered expression AST ------------------------------------
 
@@ -226,13 +253,17 @@ object QueryGen {
   private def leafPred(r: Random, src: FSrc): P = {
     val candidates = src.cols.filter(c =>
       c.numRange.isDefined || c.strPool.nonEmpty || c.dateRange.isDefined ||
-        c.name == "c_name")
+        c.name == "c_name" || c.name == "text")
     val c = pick(r, candidates)
     c.kind match {
       case KStr if c.name == "c_name" =>
         // LIKE prefix over the Customer#000000NNN pattern
         val prefix = f"Customer#00000${r.nextInt(10)}%d"
         P(col(c.name).like(prefix + "%"), s"${c.name} LIKE '$prefix%'")
+      case KStr if c.name == "text" =>
+        // contains-LIKE over the synthetic corpus word pool
+        val w = pick(r, textWords)
+        P(col(c.name).like(s"%$w%"), s"${c.name} LIKE '%$w%'")
       case KStr =>
         r.nextInt(3) match {
           case 0 =>
@@ -249,18 +280,23 @@ object QueryGen {
             P(col(c.name).isin(vs: _*),
               s"${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")})")
         }
-      case KTs =>
+      case KTs | KTsNtz =>
+        // literal type must match the column (NTZ vs TZ — Spark does not
+        // implicitly mix them); session tz is UTC so wall-clock values are
+        // identical and DuckDB's naive TIMESTAMP literal serves both
+        val tsType: DataType =
+          if (c.kind == KTsNtz) TimestampNTZType else TimestampType
         val (lo, hi) = c.dateRange.get
         val d = randDate(r, lo, hi)
         if (r.nextBoolean()) {
           val (opS, opF) = pick(r, cmpOps)
-          P(opF(col(c.name), lit(d).cast(TimestampType)),
+          P(opF(col(c.name), lit(d).cast(tsType)),
             s"${c.name} $opS TIMESTAMP '$d 00:00:00'")
         } else {
           val d2 = randDate(r, lo, hi)
           val (a, b) = if (d <= d2) (d, d2) else (d2, d)
-          P(col(c.name) >= lit(a).cast(TimestampType) &&
-              col(c.name) <= lit(b).cast(TimestampType),
+          P(col(c.name) >= lit(a).cast(tsType) &&
+              col(c.name) <= lit(b).cast(tsType),
             s"(${c.name} >= TIMESTAMP '$a 00:00:00' AND " +
               s"${c.name} <= TIMESTAMP '$b 00:00:00')")
         }
@@ -464,7 +500,7 @@ object QueryGen {
               s"CAST(sum(CAST(${c.name} AS DECIMAL(14,2))) AS DOUBLE) " +
                 s"AS $alias")
         }
-      case KStr | KTs =>
+      case KStr | KTs | KTsNtz =>
         if (r.nextInt(3) == 0)
           E(countDistinct(col(c.name)).as(alias),
             s"count(DISTINCT ${c.name}) AS $alias")
@@ -479,7 +515,7 @@ object QueryGen {
     val lowCard = src.cols.filter(c =>
       c.kind == KStr && c.strPool.nonEmpty ||
         (c.kind == KInt && c.numRange.exists { case (lo, hi) => hi - lo < 40 }))
-    val tsCols = src.cols.filter(_.kind == KTs)
+    val tsCols = src.cols.filter(c => c.kind == KTs || c.kind == KTsNtz)
     val choices = r.nextInt(3)
     if (choices < 2 && lowCard.nonEmpty) {
       val c = pick(r, lowCard)

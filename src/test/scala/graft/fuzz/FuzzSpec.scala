@@ -9,9 +9,10 @@ import graft.SparkSpec
   * and rerun-determinism of the LIMIT cut (total-order premise).
   *
   * Seeds 42/7/1337/2026 × 150 are the committed baseline sweep: 600/600
-  * green against DuckDB at sf0.01 over the six-table surface (orders,
-  * lineitem, customer, part, supplier, nation; inner/left join shapes +
-  * all FK EXISTS edges), covering projection (mixed-direction ORDER BY),
+  * green against DuckDB at sf0.01 over the eight-table surface (orders,
+  * lineitem, customer, part, supplier, nation, events — through the
+  * nanos→µs NTZ loader — and documents; inner/left join shapes + all FK
+  * EXISTS edges), covering projection (mixed-direction ORDER BY),
   * DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL discounted sums),
   * EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed top-k, CASE WHEN /
   * COALESCE / string-concat / date_trunc expressions. If this spec's
@@ -33,7 +34,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "0e47c1d7c9797256f8846aeb6abea986e5790f90")
+    assert(hex === "adf38cb228c3d127da4d267244966af51b6cd394")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -9,8 +9,9 @@
 # customer/part/supplier/nation/events/documents), covering projection
 # (mixed-direction
 # ORDER BY) / DISTINCT / aggregate / HAVING / DECIMAL discounted sums /
-# EXISTS / set-op / windowed-top-k / CASE WHEN / COALESCE / date_trunc
-# shapes; seed 42 also 120/120 at sf0.1.
+# EXISTS / set-op / windowed-top-k / as-of join (ScaleOps.asofJoin vs
+# DuckDB max_by) / CASE WHEN / COALESCE / date_trunc shapes; seed 42
+# also 120/120 at sf0.1.
 set -euo pipefail
 SEED=${1:-42}
 N=${2:-120}

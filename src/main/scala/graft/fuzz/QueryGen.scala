@@ -657,6 +657,40 @@ object QueryGen {
     }
   }
 
+  /** As-of join over the events table: for each left-type event, the
+    * latest right-type event of the same user at-or-before its timestamp.
+    * Exercises the library's ScaleOps.asofJoin operator (union + window)
+    * against DuckDB's inequality-join + max_by formulation — radically
+    * different plans, same semantics. Deterministic because
+    * (user_id, event_type, ts) is unique in the testdata (verified at
+    * sf0.01 and sf0.1). */
+  private def asofQuery(r: Random, name: String): FuzzQuery = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val lt = pick(r, types)
+    val rt = pick(r, types.filterNot(_ == lt))
+    val eventsSrc = sources.find(_.id == "e").get
+    val rightPred = if (r.nextInt(2) == 0) Some(leafPred(r, eventsSrc)) else None
+    val rightWhere = rightPred.map(p => s" AND (${p.sql})").getOrElse("")
+    val sql =
+      s"SELECT p.event_id AS p_id, p.user_id AS k, p.ts AS p_ts, " +
+        s"max_by(c.event_id, c.ts) AS last_id, max(c.ts) AS last_ts " +
+        s"FROM (SELECT * FROM events WHERE event_type = '$lt') p " +
+        s"LEFT JOIN (SELECT * FROM events WHERE event_type = '$rt'$rightWhere) c " +
+        s"ON c.user_id = p.user_id AND c.ts <= p.ts " +
+        s"GROUP BY 1, 2, 3"
+    FuzzQuery(name, sql, (s, d) => {
+      val ev = Tables.events(s, d)
+      val leftDf = ev.where(col("event_type") === lt)
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      val right0 = ev.where(col("event_type") === rt)
+      val rightDf = rightPred.map(p => right0.where(p.spark)).getOrElse(right0)
+      graft.operators.ScaleOps.asofJoin(leftDf, rightDf, "user_id", "ts",
+        Seq("event_id" -> "last_id", "ts" -> "last_ts"))
+        .select(col("p_id"), col("user_id").as("k"), col("ts").as("p_ts"),
+          col("last_id"), col("last_ts"))
+    })
+  }
+
   // ---- top level -------------------------------------------------------
 
   final case class FuzzQuery(
@@ -670,7 +704,8 @@ object QueryGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(16) match {
+      r.nextInt(18) match {
+        case s if s >= 16 => asofQuery(r, name)
         case s if s >= 14 => windowQuery(r, name)
         case s if s >= 12 => setOpQuery(r, name)
         case s if s >= 10 => semiAntiQuery(r, name)

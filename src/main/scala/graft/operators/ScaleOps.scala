@@ -17,8 +17,56 @@ import org.apache.spark.sql.types._
   *  - [[BucketedTables]] — co-located joins via bucketed tables: both sides
   *    pre-hashed into the same bucket layout at write time join with ZERO
   *    shuffle at read time (asserted in ScaleOpsSpec).
+  *  - [[asofJoin]] — as-of (latest right row at-or-before each left row's
+  *    timestamp) via union + one window pass: ONE shuffle on the key, no
+  *    inequality join (the naive `ts <=` join is quadratic per key).
   */
 object ScaleOps {
+
+  /** As-of join: for each left row, attach the payload of the LATEST right
+    * row with `right.tsCol <= left.tsCol` in the same `key` group (strict
+    * "at or before": a right row at exactly the left row's timestamp is
+    * visible). Left rows with no preceding right row get typed nulls.
+    *
+    * Spark-first formulation (no public as-of API): union both sides
+    * tagged with a kind bit, one window pass per key ordered by
+    * (ts, kind) — right rows sort before left rows at equal ts — then
+    * `last(payload, ignoreNulls)` carries the most recent right payload
+    * forward. ONE shuffle on `key`; at 100 TB this is the scale-safe
+    * shape. Deterministic iff (key, tsCol) is unique on the right side
+    * (ties would make "the latest right row" ill-defined in any engine).
+    *
+    * @param payload right-side columns to carry, as (sourceCol → outCol);
+    *                outCol names must not collide with left's columns
+    * @return left's columns plus the payload outCols
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the payload travels as ONE struct so all columns come atomically
+    // from the SAME right row even if individual payload values are null
+    val pType = StructType(payload.map { case (s, o) =>
+      StructField(o, right.schema(s).dataType) })
+    val leftExtra = left.columns.toSeq.filterNot(c => c == key || c == tsCol)
+    val lSide = left.select(
+      Seq(col(key), col(tsCol), lit(1).as("_kind"),
+        lit(null).cast(pType).as("_p")) ++ leftExtra.map(col): _*)
+    val rSide = right.select(
+      Seq(col(key), col(tsCol), lit(0).as("_kind"),
+        struct(payload.map { case (s, o) => col(s).as(o) }: _*).as("_p")) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .where(col("_kind") === 1)
+      .select(Seq(col(key), col(tsCol)) ++ leftExtra.map(col) ++
+        payload.map { case (_, o) => col(s"_p.$o").as(o) }: _*)
+  }
 
   /** Salted equi-join: replicate each right-side row `salt` times with a
     * salt suffix, scatter the left side's hot keys uniformly across the

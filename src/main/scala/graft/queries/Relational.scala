@@ -223,15 +223,11 @@ object Relational {
   }
 
   /** C8: as-of join — for every `purchase` event, the latest `click` event of
-    * the same user at-or-before the purchase timestamp.
-    *
-    * Spark-first formulation (no public as-of API): union both sides, one
-    * window pass per user ordered by (ts, kind) where clicks sort before
-    * purchases at equal ts (so an equal-ts click is visible, i.e. "at or
-    * before"), then `last(click_*, ignoreNulls)` carries the most recent
-    * click forward. ONE shuffle on user_id, no inequality join — at 100 TB
-    * this is the scale-safe shape (the naive ts<= join is quadratic per key).
-    */
+    * the same user at-or-before the purchase timestamp. Built on the
+    * reusable [[graft.operators.ScaleOps.asofJoin]] operator (union + one
+    * window pass, ONE shuffle on user_id, no inequality join — the naive
+    * ts<= join is quadratic per key); the fuzzer exercises the same
+    * operator over random event-type pairs. */
   val c8AsofJoin: QueryDef = QueryDef(
     "c8_asof_join", "C8",
     """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
@@ -241,21 +237,12 @@ object Relational {
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
       |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin) { (s, d) =>
     val ev = events(s, d)
-    val clicks = ev.where(col("event_type") === "click").select(
-      col("user_id"), col("ts"), lit(0).as("kind"),
-      col("event_id").as("click_id"), col("ts").as("click_ts"),
-      lit(null).cast(LongType).as("purchase_id"))
-    val purchases = ev.where(col("event_type") === "purchase").select(
-      col("user_id"), col("ts"), lit(1).as("kind"),
-      lit(null).cast(LongType).as("click_id"),
-      lit(null).cast(TimestampType).as("click_ts"),
-      col("event_id").as("purchase_id"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
-      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
-      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
-      .where(col("kind") === 1)
+    graft.operators.ScaleOps.asofJoin(
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+      ev.where(col("event_type") === "click"),
+      key = "user_id", tsCol = "ts",
+      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
       .select(
         col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
         col("last_click_id"), col("last_click_ts"))

@@ -14,8 +14,10 @@ import graft.SparkSpec
   * nanos→µs NTZ loader — and documents; inner/left join shapes + all FK
   * EXISTS edges), covering projection (mixed-direction ORDER BY),
   * DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL discounted sums),
-  * EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed top-k, CASE WHEN /
-  * COALESCE / string-concat / date_trunc expressions. If this spec's
+  * EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed top-k, as-of joins
+  * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join + max_by
+  * form), CASE WHEN / COALESCE / string-concat / date_trunc expressions.
+  * If this spec's
   * pinned SQL hash changes, the generator changed and the sweep must be
   * re-run before trusting it.
   */
@@ -34,7 +36,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "adf38cb228c3d127da4d267244966af51b6cd394")
+    assert(hex === "36e3bc0cd15f00b2334df985551b0d7f5a2a1ff7")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -74,4 +74,36 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("asofJoin: equal-ts visibility, no-preceding nulls, atomic payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // right row at SAME ts → visible
+      (1L, ts("2024-01-01 12:00:00"), 101L), // later → latest right carried
+      (2L, ts("2024-01-01 09:00:00"), 200L), // before any right row → nulls
+      (3L, ts("2024-01-01 09:00:00"), 300L)  // key with no right rows at all
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, Option("a")),
+      (1L, ts("2024-01-01 11:00:00"), 8L, Option.empty[String]), // null field
+      (2L, ts("2024-01-01 09:30:00"), 9L, Option("c"))
+    ).toDF("k", "t", "rid", "tag")
+    val out = graft.operators.ScaleOps
+      .asofJoin(left, right, "k", "t", Seq("rid" -> "a_rid", "tag" -> "a_tag"))
+      .orderBy("lid")
+      .select("lid", "a_rid", "a_tag")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2)))
+    assert(out === Array(
+      (100L, 7L, "a"),       // equal-ts right row is visible ("at or before")
+      (101L, 8L, "<null>"),  // latest right row carried ATOMICALLY: its null
+                             // tag must not fall back to the older row's "a"
+      (200L, -1L, "<null>"), // right rows exist but all later → nulls
+      (300L, -1L, "<null>")  // no right rows for the key
+    ))
+  }
 }

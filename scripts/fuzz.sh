@@ -10,8 +10,9 @@
 # (mixed-direction
 # ORDER BY) / DISTINCT / aggregate / HAVING / DECIMAL discounted sums /
 # EXISTS / set-op / windowed-top-k / as-of join (ScaleOps.asofJoin vs
-# DuckDB max_by) / CASE WHEN / COALESCE / date_trunc shapes; seed 42
-# also 120/120 at sf0.1.
+# DuckDB max_by) / binned range join (random bin widths vs binless
+# oracle) / salted join (vs plain equi-join) / CASE WHEN / COALESCE /
+# date_trunc shapes; seed 42 also 120/120 at sf0.1.
 set -euo pipefail
 SEED=${1:-42}
 N=${2:-120}

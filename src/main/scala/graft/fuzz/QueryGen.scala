@@ -691,6 +691,74 @@ object QueryGen {
     })
   }
 
+  /** Binned range join over synthesized interval tables: random range
+    * count / stride / width AND a random bin width. The oracle is the
+    * plain inequality join, which does not mention bins at all — the
+    * property under test is that ScaleOps.rangeBinJoin's result is
+    * INDEPENDENT of binWidth (covering-bin enumeration and the
+    * hi-on-bin-edge exclusive case included). */
+  private def rangeQuery(r: Random, name: String): FuzzQuery = {
+    val n = 100 + r.nextInt(201)
+    val stride = pick(r, Seq(100.0, 250.0, 500.0, 1000.0))
+    val width = stride * pick(r, Seq(0.5, 1.0, 1.5, 2.0))
+    val binWidth = pick(r, Seq(50.0, 125.0, 250.0, 333.0, 500.0))
+    def fmtD(d: Double) = if (d == d.floor) f"$d%.1f" else d.toString
+    val sql =
+      s"SELECT range_id, count(*) AS a0, " +
+        s"min(l_extendedprice) AS a1, max(l_extendedprice) AS a2 " +
+        s"FROM lineitem JOIN (" +
+        s"SELECT i AS range_id, i * ${fmtD(stride)} AS lo, " +
+        s"i * ${fmtD(stride)} + ${fmtD(width)} AS hi " +
+        s"FROM range(0, $n) t(i)) r " +
+        s"ON l_extendedprice >= lo AND l_extendedprice < hi " +
+        s"GROUP BY range_id"
+    FuzzQuery(name, sql, (s, d) => {
+      val ranges = s.range(0, n).select(
+        col("id").as("range_id"),
+        (col("id") * stride).as("lo"),
+        (col("id") * stride + width).as("hi"))
+      graft.operators.ScaleOps.rangeBinJoin(
+          Tables.lineitem(s, d), ranges, "l_extendedprice", "lo", "hi",
+          binWidth)
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("a0"),
+          min(col("l_extendedprice")).as("a1"),
+          max(col("l_extendedprice")).as("a2"))
+    })
+  }
+
+  /** Salted join vs the plain equi-join oracle: the salt factor must not
+    * change the result multiset (hot-key scatter + replica join is a pure
+    * execution technique). Random salt, random filters on either side. */
+  private def saltQuery(r: Random, name: String): FuzzQuery = {
+    val salt = pick(r, Seq(2, 3, 4, 8, 16))
+    val (li, or) = (baseById("l"), baseById("o"))
+    val leftPred = if (r.nextInt(2) == 0) Some(leafPred(r, li)) else None
+    val rightPred = if (r.nextInt(3) == 0) Some(leafPred(r, or)) else None
+    val lw = leftPred.map(p => s" AND (${p.sql})").getOrElse("")
+    val rw = rightPred.map(p => s" AND (${p.sql})").getOrElse("")
+    val sql =
+      s"SELECT o_orderstatus AS k0, count(*) AS a0, " +
+        s"CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS a1, " +
+        s"sum(l_quantity) AS a2 " +
+        s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey$lw$rw " +
+        s"GROUP BY 1"
+    FuzzQuery(name, sql, (s, d) => {
+      val l0 = Tables.lineitem(s, d)
+      val l1 = leftPred.map(p => l0.where(p.spark)).getOrElse(l0)
+      val o0 = Tables.orders(s, d)
+      // predicate BEFORE the rename — it references o_orderkey
+      val o1 = rightPred.map(p => o0.where(p.spark)).getOrElse(o0)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.operators.ScaleOps.saltedJoin(l1, o1, "l_orderkey", salt)
+        .groupBy(col("o_orderstatus").as("k0"))
+        .agg(count(lit(1)).as("a0"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("a1"),
+          sum(col("l_quantity")).as("a2"))
+    })
+  }
+
   // ---- top level -------------------------------------------------------
 
   final case class FuzzQuery(
@@ -704,7 +772,9 @@ object QueryGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(18) match {
+      r.nextInt(22) match {
+        case s if s >= 21 => saltQuery(r, name)
+        case s if s >= 19 => rangeQuery(r, name)
         case s if s >= 16 => asofQuery(r, name)
         case s if s >= 14 => windowQuery(r, name)
         case s if s >= 12 => setOpQuery(r, name)

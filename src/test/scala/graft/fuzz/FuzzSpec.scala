@@ -16,8 +16,10 @@ import graft.SparkSpec
   * DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL discounted sums),
   * EXISTS/NOT EXISTS, UNION/INTERSECT/EXCEPT, windowed top-k, as-of joins
   * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join + max_by
-  * form), CASE WHEN / COALESCE / string-concat / date_trunc expressions.
-  * If this spec's
+  * form), binned range joins (ScaleOps.rangeBinJoin under random bin
+  * widths vs the binless inequality-join oracle), salted joins (vs the
+  * plain equi-join), CASE WHEN / COALESCE / string-concat / date_trunc
+  * expressions. If this spec's
   * pinned SQL hash changes, the generator changed and the sweep must be
   * re-run before trusting it.
   */
@@ -36,7 +38,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "36e3bc0cd15f00b2334df985551b0d7f5a2a1ff7")
+    assert(hex === "c869add45cf3842992d027160c02969048c1423e")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -12,7 +12,7 @@
 # EXISTS / set-op / windowed-top-k / as-of join (ScaleOps.asofJoin vs
 # DuckDB max_by) / binned range join (random bin widths vs binless
 # oracle) / salted join (vs plain equi-join) / CASE WHEN / COALESCE /
-# date_trunc shapes; seed 42 also 120/120 at sf0.1.
+# date_trunc shapes; seed 42 also 150/150 at sf0.1.
 set -euo pipefail
 SEED=${1:-42}
 N=${2:-120}

@@ -841,31 +841,68 @@ object QueryGen {
               }: _*).distinct()
             })
           }
-        case _ => // aggregate
+        case _ => // aggregate (flat GROUP BY, or ROLLUP/CUBE with gid)
           val nKeys = r.nextInt(3)
-          val keys = (0 until nKeys)
-            .flatMap(j => groupKey(r, src, s"k$j"))
+          // dedup by rendered expression: ROLLUP(c, c) level semantics
+          // would otherwise depend on engine-specific duplicate handling
+          val keysRaw = (0 until nKeys)
+            .flatMap(_ => groupKeyRaw(r, src))
+            .distinctBy(_._2)
+            .zipWithIndex
+            .map { case ((c, s0), j) => (c, s0, s"k$j") }
+          val keys = keysRaw.map { case (c, s0, a) => E(c.as(a), s"$s0 AS $a") }
           val having = keys.nonEmpty && r.nextInt(4) == 0
+          // grouping-set variant: 25% of keyed HAVING-less aggregates run
+          // as ROLLUP or CUBE; grouping_id disambiguates rollup nulls from
+          // real nulls so the hash compare needs no COALESCE
+          val setOp = if (keys.nonEmpty && !having && r.nextInt(4) == 0)
+            Some(pick(r, Seq("ROLLUP", "CUBE"))) else None
           val nAggs = 1 + r.nextInt(3)
           // a0 is always count(*): it anchors the HAVING clause and makes
           // every aggregate row self-describing in mismatch triage
           val aggs = E(count(lit(1)).as("a0"), "count(*) AS a0") +:
             (1 to nAggs).map(j => aggExpr(r, src, s"a$j"))
           val havingN = 1 + r.nextInt(5)
-          val selSql = (keys.map(_.sql) ++ aggs.map(_.sql)).mkString(", ")
-          val groupSql =
-            if (keys.isEmpty) ""
-            else s" GROUP BY ${(1 to keys.size).mkString(", ")}"
-          val havingSql = if (having) s" HAVING count(*) >= $havingN" else ""
+          val rawList = keysRaw.map(_._2).mkString(", ")
+          val gidSql = setOp.map(_ =>
+            s"CAST(GROUPING($rawList) AS BIGINT) AS gid, ").getOrElse("")
+          val selSql = gidSql +
+            (keys.map(_.sql) ++ aggs.map(_.sql)).mkString(", ")
+          val groupSql = setOp match {
+            case Some(op) => s" GROUP BY $op($rawList)"
+            case None if keys.isEmpty => ""
+            case None => s" GROUP BY ${(1 to keys.size).mkString(", ")}"
+          }
+          // ROLLUP/CUBE over an EMPTY input: DuckDB emits the standard
+          // grand-total row (gid=1, count=0); Spark emits zero rows. With
+          // non-empty input no grouping-set row can have count 0, so a
+          // count(*)>0 filter on the ORACLE side equalizes exactly the
+          // divergent empty-input case and nothing else (fuzzer-found,
+          // seed 7).
+          val havingSql =
+            if (having) s" HAVING count(*) >= $havingN"
+            else if (setOp.isDefined) " HAVING count(*) > 0"
+            else ""
           val sql =
             s"SELECT $selSql FROM ${src.sqlFrom}$where$groupSql$havingSql"
           FuzzQuery(name, sql, (s, d) => {
             val df0 = src.build(s, d)
             val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
-            val grouped =
-              if (keys.isEmpty) df1.agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
-              else df1.groupBy(keys.map(_.spark): _*)
-                .agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+            val grouped = setOp match {
+              case Some("ROLLUP") =>
+                df1.rollup(keys.map(_.spark): _*)
+                  .agg(grouping_id().cast(LongType).as("gid"),
+                    (aggs.map(_.spark)): _*)
+              case Some(_) =>
+                df1.cube(keys.map(_.spark): _*)
+                  .agg(grouping_id().cast(LongType).as("gid"),
+                    (aggs.map(_.spark)): _*)
+              case None if keys.isEmpty =>
+                df1.agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+              case None =>
+                df1.groupBy(keys.map(_.spark): _*)
+                  .agg(aggs.head.spark, aggs.tail.map(_.spark): _*)
+            }
             if (having) grouped.where(col("a0") >= havingN) else grouped
           })
       }

@@ -193,6 +193,11 @@ object QueryGen {
       "supplier JOIN nation ON s_nationkey = n_nationkey",
       (s, d) => supplier(s, d)
         .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))),
+    // FULL OUTER: unmatched rows on BOTH sides → nulls in either half.
+    FSrc("cof", customerCols ++ ordersCols, Seq("c_custkey", "o_orderkey"),
+      "customer FULL JOIN orders ON c_custkey = o_custkey",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "full")),
     // events goes through Tables.events (TIMESTAMP(NANOS) → µs NTZ);
     // DuckDB's reader does the same µs truncation, so values agree.
     FSrc("e", eventsCols, Seq("event_id"), "events",
@@ -810,17 +815,21 @@ object QueryGen {
           val orderSql = okAliases.zip(descs).map { case (a, d) =>
             if (d) s"$a DESC NULLS LAST" else s"$a NULLS FIRST"
           }.mkString(", ")
+          // occasional OFFSET: deterministic under the same total-order
+          // argument as LIMIT (ties at the cut are identical rows)
+          val offset = if (r.nextInt(4) == 0) 10 + r.nextInt(91) else 0
+          val offsetSql = if (offset > 0) s" OFFSET $offset" else ""
           val sql =
             s"SELECT $selSql FROM ${src.sqlFrom}$where " +
-              s"ORDER BY $orderSql LIMIT $limit"
+              s"ORDER BY $orderSql LIMIT $limit$offsetSql"
           FuzzQuery(name, sql, (s, d) => {
             val df0 = src.build(s, d)
             val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
-            df1.select(sel.map { case (a, e) => e.spark.as(a) }: _*)
+            val sorted = df1.select(sel.map { case (a, e) => e.spark.as(a) }: _*)
               .orderBy(okAliases.zip(descs).map { case (a, dsc) =>
                 if (dsc) col(a).desc_nulls_last else col(a).asc_nulls_first
               }: _*)
-              .limit(limit)
+            (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
           })
         case k if k < 5 => // DISTINCT projection of low-card columns
           val lowCard = src.cols.filter(c =>

@@ -11,8 +11,9 @@ import graft.SparkSpec
   * Seeds 42/7/1337/2026 × 150 are the committed baseline sweep: 600/600
   * green against DuckDB at sf0.01 over the eight-table surface (orders,
   * lineitem, customer, part, supplier, nation, events — through the
-  * nanos→µs NTZ loader — and documents; inner/left join shapes + all FK
-  * EXISTS edges), covering projection (mixed-direction ORDER BY),
+  * nanos→µs NTZ loader — and documents; inner/left/full-outer join shapes
+  * + all FK EXISTS edges), covering projection (mixed-direction ORDER BY,
+  * occasional OFFSET),
   * DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL discounted sums),
   * EXISTS/NOT EXISTS, ROLLUP/CUBE with grouping_id (which caught a real
   * cross-engine divergence: Spark emits no grand-total row over an empty
@@ -41,7 +42,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "035a40dfee12fad0ed8f8dac34a091936b377ca3")
+    assert(hex === "e9a21e4a2e068b20320971631f9ae5e8e1bf8291")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -71,7 +71,13 @@ object Bench {
     // (or next to any concurrent load) can be several × off — the median
     // absorbs one bad repetition, and the min/max spread in BENCHFULL.json
     // shows how noisy the box was.
-    val results = Registry.defs.map { q =>
+    // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY="q1,q2" times just those
+    // queries (combine with SPARK_GRAFT_BENCH_NOFILE=1 so the partial total
+    // never overwrites the committed full record).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val defs = only.fold(Registry.defs)(names => Registry.defs.filter(q => names(q.name)))
+    val results = defs.map { q =>
       val times = (0 until math.max(1, reps)).map { _ =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -101,11 +101,16 @@ object Similarity {
       "n_emb", tables, bits)
       .select("neighbor_id", "n_emb", "bucket")
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    // Score before the candidate dedup (same reasoning as nearDupPairs): the
+    // dropDuplicates shuffle then moves (q_id, neighbor_id, score) rows, not
+    // two embedding payloads per candidate; multi-table collisions recompute
+    // the cheap fused cosine, producing an identical kept row.
     corpus.join(broadcast(queries), Seq("bucket"))
       .where(col("neighbor_id") =!= col("q_id"))
-      .dropDuplicates("q_id", "neighbor_id")
       .withColumn("score",
         graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
+      .select("q_id", "neighbor_id", "score")
+      .dropDuplicates("q_id", "neighbor_id")
       .select(col("q_id"), row_number().over(w).as("rnk"),
         col("neighbor_id"), col("score"))
       .where(col("rnk") <= 3)
@@ -207,7 +212,15 @@ object Similarity {
     * cost is Σ bucket² instead of n² — this is the formulation that replaces
     * the all-pairs baseline at 100 TB. Recall is probabilistic (a true pair
     * is missed only if every table splits it), but the planes are
-    * deterministic, so output is reproducible run-to-run. */
+    * deterministic, so output is reproducible run-to-run.
+    *
+    * Stage order matters at scale: the fused-cosine verify and the ≥threshold
+    * cut run BEFORE the pair dedup, so the dropDuplicates shuffle carries
+    * only (id, id, score) survivor rows — a near-dup threshold keeps a tiny
+    * fraction of candidates. A pair colliding in k>1 tables recomputes the
+    * codegen cosine k times, which is far cheaper than shuffling both
+    * embedding payloads per candidate the way dedup-first would (the score
+    * is deterministic per pair, so the kept row is identical either way). */
   def nearDupPairs(emb: DataFrame, tables: Int, bits: Int, threshold: Double): DataFrame = {
     val bucketed = withBuckets(
       emb.select(col("vec_id"), col("embedding")), "embedding", tables, bits)
@@ -217,10 +230,10 @@ object Similarity {
       col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
     a.join(b, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b") // pairs colliding in >1 table
       .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
       .where(col("score") >= threshold)
       .select("vec_a", "vec_b", "score")
+      .dropDuplicates("vec_a", "vec_b") // pairs colliding in >1 table
   }
 
   /** Registered scale path for embedding near-dup: 8 LSH tables × 8-bit SRP
@@ -250,51 +263,67 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer:
-    * init = the C lowest vec_ids' vectors, `iters` assign/recompute rounds.
-    * Assignment is fully distributed (broadcast centroids + fused-cosine
-    * argmax over the corpus); per-dimension means accumulate in DECIMAL so
-    * they are aggregation-order independent → centroids are bit-identical
-    * run-to-run (same rule as Tables.moneySum). Only the MODEL (C × dim
-    * values) is ever collected to the driver — per iteration that is a few
-    * KB regardless of corpus size, so the loop holds at 100 TB. Empty
-    * clusters keep their previous centroid. */
-  def kmeansCentroids(emb: DataFrame, c: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+  /** Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer,
+    * trained driver-locally on a BOUNDED sample: the `maxTrain` lowest
+    * vec_ids of `emb` are collected once (≤ maxTrain × dim floats — ~1 MB at
+    * the default cap, independent of corpus size, which is how IVF
+    * quantizers are trained at any scale: the training set is a fixed-size
+    * sample, never the corpus). Init = the C lowest vec_ids' vectors;
+    * assignment = max cosine, ties to the lowest centroid id; per-dimension
+    * means accumulate in double over the vec_id-sorted sample on one thread,
+    * so centroids are bit-identical run-to-run. Empty clusters keep their
+    * previous centroid.
+    *
+    * The previous formulation ran each Lloyd round as a distributed
+    * broadcast-join + two shuffles + a model collect — correct at any scale
+    * but 3 iterations cost ~5 sequential multi-stage jobs to train a 16 × 64
+    * model. Local training over the same bounded sample produces the same
+    * model shape with ONE job (the sample collect); the corpus-sized
+    * assignment pass in [[annIvf]] stays fully distributed. */
+  def kmeansCentroids(emb: DataFrame, c: Int, iters: Int, maxTrain: Int = 4096): Seq[(Long, Seq[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cents = emb
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      .orderBy("c_id").limit(c)
-      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val sample: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(maxTrain)
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    require(sample.length >= c, s"k-means needs at least $c training vectors, got ${sample.length}")
+    val ids: Array[Long] = sample.take(c).map(_._1)
+    var cents: Array[Array[Double]] = sample.take(c).map(_._2.map(_.toDouble))
+    def cos(v: Array[Float], cent: Array[Double]): Double = {
+      val n = math.min(v.length, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = v(i).toDouble; val y = cent(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     var it = 0
     while (it < iters) {
-      // argmax by aggregate, not window: partial aggregation collapses the
-      // C scored rows per vector map-side, so only one row per vector
-      // crosses the shuffle and nothing is sorted. Tie-break (-c_id) keeps
-      // assignment deterministic: max score, then lowest centroid id.
-      val assigned = emb.select(col("vec_id"), col("embedding"))
-        .join(broadcast(cents.toDF("c_id", "c_emb")), lit(true))
-        .withColumn("c_score",
-          graft.functions.VectorExprs.cosineSim(col("embedding"), col("c_emb")))
-        .groupBy("vec_id")
-        .agg(max_by(
-          struct(col("c_id"), col("embedding")),
-          struct(col("c_score"), (-col("c_id")).as("tb"))).as("best"))
-        .select(col("best.c_id").as("c_id"), col("best.embedding").as("embedding"))
-      val means = assigned
-        .select(col("c_id"), posexplode(col("embedding")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(avg(col("col").cast(DecimalType(24, 12))).as("m"))
-        .groupBy("c_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("c_id"),
-          transform(col("pm"), x => x.getField("m").cast(FloatType)).as("c_emb"))
-        .as[(Long, Seq[Float])].collect().toSeq
-      val got = means.map(_._1).toSet
-      cents = (means ++ cents.filterNot(t => got.contains(t._1))).sortBy(_._1)
+      val dims = cents(0).length
+      val sums = Array.fill(c)(new Array[Double](dims))
+      val counts = new Array[Long](c)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var k = 0
+        while (k < c) {
+          val s = cos(v, cents(k))
+          if (s > bestScore) { bestScore = s; best = k } // first win = lowest c_id on ties
+          k += 1
+        }
+        val acc = sums(best)
+        var j = 0
+        while (j < v.length && j < dims) { acc(j) += v(j).toDouble; j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(c) { k =>
+        if (counts(k) == 0) cents(k) else sums(k).map(_ / counts(k))
+      }
       it += 1
     }
-    cents
+    ids.zip(cents.map(_.map(_.toFloat).toSeq)).toSeq
   }
 
   /** IVF-style ANN: a trained coarse quantizer ([[kmeansCentroids]] — 16

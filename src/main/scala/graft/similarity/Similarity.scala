@@ -332,51 +332,45 @@ object Similarity {
     * nearest centroid lists and rerank exactly. The inverted-list shape is
     * the 100 TB path: a query scores |corpus| · nprobe / C vectors instead
     * of the whole corpus. noOracle (approximate by construction);
-    * spec-tested against brute force. */
+    * spec-tested against brute force.
+    *
+    * Plan shape: the trained model rides map-side inside a
+    * [[graft.functions.NearestCentroids]] expression, so the corpus
+    * assignment is a pure projection — no centroid cross-join, no
+    * assignment shuffle (a previous formulation expanded every corpus row
+    * C× against a broadcast centroid table and shuffled the whole corpus
+    * through a groupBy/max_by to pick the argmax; assignments and scores
+    * are bit-identical either way). Final per-query top-k uses the bounded
+    * [[graft.functions.TopKAgg]], so at most k candidates per query per
+    * partition cross the one remaining shuffle. */
   val annIvf: QueryDef = QueryDef.noOracle("c18_ann_ivf", "C18") { (s, d) =>
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
     // Train the quantizer on a deterministic 1-in-4 corpus sample — at scale
     // Lloyd iterations never see the full corpus; only the single final
     // assignment pass does. pmod keeps the sample reproducible.
     val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
-    val centroids = kmeansCentroids(sample, c = 16, iters = 3).toDF("c_id", "c_emb")
-    def nearestCentroids(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids), lit(true))
-        .withColumn("c_score",
-          graft.functions.VectorExprs.cosineSim(col(embCol), col("c_emb")))
-        .select(col(idCol), col(embCol), col("c_id"), col("c_score"))
-      if (keep == 1)
-        // The corpus-sized assignment: argmax by max_by aggregate (map-side
-        // partial, no sort) — same deterministic tie-break as kmeans above.
-        scored.groupBy(idCol)
-          .agg(max_by(
-            struct(col(embCol), col("c_id")),
-            struct(col("c_score"), (-col("c_id")).as("tb"))).as("best"))
-          .select(col(idCol), col(s"best.$embCol").as(embCol), col("best.c_id").as("c_id"))
-      else {
-        // The query side is tiny (a handful of probe rows) — a window is fine.
-        val w = Window.partitionBy(idCol).orderBy(col("c_score").desc, col("c_id"))
-        scored.withColumn("c_rank", row_number().over(w))
-          .where(col("c_rank") <= keep)
-          .drop("c_score", "c_rank")
-      }
-    }
-    val corpus = nearestCentroids(
-      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
-      "neighbor_id", "n_emb", keep = 1) // each vector lives in ONE list
-    val queries = nearestCentroids(
-      emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_id", "q_emb", keep = 4) // probe the 4 nearest lists
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    val model = kmeansCentroids(sample, c = 16, iters = 3)
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .withColumn("c_id", element_at( // each vector lives in ONE list
+        graft.functions.VectorExprs.nearestCentroids(col("n_emb"), model, keep = 1), 1))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("c_id", explode( // probe the 4 nearest lists
+        graft.functions.VectorExprs.nearestCentroids(col("q_emb"), model, keep = 4)))
+    val topk = udaf(new graft.functions.TopKAgg(3))
     corpus.join(broadcast(queries), Seq("c_id"))
       .where(col("neighbor_id") =!= col("q_id"))
       .withColumn("score",
         graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
-      .select(col("q_id"), row_number().over(w).as("rnk"),
-        col("neighbor_id"), col("score"))
-      .where(col("rnk") <= 3)
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("col._2").as("neighbor_id"),
+        col("col._1").as("score"))
       .orderBy("q_id", "rnk")
   }
 

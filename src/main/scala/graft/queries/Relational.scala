@@ -285,6 +285,30 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** C9: exact quantiles per group — `percentile` (linear interpolation at
+    * rank (n−1)·p, the same convention as DuckDB `quantile_cont`). Exact
+    * quantiles need the group's values materialized per aggregate — at
+    * 100 TB the scale formulation is `approx_percentile` (a mergeable
+    * sketch, map-side partial like any hash agg); the exact form here is
+    * the oracle anchor the sketch twin would be compared against. */
+  val c9Quantiles: QueryDef = QueryDef(
+    "c9_quantiles", "C9",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.9) AS qty_p90,
+      |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
+      |  quantile_cont(l_discount, 0.5) AS disc_p50
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("qty_p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("qty_p90"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"),
+        percentile(col("l_discount"), lit(0.5)).as("disc_p50"))
+      .orderBy("l_returnflag")
+  }
+
   /** C10: exact distinct counts (expands to two aggregate passes). */
   val c10Distinct: QueryDef = QueryDef(
     "c10_count_distinct", "C10",
@@ -348,6 +372,40 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         col("cnt"))
+      .orderBy("gid", "priority", "status")
+  }
+
+  /** C11: explicit GROUPING SETS — a set list a rollup/cube can't express
+    * ((priority, status), (priority), (status): partial subtotals along both
+    * axes, no grand total). Same expansion-then-hash-aggregate plan shape as
+    * rollup/cube: each input row is replicated once per matching set
+    * map-side, then one shuffle on the (gid, keys) aggregate. */
+  val c11GroupingSets: QueryDef = QueryDef(
+    "c11_grouping_sets", "C11",
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus))
+      |ORDER BY gid, priority, status""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        moneySum(col("o_totalprice")).as("price_sum"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("price_sum"))
       .orderBy("gid", "priority", "status")
   }
 
@@ -855,8 +913,10 @@ object Relational {
     c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
     c4ShuffleJoin, c4SaltedJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
-    c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c10Distinct, c10Approx,
-    c11Rollup, c11Cube, c11Pivot, c12Window, c12RangeFrame, c12Ntile,
+    c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Quantiles,
+    c10Distinct, c10Approx,
+    c11Rollup, c11Cube, c11Pivot, c11GroupingSets,
+    c12Window, c12RangeFrame, c12Ntile,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,

@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Conf-gated (spark.graft.rangeJoin.binWidth): inert until a bin width
+    // is chosen, so injection is always safe.
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - fused cosine similarity"),

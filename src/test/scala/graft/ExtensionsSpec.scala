@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** GraftExtensions: the custom expressions are callable from plain SQL. */
@@ -31,5 +32,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) === 2) // "a b c", "b c d"
     assert(row.getInt(4) === 16)
     assert(row.getInt(5) === 4)
+  }
+
+  test("RangeBinJoinRule rewrites a pure band join to a binned equi-join") {
+    import spark.implicits._
+    val fact = (0L until 500L).map(i => (i, (i * 7) % 100)).toDF("id", "v")
+    val ranges = Seq(
+      ("low", 0L, 30L), ("mid", 25L, 60L), ("high", 55L, 99L), ("empty", 200L, 210L))
+      .toDF("name", "lo", "hi")
+    val cond = col("v") >= col("lo") && col("v") <= col("hi")
+    def run() = fact.join(ranges, cond)
+      .select("id", "v", "name").orderBy("id", "name").collect().toSeq
+
+    val baseline = run() // conf unset: rule inert, nested-loop plan
+    spark.conf.set(graft.plans.RangeBinJoinRule.BinWidthConf, "16")
+    try {
+      val rewritten = fact.join(ranges, cond)
+      val optimized = rewritten.queryExecution.optimizedPlan.toString
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(optimized.contains("_graft_bin"), optimized)
+      assert(!physical.contains("NestedLoop") && !physical.contains("Cartesian"), physical)
+      assert(run() === baseline)
+    } finally spark.conf.unset(graft.plans.RangeBinJoinRule.BinWidthConf)
+  }
+
+  test("RangeBinJoinRule leaves equi and same-side-band joins alone") {
+    import spark.implicits._
+    spark.conf.set(graft.plans.RangeBinJoinRule.BinWidthConf, "16")
+    try {
+      val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      val b = Seq((1L, 5L, 15L), (2L, 0L, 3L)).toDF("k", "lo", "hi")
+      // equi conjunct present: the join is already shuffle-able — no rewrite
+      val equi = a.join(b, a("k") === b("k") && a("v") >= b("lo") && a("v") <= b("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+      assert(equi.select(a("k")).orderBy(a("k")).as[Long].collect().toSeq === Seq(1L))
+      // both bounds reference the same side: not a band join — no rewrite
+      val sameSide = a.join(b, b("lo") <= b("hi") && a("v") >= b("lo"))
+      assert(!sameSide.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+    } finally spark.conf.unset(graft.plans.RangeBinJoinRule.BinWidthConf)
   }
 }

@@ -9,9 +9,12 @@
 # customer/part/supplier/nation/events/documents), covering projection
 # (mixed-direction
 # ORDER BY) / DISTINCT / aggregate / HAVING / DECIMAL discounted sums /
+# exact interpolated quantiles (percentile vs quantile_cont) /
 # EXISTS / set-op / windowed-top-k / as-of join (ScaleOps.asofJoin vs
 # DuckDB max_by) / binned range join (random bin widths vs binless
-# oracle) / salted join (vs plain equi-join) / CASE WHEN / COALESCE /
+# oracle, half the draws through the declarative band join rewritten by
+# RangeBinJoinRule) / salted join (vs plain equi-join) / ROLLUP / CUBE /
+# random GROUPING SETS / CASE WHEN / COALESCE /
 # date_trunc shapes; seed 42 also 150/150 at sf0.1.
 set -euo pipefail
 SEED=${1:-42}

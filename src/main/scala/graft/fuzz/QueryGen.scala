@@ -462,18 +462,28 @@ object QueryGen {
         s"min(${c.name}) AS $alias")
       else E(max(col(c.name)).as(alias), s"max(${c.name}) AS $alias")
     }
+    // exact interpolated quantile: Spark percentile and DuckDB
+    // quantile_cont share the (n-1)·p linear-interpolation convention
+    // (parity proven by c9_quantiles), both → DOUBLE for any numeric input
+    def quantile(): E = {
+      val p = pick(r, Seq("0.1", "0.25", "0.5", "0.75", "0.9"))
+      E(percentile(col(c.name), lit(p.toDouble)).as(alias),
+        s"quantile_cont(${c.name}, $p) AS $alias")
+    }
     c.kind match {
       case KLong | KInt =>
-        r.nextInt(3) match {
+        r.nextInt(4) match {
           case 0 => minMax()
           case 1 => E(countDistinct(col(c.name)).as(alias),
             s"count(DISTINCT ${c.name}) AS $alias")
+          case 2 => quantile()
           case _ => E(sum(col(c.name)).as(alias),
             s"CAST(sum(${c.name}) AS BIGINT) AS $alias")
         }
       case KIntDouble =>
-        r.nextInt(3) match {
+        r.nextInt(4) match {
           case 0 => minMax()
+          case 1 => quantile()
           case _ => E(sum(col(c.name)).as(alias),
             s"sum(${c.name}) AS $alias")
         }
@@ -493,6 +503,7 @@ object QueryGen {
                 s"(CAST(1.00 AS DECIMAL(3,2)) - " +
                 s"CAST(${b.name} AS DECIMAL(4,2)))) AS DOUBLE) AS $alias")
           case 0 => minMax()
+          case 3 => quantile()
           case 1 =>
             // exact mean: DECIMAL sum ÷ count, identical division both sides
             E((sum(col(c.name).cast(DecimalType(14, 2))).cast(DoubleType) /
@@ -717,14 +728,26 @@ object QueryGen {
         s"FROM range(0, $n) t(i)) r " +
         s"ON l_extendedprice >= lo AND l_extendedprice < hi " +
         s"GROUP BY range_id"
+    // half the draws go through the explicit operator, half through the
+    // declarative band join + RangeBinJoinRule rewrite (the Fuzz session
+    // installs GraftExtensions) — both against the same binless oracle
+    val viaRule = r.nextBoolean()
     FuzzQuery(name, sql, (s, d) => {
       val ranges = s.range(0, n).select(
         col("id").as("range_id"),
         (col("id") * stride).as("lo"),
         (col("id") * stride + width).as("hi"))
-      graft.operators.ScaleOps.rangeBinJoin(
-          Tables.lineitem(s, d), ranges, "l_extendedprice", "lo", "hi",
-          binWidth)
+      val joined = if (viaRule) {
+        // conf stays set while THIS query's plan optimizes/executes; the
+        // next rule-mode query overwrites it with its own width
+        s.conf.set(graft.plans.RangeBinJoinRule.BinWidthConf, binWidth.toString)
+        Tables.lineitem(s, d).join(ranges,
+          col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") < col("hi"))
+      } else graft.operators.ScaleOps.rangeBinJoin(
+        Tables.lineitem(s, d), ranges, "l_extendedprice", "lo", "hi",
+        binWidth)
+      joined
         .groupBy("range_id")
         .agg(count(lit(1)).as("a0"),
           min(col("l_extendedprice")).as("a1"),
@@ -862,10 +885,22 @@ object QueryGen {
           val keys = keysRaw.map { case (c, s0, a) => E(c.as(a), s"$s0 AS $a") }
           val having = keys.nonEmpty && r.nextInt(4) == 0
           // grouping-set variant: 25% of keyed HAVING-less aggregates run
-          // as ROLLUP or CUBE; grouping_id disambiguates rollup nulls from
-          // real nulls so the hash compare needs no COALESCE
+          // as ROLLUP, CUBE, or explicit GROUPING SETS; grouping_id
+          // disambiguates rollup nulls from real nulls so the hash compare
+          // needs no COALESCE
           val setOp = if (keys.nonEmpty && !having && r.nextInt(4) == 0)
-            Some(pick(r, Seq("ROLLUP", "CUBE"))) else None
+            Some(pick(r, Seq("ROLLUP", "CUBE", "SETS"))) else None
+          // for SETS: 2–3 distinct random subsets of the keys (bitmask-
+          // deduped; may include the empty grand-total set)
+          val setsIdx: Seq[Seq[Int]] =
+            if (setOp.contains("SETS")) {
+              val space = 1 << keys.size
+              val want = math.min(2 + r.nextInt(2), space)
+              val masks = scala.collection.mutable.LinkedHashSet.empty[Int]
+              while (masks.size < want) masks += r.nextInt(space)
+              masks.toSeq.map(m =>
+                (0 until keys.size).filter(i => (m & (1 << i)) != 0))
+            } else Nil
           val nAggs = 1 + r.nextInt(3)
           // a0 is always count(*): it anchors the HAVING clause and makes
           // every aggregate row self-describing in mismatch triage
@@ -878,6 +913,10 @@ object QueryGen {
           val selSql = gidSql +
             (keys.map(_.sql) ++ aggs.map(_.sql)).mkString(", ")
           val groupSql = setOp match {
+            case Some("SETS") =>
+              val sets = setsIdx.map(s =>
+                s"(${s.map(i => keysRaw(i)._2).mkString(", ")})")
+              s" GROUP BY GROUPING SETS (${sets.mkString(", ")})"
             case Some(op) => s" GROUP BY $op($rawList)"
             case None if keys.isEmpty => ""
             case None => s" GROUP BY ${(1 to keys.size).mkString(", ")}"
@@ -902,6 +941,19 @@ object QueryGen {
                 df1.rollup(keys.map(_.spark): _*)
                   .agg(grouping_id().cast(LongType).as("gid"),
                     (aggs.map(_.spark)): _*)
+              case Some("SETS") =>
+                // RAW key exprs in both the sets and the grouping cols
+                // (an aliased col in either position makes the analyzer
+                // mint an extra grouping column → wrong grouping_id);
+                // the output is renamed positionally instead: grouping
+                // cols first, then the agg list
+                df1.groupingSets(
+                    setsIdx.map(_.map(i => keysRaw(i)._1)),
+                    keysRaw.map(_._1): _*)
+                  .agg(grouping_id().cast(LongType).as("gid"),
+                    (aggs.map(_.spark)): _*)
+                  .toDF(keysRaw.map(_._3) ++ ("gid" +:
+                    (0 to nAggs).map(j => s"a$j")): _*)
               case Some(_) =>
                 df1.cube(keys.map(_.spark): _*)
                   .agg(grouping_id().cast(LongType).as("gid"),

@@ -15,15 +15,20 @@ import graft.SparkSpec
   * + all FK EXISTS edges), covering projection (mixed-direction ORDER BY,
   * occasional OFFSET),
   * DISTINCT, aggregate/HAVING (incl. c9-style DECIMAL discounted sums),
-  * EXISTS/NOT EXISTS, ROLLUP/CUBE with grouping_id (which caught a real
+  * EXISTS/NOT EXISTS, ROLLUP/CUBE/random GROUPING SETS with grouping_id
+  * (which caught a real
   * cross-engine divergence: Spark emits no grand-total row over an empty
-  * input where DuckDB does — equalized oracle-side),
+  * input where DuckDB does — equalized oracle-side; and an API trap:
+  * aliased cols passed to Dataset.groupingSets mint a phantom grouping
+  * column, so the fuzzer groups on raw exprs and renames positionally),
+  * exact interpolated quantiles (percentile vs quantile_cont),
   * UNION/INTERSECT/EXCEPT, windowed top-k, as-of joins
   * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join + max_by
   * form), binned range joins (ScaleOps.rangeBinJoin under random bin
-  * widths vs the binless inequality-join oracle), salted joins (vs the
-  * plain equi-join), CASE WHEN / COALESCE / string-concat / date_trunc
-  * expressions. If this spec's
+  * widths vs the binless inequality-join oracle — half the draws through
+  * the declarative band join rewritten by RangeBinJoinRule), salted
+  * joins (vs the plain equi-join), CASE WHEN / COALESCE / string-concat /
+  * date_trunc expressions. If this spec's
   * pinned SQL hash changes, the generator changed and the sweep must be
   * re-run before trusting it.
   */
@@ -42,7 +47,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "e9a21e4a2e068b20320971631f9ae5e8e1bf8291")
+    assert(hex === "edf32920d2d8d4a0947d2b2d3c60457d546ffe9e")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

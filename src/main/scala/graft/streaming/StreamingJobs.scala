@@ -99,6 +99,31 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "ingest_ts", "n_tokens", "fp")
 
+  /** C16: stream-stream interval join — attribute each purchase to the
+    * clicks by the same user in the preceding 30 minutes. Both inputs
+    * carry watermarks and the join condition bounds the event-time
+    * distance, so each side's state store retains only rows within
+    * watermark + interval horizon — the shape Spark requires before it
+    * will run an append-mode stream-stream join at all, and the one that
+    * keeps state finite on an unbounded feed. The join shuffles both
+    * streams by user_id, so state and matching scale out with the key
+    * space (no per-executor hotspot). */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ---------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -90,6 +90,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted === Seq(1L, 2L))
   }
 
+  test("C16 stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val pDf = purchases.toDF().toDF("user_id", "event_id", "ts")
+    clicks.addData(
+      (1L, 100L, ts("2024-01-01 10:00:00")),  // matched by purchase 200
+      (1L, 101L, ts("2024-01-01 10:10:00")),  // matched by purchase 200
+      (2L, 102L, ts("2024-01-01 09:00:00")),  // >30 min before purchase 201
+      (3L, 103L, ts("2024-01-01 10:30:00")))  // AFTER purchase 202: no match
+    purchases.addData(
+      (1L, 200L, ts("2024-01-01 10:20:00")),
+      (2L, 201L, ts("2024-01-01 10:00:00")),
+      (3L, 202L, ts("2024-01-01 10:15:00")))
+    runToMemory(
+      StreamingJobs.clickPurchaseAttribution(cDf, pDf),
+      "attribution", OutputMode.Append())
+    val got = spark.table("attribution")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 200L), (101L, 200L)))
+  }
+
   test("C17/C19 streaming curation gates and fingerprint-dedups a document stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

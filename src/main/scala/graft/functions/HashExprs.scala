@@ -323,4 +323,42 @@ object HashExprs {
   /** 64-bit SimHash of a token array. */
   def simhashSig(tokens: Column): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(tokens)))
+
+  /** Bloom-filter membership probe over a string column. */
+  def bloomMightContain(s: Column, filterBytes: Array[Byte]): Column =
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(s), filterBytes))
+}
+
+/** Membership probe against a pre-built `org.apache.spark.util.sketch`
+  * Bloom filter that rides serialized inside the expression — the compact
+  * broadcast shape for membership pre-gates at scale: a benchmark gram set
+  * of millions of entries compresses to a fixed-size bit array (~100 KB at
+  * 2^17 items / 3% fpp) instead of a broadcast hash relation. False
+  * positives are possible by construction, so a registered query must pair
+  * the probe with an exact verify (join) downstream — the probe only
+  * shrinks what reaches the shuffle; it never decides membership alone.
+  *
+  * Hashing matches the sketch library's `mightContainString` (murmur over
+  * UTF-8 bytes), applied to the UTF8String's bytes directly — no
+  * per-row String materialization.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def compute(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
 }

@@ -145,6 +145,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bloom-gated twin of [[decontaminate]] — identical result, same
+    * oracle. The benchmark gram set is distilled into a ~100 KB Bloom
+    * filter (2^17 capacity, 3% fpp) that rides inside a
+    * [[graft.functions.BloomMightContain]] codegen expression, and the
+    * corpus gram stream is pre-gated by the probe BEFORE the shuffle join;
+    * the exact join then removes the filter's false positives, so the
+    * result is provably equal to the baseline. This is the 100 TB shape:
+    * at a realistic benchmark-suite size the exact gram set is tens of
+    * millions of strings (too big to broadcast as a hash relation to every
+    * executor), while the Bloom bit array stays fixed-size — only rows
+    * that might match ever reach the shuffle. */
+  val decontaminateBloom: QueryDef = QueryDef(
+    "pipeline_decontaminate_bloom", "C17 C20 north_star-pipeline",
+    decontaminate.oracle.get) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shingles(col("text"))).as("g"))
+    val bench = grams.where(col("doc_id") % 100 === 0).select("g").distinct()
+    val bf = bench.stat.bloomFilter("g", 1 << 17, 0.03)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    grams.where(col("doc_id") % 100 =!= 0)
+      .where(graft.functions.HashExprs.bloomMightContain(col("g"), bytes))
+      .join(bench, Seq("g")) // exact verify: removes Bloom false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val split — assignment must be a pure function of
     * the record (reproducible across runs, engines, and re-shards), so the
     * split key is a content-independent md5 of the doc id: first two hex
@@ -208,6 +241,6 @@ object Curation {
   }
 
   val all: Seq[QueryDef] = Seq(
-    curateDocs, piiRedact, decontaminate, trainValSplit,
+    curateDocs, piiRedact, decontaminate, decontaminateBloom, trainValSplit,
     repetitionScore, stratifiedSample)
 }

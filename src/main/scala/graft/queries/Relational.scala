@@ -309,6 +309,23 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** C9: sketch twin of [[c9Quantiles]] — `approx_percentile` is a
+    * mergeable map-side-partial sketch (no per-group value
+    * materialization), the formulation that survives a 100 TB group.
+    * Sketch values are engine-specific → rows-only; RelationalQuerySpec
+    * asserts each approx value lands within the exact column's per-group
+    * [min, max] envelope computed by the green twin. */
+  val c9QuantilesApprox: QueryDef = QueryDef.noOracle(
+    "c9_quantiles_approx", "C9 C10") { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("qty_p50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("qty_p90"),
+        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("price_p25"))
+      .orderBy("l_returnflag")
+  }
+
   /** C10: exact distinct counts (expands to two aggregate passes). */
   val c10Distinct: QueryDef = QueryDef(
     "c10_count_distinct", "C10",
@@ -914,7 +931,7 @@ object Relational {
     c4ShuffleJoin, c4SaltedJoin,
     c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Quantiles,
-    c10Distinct, c10Approx,
+    c9QuantilesApprox, c10Distinct, c10Approx,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets,
     c12Window, c12RangeFrame, c12Ntile,
     c13TopK, c13TopKPerGroup,

@@ -97,4 +97,13 @@ class CurationSpec extends SparkSpec {
     val total = graft.Tables.documents(spark, sf).count()
     assert(n > 0 && n < total) // the gates actually select
   }
+
+  test("bloom-gated decontamination equals the exact baseline") {
+    val exact = Curation.decontaminate.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bloom = Curation.decontaminateBloom.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom === exact) // probe only pre-gates; the join removes FPs
+  }
 }

@@ -178,6 +178,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** CDC-style incremental snapshot merge — the upsert shape every
+    * periodically-refreshed corpus needs on an append-only store: classify
+    * each key as inserted (batch only), updated (both sides), or carried
+    * (previous snapshot only), and emit the merged value. Simulated
+    * deterministically from orders: the previous snapshot is every key
+    * with o_orderkey % 10 <> 0, the incoming batch re-delivers every key
+    * with o_orderkey % 3 = 0 at price + 10 (double add — bit-identical in
+    * both engines).
+    *
+    * Plan shape at 100 TB: ONE full-outer shuffle join on the key — the
+    * minimal data movement any merge can do when both sides are large
+    * (MERGE INTO in lakehouse engines lowers to exactly this join); the
+    * classification and value coalesce are map-side projections on the
+    * join output. */
+  val cdcMerge: QueryDef = QueryDef(
+    "pipeline_cdc_merge", "C6 north_star-pipeline",
+    """WITH old AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 10 <> 0
+      |), batch AS (
+      |  SELECT o_orderkey AS k, o_totalprice + 10.0 AS v FROM orders WHERE o_orderkey % 3 = 0
+      |)
+      |SELECT COALESCE(old.k, batch.k) AS k,
+      |  CASE WHEN old.k IS NULL THEN 'insert'
+      |       WHEN batch.k IS NULL THEN 'carry'
+      |       ELSE 'update' END AS action,
+      |  COALESCE(batch.v, old.v) AS v
+      |FROM old FULL JOIN batch ON old.k = batch.k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val old = orders.where(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("v_old"))
+    val batch = orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k_new"),
+        (col("o_totalprice") + 10.0).as("v_new"))
+    old.join(batch, col("k_old") === col("k_new"), "full_outer")
+      .select(
+        coalesce(col("k_old"), col("k_new")).as("k"),
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "carry")
+          .otherwise("update").as("action"),
+        coalesce(col("v_new"), col("v_old")).as("v"))
+      .orderBy("k")
+  }
+
   /** Deterministic train/val split — assignment must be a pure function of
     * the record (reproducible across runs, engines, and re-shards), so the
     * split key is a content-independent md5 of the doc id: first two hex
@@ -241,6 +285,6 @@ object Curation {
   }
 
   val all: Seq[QueryDef] = Seq(
-    curateDocs, piiRedact, decontaminate, decontaminateBloom, trainValSplit,
-    repetitionScore, stratifiedSample)
+    curateDocs, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
+    trainValSplit, repetitionScore, stratifiedSample)
 }

@@ -75,13 +75,14 @@ object Similarity {
 
   /** One row per (vector, LSH table): all table buckets come from one
     * [[graft.functions.SrpBuckets]] pass (deterministic implicit planes —
-    * both sides of the bucket join recompute them identically); the join
-    * key combines the table index and bucket id. */
+    * both sides of the bucket join recompute them identically). The join
+    * key is the (tbl, bkt) int pair — joining on the two ints directly
+    * beats a concatenated string key (no per-row×table string allocation,
+    * narrower shuffle key). */
   private def withBuckets(df: DataFrame, embCol: String, tables: Int, bits: Int): DataFrame =
     df.select(df.columns.map(col) :+
       posexplode(graft.functions.VectorExprs.srpBuckets(col(embCol), tables, bits)): _*)
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
-      .withColumn("bucket", concat_ws(":", col("tbl"), col("bkt")))
 
   /** Approximate top-3 neighbors via 4 LSH tables × 8-bit signatures:
     * candidates = corpus vectors sharing any table bucket with the query,
@@ -94,18 +95,18 @@ object Similarity {
       emb.where(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       "q_emb", tables, bits)
-      .select("q_id", "q_emb", "bucket")
+      .select("q_id", "q_emb", "tbl", "bkt")
     val corpus = withBuckets(
       emb.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
       "n_emb", tables, bits)
-      .select("neighbor_id", "n_emb", "bucket")
+      .select("neighbor_id", "n_emb", "tbl", "bkt")
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
     // Score before the candidate dedup (same reasoning as nearDupPairs): the
     // dropDuplicates shuffle then moves (q_id, neighbor_id, score) rows, not
     // two embedding payloads per candidate; multi-table collisions recompute
     // the cheap fused cosine, producing an identical kept row.
-    corpus.join(broadcast(queries), Seq("bucket"))
+    corpus.join(broadcast(queries), Seq("tbl", "bkt"))
       .where(col("neighbor_id") =!= col("q_id"))
       .withColumn("score",
         graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
@@ -225,10 +226,10 @@ object Similarity {
     val bucketed = withBuckets(
       emb.select(col("vec_id"), col("embedding")), "embedding", tables, bits)
     val a = bucketed.select(
-      col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      col("tbl"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = bucketed.select(
-      col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("bucket"))
+      col("tbl"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("tbl", "bkt"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
       .where(col("score") >= threshold)

@@ -73,6 +73,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("C18 scale path: IVF assignment is map-side, no corpus shuffle before the probe join") {
+    val p = plan("c18_ann_ivf")
+    // assignment = projection (nearest_centroids expression), probe join
+    // broadcasts the tiny query side; the only Exchange is the bounded
+    // top-k aggregation's — so exactly one shuffle plus the final sort's
+    assert(p.contains("nearest_centroids"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pipeline: CDC merge is one shuffle join, full-outer, no nested loop") {
+    val p = plan("pipeline_cdc_merge")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("pipeline: bloom probe filters the gram stream before the exact join") {
+    val p = plan("pipeline_decontaminate_bloom")
+    // the probe must sit on the scan side (a Filter containing the
+    // expression), not after the join
+    val filterIdx = p.indexOf("bloom_might_contain")
+    assert(filterIdx >= 0, p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scan+project pipelines") {
     // AQE finalizes (and shows codegen spans) only after execution
     val df = graft.Registry.queries("c19_token_count")(spark, sf)

@@ -291,6 +291,93 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-dup pair set by iterative min-label
+    * propagation: every vertex starts labeled with its own id and repeatedly
+    * takes the minimum label among itself and its neighbors until a
+    * fixpoint, so each duplicate cluster is identified by its smallest
+    * doc_id (the canonical survivor).
+    *
+    * Scale shape: each round is one equi-join of the (static, symmetrized)
+    * edge list against the label frame plus a min-aggregate — all shuffles
+    * keyed on uniformly distributed doc ids, no driver-side graph. Rounds
+    * needed = cluster diameter, which for near-dup clusters is tiny (dup
+    * families are near-cliques); `maxIter` bounds the loop and convergence
+    * is detected by the (monotonically decreasing) label sum, one cheap
+    * scalar action per round. `localCheckpoint` truncates the iterative
+    * lineage so plans stay constant-size. The classic alternating
+    * large-star/small-star optimization would cut rounds for deep chains;
+    * unnecessary here by the near-clique structure.
+    *
+    * @param pairs near-dup pairs (doc_a, doc_b), doc_a < doc_b
+    * @return (doc_id, cluster_id) for every doc in a cluster of size >= 2
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var labelSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_label").as("nbr_min"))
+      labels = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .localCheckpoint()
+      val nextSum = labels.agg(sum("label")).head().getLong(0)
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster assignment over the LSH-verified near-dup pairs (the pair
+    * generator whose recall-1-vs-exact premise is pinned in DedupSpec).
+    * Oracle: transitive closure of the exact-Jaccard pair set via a
+    * recursive CTE, min label per reachable set. */
+  val dedupClusters: QueryDef = QueryDef(
+    "c17_dedup_clusters", "C17",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), gr AS (SELECT doc_id, unnest(grams) AS g FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), walk AS (
+      |  SELECT src AS id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+      |)
+      |SELECT id AS doc_id, least(id, min(reach)) AS cluster_id
+      |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    connectedComponents(
+      minhashPairs(Tables.documents(s, d), k = 64, bands = 16, threshold = 0.7)
+        .select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard)
+    Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters)
 }

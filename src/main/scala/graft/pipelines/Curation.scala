@@ -284,7 +284,95 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the concat-and-split layout LLM training uses:
+    * documents are laid end-to-end in a deterministic order and cut into
+    * fixed token-budget sequences, so each doc gets the pack it starts in,
+    * its offset inside that pack, and how many packs it spans.
+    *
+    * The running token offset is a window cumulative sum PARTITIONed BY
+    * source — each source stream packs independently, so at 100 TB every
+    * partition computes its own prefix sums after one shuffle on (source)
+    * and no global single-reducer window exists. Pack ids are derived with
+    * integer arithmetic only (DIV / %), bit-identical across engines. */
+  def pack(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"),
+        col("n_tokens").cast(IntegerType).as("n_tokens"),
+        expr(s"cum_start DIV $budget").as("pack_id"),
+        (col("cum_start") % budget).as("pack_offset"),
+        (expr(s"(cum_start + n_tokens - 1) DIV $budget")
+          - expr(s"cum_start DIV $budget") + 1).cast(IntegerType).as("n_packs"))
+  }
+
+  val sequencePack: QueryDef = QueryDef(
+    "pipeline_pack", "C12 north_star-pipeline",
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+      |  FROM toks
+      |)
+      |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+      |  CAST(cum_start // 256 AS BIGINT) AS pack_id,
+      |  CAST(cum_start % 256 AS BIGINT) AS pack_offset,
+      |  CAST(((cum_start + n_tokens - 1) // 256) - (cum_start // 256) + 1 AS INT) AS n_packs
+      |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
+    pack(Tables.documents(s, d), budget = 256).orderBy("doc_id")
+  }
+
+  /** Overlapping document chunking — the RAG/embedding preprocessing shape:
+    * each doc explodes into fixed-size character windows advanced by a
+    * stride (size 500, stride 400 → 100-char overlap; the final chunk may
+    * be short). Chunk count is closed-form integer arithmetic, so the whole
+    * operator is one generate+project — no shuffle, no state, and chunk
+    * boundaries are reproducible under any re-partitioning. Emits md5 +
+    * length per chunk (not the text) to keep the verified output narrow. */
+  def chunk(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size >= stride, "chunks must cover the text (size >= stride)")
+    val nc = expr(
+      s"((greatest(length(text) - $size, 0) + ${stride - 1}) DIV $stride) + 1")
+    val chunkText = col("text").substr(col("chunk_idx") * stride + 1, lit(size))
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), (nc - 1).cast(IntegerType))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        length(chunkText).as("chunk_len"),
+        md5(chunkText).as("chunk_md5"))
+  }
+
+  val chunkDocs: QueryDef = QueryDef(
+    "pipeline_chunk", "C15 north_star-pipeline",
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    ((greatest(length(text) - 500, 0) + 399) // 400) + 1 AS nc
+      |  FROM documents
+      |), ch AS (
+      |  SELECT doc_id, text, unnest(range(0, nc)) AS ci FROM base
+      |)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  CAST(ci * 400 AS INT) AS chunk_start,
+      |  CAST(length(substr(text, CAST(ci * 400 + 1 AS INT), 500)) AS INT) AS chunk_len,
+      |  md5(substr(text, CAST(ci * 400 + 1 AS INT), 500)) AS chunk_md5
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    chunk(Tables.documents(s, d), size = 500, stride = 400)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
-    trainValSplit, repetitionScore, stratifiedSample)
+    trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs)
 }

@@ -131,6 +131,26 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** C5 via the SQL surface: correlated EXISTS + NOT EXISTS arriving as
+    * query text — Catalyst's RewritePredicateSubquery de-correlates both
+    * into a left-semi and a left-anti join, so the physical plan is the
+    * same two hash joins as the dataset-API twins above (no per-row
+    * subquery re-execution at any scale). Identical SQL runs on both
+    * engines. */
+  val c5ExistsCorrelated: QueryDef = {
+    val sql =
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin
+    QueryDef("c5_exists_correlated", "C5 §3.3", sql) { (s, d) =>
+      graft.Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
   /** C6: left outer join with null-extension folded into the aggregate. */
   val c6LeftOuter: QueryDef = QueryDef(
     "c6_left_outer_join", "C6",
@@ -929,7 +949,8 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
     c4ShuffleJoin, c4SaltedJoin,
-    c5SemiJoin, c5AntiJoin, c6LeftOuter, c6RightOuter, c6FullOuter,
+    c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
+    c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Quantiles,
     c9QuantilesApprox, c10Distinct, c10Approx,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets,

@@ -95,4 +95,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(keep === Set(2L, 9L))
   }
+
+  test("connected components labels a chain, a separate pair, and needs >1 round") {
+    import spark.implicits._
+    // 10-20-30-40 is a path (diameter 3: the min label needs several rounds
+    // to walk to the far end), 100-200 is an island; both resolve to their
+    // smallest member.
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 200L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      100L -> 100L, 200L -> 100L))
+    // maxIter below the path diameter must NOT be enough — pins that the
+    // loop really iterates rather than solving everything in one pass
+    val early = Dedup.connectedComponents(pairs, maxIter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early(40L) === 30L) // one round: 40 only sees its neighbor 30
+  }
+
+  test("registered cluster query groups every verified near-dup pair") {
+    val pairs = Dedup.minhashPairs(
+      graft.Tables.documents(spark, sf), k = 64, bands = 16, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b)) // paired docs land in one cluster
+    }
+    clusters.foreach { case (id, c) => assert(c <= id) } // min-label canonical
+  }
 }

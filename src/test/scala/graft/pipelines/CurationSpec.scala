@@ -106,4 +106,39 @@ class CurationSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(bloom === exact) // probe only pre-gates; the join removes FPs
   }
+
+  test("sequence packing assigns contiguous offsets and spans pack boundaries") {
+    import spark.implicits._
+    // 3 docs of 6 tokens in one source, budget 10: doc 2 starts at offset 6
+    // and spans the 10-token boundary into pack 1; doc 3 starts in pack 1.
+    val docs = Seq(
+      (1L, "s", "a b c d e f"),
+      (2L, "s", "g h i j k l"),
+      (3L, "s", "m n o p q r"),
+      (4L, "t", "lone doc in its own source stream"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.pack(docs, budget = 10).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out(1L) === ((0L, 0L, 1)))  // fits pack 0
+    assert(out(2L) === ((0L, 6L, 2)))  // starts pack 0 offset 6, spans into 1
+    assert(out(3L) === ((1L, 2L, 1)))  // continues pack 1
+    assert(out(4L) === ((0L, 0L, 1)))  // other source packs independently
+  }
+
+  test("chunking covers the text with the declared overlap and a short tail") {
+    import spark.implicits._
+    val text = ("x" * 950) + "END"     // 953 chars
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val out = Curation.chunk(docs, size = 500, stride = 400)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 953 chars, size 500 stride 400 → chunks at 0, 400, 800 (tail 153)
+    assert(d1.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(d1.map(_.getInt(2)).toSeq === Seq(0, 400, 800))
+    assert(d1.map(_.getInt(3)).toSeq === Seq(500, 500, 153))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2.head.getInt(3) === 5)
+    // coverage: last chunk reaches the end of the text (800 + 153 = 953)
+    assert(d1.last.getInt(2) + d1.last.getInt(3) === text.length)
+  }
 }

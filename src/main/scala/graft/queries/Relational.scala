@@ -367,6 +367,41 @@ object Relational {
       approx_count_distinct(col("l_suppkey")).as("supp_cnt_approx"))
   }
 
+  /** C10 frequency sketch: hot-key detection with a Misra–Gries summary.
+    * The key column is the events user id with every third user collapsed
+    * into 7 hot keys (deterministic planted skew — the testdata is uniform;
+    * same device as c4_salted_join), each carrying ~5% of all rows. The
+    * sketch scans once with ≤ 256 counters per partition and emits a
+    * candidate set guaranteed to contain every key above N/257 of the
+    * stream; candidates (≤ 256 rows, broadcast) are then recounted exactly
+    * and thresholded at N/64 on TRUE counts, so the output is exact —
+    * the sketch only bounds memory and shuffle, never the answer. This is
+    * the detector a 100 TB join planner runs to pick salting keys before
+    * shuffling. Oracle: the plain GROUP BY + HAVING over the same keys. */
+  val c10HeavyHitters: QueryDef = QueryDef(
+    "c10_heavy_hitters", "C10 C20",
+    """WITH keyed AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 7 ELSE user_id END AS key
+      |  FROM events
+      |)
+      |SELECT key, count(*) AS cnt FROM keyed GROUP BY key
+      |HAVING count(*) * 64 > (SELECT count(*) FROM keyed)
+      |ORDER BY cnt DESC, key""".stripMargin) { (s, d) =>
+    val keyed = Tables.events(s, d).select(
+      when(col("user_id") % 3 === 0, col("user_id") % 7)
+        .otherwise(col("user_id")).as("key"))
+    val mg = udaf(new graft.functions.MisraGries(256))
+    val cand = keyed.agg(mg(col("key")).as("cands"))
+      .select(explode(col("cands")).as("key"))
+    val total = keyed.agg(count(lit(1)).as("n"))
+    keyed.join(broadcast(cand), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * 64 > col("n"))
+      .select(col("key"), col("cnt"))
+      .orderBy(desc("cnt"), col("key"))
+  }
+
   /** C11: rollup with grouping_id; group columns COALESCEd to 'ALL' for the
     * subtotal rows (the raw columns are never null in the data). */
   val c11Rollup: QueryDef = QueryDef(
@@ -952,7 +987,7 @@ object Relational {
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Quantiles,
-    c9QuantilesApprox, c10Distinct, c10Approx,
+    c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets,
     c12Window, c12RangeFrame, c12Ntile,
     c13TopK, c13TopKPerGroup,

@@ -402,6 +402,51 @@ object Relational {
       .orderBy(desc("cnt"), col("key"))
   }
 
+  /** C9/B3 composed sequence analytics: a step-wise conversion funnel with
+    * a 1-day window per step — first view, first click within a day of it,
+    * first purchase within a day of that click; emits the converting users
+    * with their step timestamps. Each step is one conditional min-aggregate
+    * joined to the previous step's frontier on user_id — three hash
+    * aggregates and two equi-joins, every shuffle keyed on user_id, no
+    * window over the full event stream and no inequality join (the time
+    * bound rides on the already-equi-joined pair). */
+  val c9Funnel: QueryDef = {
+    val sql =
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY e.user_id)
+        |SELECT p.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+        |ORDER BY user_id""".stripMargin
+    QueryDef("c9_funnel", "C9 B3", sql) { (s, d) =>
+      funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
+        .orderBy("user_id")
+    }
+  }
+
+  /** Step-wise funnel over an events frame: first `steps.head`, then for
+    * each later step its first occurrence strictly after the previous
+    * step's time and within `window` of it. Output: user_id + one
+    * `t_<step>` timestamp column per step, converting users only. */
+  def funnelSteps(events: DataFrame, steps: Seq[String], window: String): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as(s"t_${steps.head}"))
+    steps.tail.foldLeft(first) { (prev, step) =>
+      val prevCol = prev.columns.last
+      val next = events.where(col("event_type") === step).join(prev, "user_id")
+        .where(col("ts") > col(prevCol) &&
+          col("ts") <= col(prevCol) + expr(window))
+        .groupBy("user_id").agg(min("ts").as(s"t_$step"))
+      prev.join(next, "user_id")
+    }.select("user_id", steps.map(s => s"t_$s"): _*)
+  }
+
   /** C11: rollup with grouping_id; group columns COALESCEd to 'ALL' for the
     * subtotal rows (the raw columns are never null in the data). */
   val c11Rollup: QueryDef = QueryDef(
@@ -986,7 +1031,8 @@ object Relational {
     c4ShuffleJoin, c4SaltedJoin,
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
-    c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Quantiles,
+    c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Funnel,
+    c9Quantiles,
     c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets,
     c12Window, c12RangeFrame, c12Ntile,

@@ -169,6 +169,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-typicality score — the exact-arithmetic stand-in for the
+    * LM-perplexity quality gate (CCNet/Gopher-style): pass 1 aggregates
+    * corpus-wide token frequencies, pass 2 scores each document by the
+    * average corpus frequency of its tokens. Rare-token-heavy (atypical)
+    * documents score low, boilerplate scores high.
+    *
+    * Scale shape: the frequency table is the broadcastable dictionary (at
+    * 100 TB: cap it to the top-K tokens via [[graft.functions.MisraGries]]
+    * with a default count for the tail — same plan, bounded build side);
+    * scoring is explode → broadcast-join → per-doc sum/count, shuffled
+    * only on doc_id. All-integer accumulation; the single trailing double
+    * division is bit-identical across engines. */
+  def typicality(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(tf), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        sum("cnt").as("freq_mass"))
+      .withColumn("avg_tok_freq",
+        col("freq_mass").cast(DoubleType) / col("n_tokens"))
+  }
+
+  val corpusTypicality: QueryDef = QueryDef(
+    "c19_corpus_typicality", "C19",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents
+      |), tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |  CAST(sum(tf.cnt) AS BIGINT) AS freq_mass,
+      |  CAST(sum(tf.cnt) AS DOUBLE) / count(*) AS avg_tok_freq
+      |FROM toks t JOIN tf USING (tok) GROUP BY t.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    typicality(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow)
+    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality)
 }

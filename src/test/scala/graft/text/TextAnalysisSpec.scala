@@ -77,4 +77,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1L)._1 > rows(1L)._2)
     assert(rows(2L)._2 > rows(2L)._1)
   }
+
+  test("corpus typicality ranks boilerplate above rare-token documents") {
+    // 4 docs of common boilerplate, 1 doc of corpus-unique tokens: the
+    // rare doc's every token has frequency 1, so it must score lowest;
+    // the boilerplate docs' tokens each occur 4x.
+    val df = docs(
+      (1L, "click accept to continue"),
+      (2L, "click accept to continue"),
+      (3L, "click accept to continue"),
+      (4L, "click accept to continue"),
+      (5L, "xylophone quasar bumblebee"))
+    val out = TextAnalysis.typicality(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(5L) === 1.0)
+    assert(out(1L) === 4.0)
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => out(i) > out(5L)))
+  }
 }

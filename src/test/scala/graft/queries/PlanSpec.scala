@@ -98,6 +98,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("C5 SQL surface: correlated EXISTS/NOT EXISTS de-correlate to semi/anti joins") {
+    val p = plan("c5_exists_correlated")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("C10: heavy-hitter recount joins the candidate set broadcast, never shuffles events twice") {
+    val p = plan("c10_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("C19: typicality frequency dictionary is broadcast back over the corpus") {
+    val p = plan("c19_corpus_typicality")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("C9: funnel is equi-joins + hash aggregates, no inequality join") {
+    val p = plan("c9_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("pipeline: packing computes prefix sums per source partition, chunking stays narrow") {
+    val p = plan("pipeline_pack")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(source")) // per-source, not single-reducer
+    val c = plan("pipeline_chunk")
+    // explode + project only; the sole Exchange is the deterministic-output
+    // range sort, never a hash shuffle
+    assert(c.contains("Generate") && !c.contains("hashpartitioning"))
+  }
+
   test("whole-stage codegen covers the scan+project pipelines") {
     // AQE finalizes (and shows codegen spans) only after execution
     val df = graft.Registry.queries("c19_token_count")(spark, sf)

@@ -372,7 +372,57 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Near-dedup APPLY — the step a curation run actually executes with the
+    * duplicate clusters: keep each cluster's canonical representative (its
+    * min doc_id, i.e. the cluster label) and anti-join the rest of the
+    * cluster members out of the corpus. Composes the LSH pair generator and
+    * the connected-components labeler; the drop set is |non-representative
+    * members| — tiny next to the corpus — so the final anti-join broadcasts.
+    * Oracle: recursive-CTE transitive closure over the exact-Jaccard pairs,
+    * NOT IN the non-representative ids. */
+  val dedupApply: QueryDef = QueryDef(
+    "pipeline_dedup_apply", "C17 north_star-pipeline",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), gr AS (SELECT doc_id, unnest(grams) AS g FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), walk AS (
+      |  SELECT src AS id, dst AS reach FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+      |), clusters AS (
+      |  SELECT id, least(id, min(reach)) AS cluster_id FROM walk GROUP BY id
+      |)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val clusters = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.minhashPairs(docs, k = 64, bands = 16, threshold = 0.7)
+        .select("doc_a", "doc_b"))
+    val drop = clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
-    trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs)
+    trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
+    dedupApply)
 }

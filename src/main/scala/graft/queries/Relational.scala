@@ -699,6 +699,56 @@ object Relational {
       .orderBy("hr", "event_type")
   }
 
+  /** B2 platform idiom: time-series gap filling — QuestDB's
+    * `SAMPLE BY 1h FILL(0, PREV)` (the designated-timestamp feature set the
+    * reference's table declares, sql/create-table.sql:1, README.md:70–71),
+    * re-expressed Spark-first: the hourly aggregate LEFT-joins a complete
+    * per-series hour grid (min..max hour × the series set — grid and agg
+    * output are both bounded by series × hours, broadcast-sized next to the
+    * raw stream), missing buckets take cnt = 0 and carry the last present
+    * aggregate forward with one `last(ignoreNulls)` window per series. The
+    * heavy table is touched exactly once, by the partial+final hash
+    * aggregate; the fill runs entirely on post-aggregate data. */
+  val b2TrendGapfill: QueryDef = QueryDef(
+    "b2_trend_gapfill", "B2 B1",
+    """WITH agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+      |                  max(date_trunc('hour', ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |              FROM bounds) g),
+      |j AS (
+      |  SELECT grid.event_type, grid.h, coalesce(agg.cnt, 0) AS cnt, agg.val
+      |  FROM grid LEFT JOIN agg USING (event_type, h))
+      |SELECT event_type, h, cnt,
+      |  last_value(val IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_filled
+      |FROM j ORDER BY event_type, h""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val agg = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("val"))
+    val hours = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val grid = ev.select("event_type").distinct().crossJoin(hours)
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(agg), Seq("event_type", "h"), "left")
+      .select(
+        col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last(col("val"), ignoreNulls = true).over(w).as("val_filled"))
+      .orderBy("event_type", "h")
+  }
+
   /** B3: per-entity consistency analytics (the reference's deterministic
     * buyer-hash intent, README.md:249) over events.user_id. */
   val b3PerUser: QueryDef = QueryDef(
@@ -1040,5 +1090,6 @@ object Relational {
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
-    c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend, b3PerUser)
+    c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
+    b2TrendGapfill, b3PerUser)
 }

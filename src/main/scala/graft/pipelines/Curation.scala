@@ -421,8 +421,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Source-mixing rebalance — the data-derived version of
+    * [[stratifiedSample]]: instead of hand-tuned per-source rates, compute
+    * the per-language keep rate that balances the corpus to the scarcest
+    * language (rate_l = min_count / count_l, i.e. a uniform target mix at
+    * the largest feasible size), then apply it with the same
+    * deterministic md5-uniform keep the split/sample operators use.
+    *
+    * The rates come from ONE tiny aggregate (|languages| rows) crossed
+    * with its own min; the corpus is scanned once and filtered map-side
+    * against the broadcast rate table — at 100 TB this is a single pass
+    * with no shuffle of the documents at all. Thresholds are derived with
+    * integer arithmetic only ((min·16^6) DIV cnt, rendered as a 6-hex-char
+    * string), so Spark and DuckDB agree bit-for-bit. */
+  val mixBalance: QueryDef = QueryDef(
+    "pipeline_mix_balance", "C3 C9 north_star-pipeline",
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT min(cnt) AS min_cnt FROM c),
+      |r AS (SELECT lang, (min_cnt * 16777216) // cnt AS thr FROM c, m)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE thr >= 16777216
+      |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < lower(lpad(hex(thr), 6, '0'))
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang"), expr("(min_cnt * 16777216L) DIV cnt").as("thr"))
+      .withColumn("thr_hex", lower(lpad(hex(col("thr")), 6, "0")))
+    docs.join(broadcast(rates), Seq("lang"))
+      .where(col("thr") >= 16777216L ||
+        substring(md5(col("doc_id").cast(StringType)), 1, 6) < col("thr_hex"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
-    dedupApply)
+    dedupApply, mixBalance)
 }

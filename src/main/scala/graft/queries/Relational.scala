@@ -1076,9 +1076,150 @@ object Relational {
       .orderBy("w_start")
   }
 
+  /** C3/C4/C13 composed: TPC-H Q3 (shipping priority) — the canonical
+    * 3-way join + aggregate + top-k. customer filters to one segment
+    * before joining (the selective dim side), lineitem⋈orders is the
+    * big-big shuffle pair, and the final top-10 is TakeOrderedAndProject
+    * (never a global sort) — per-partition heaps of 10 rows, one driver
+    * merge, regardless of how many groups survive at 100 TB. */
+  val c4TpchQ3: QueryDef = QueryDef(
+    "c4_tpch_q3", "C4 C3 C13",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val ext = col("l_extendedprice").cast(DecimalType(12, 2))
+    val one = lit("1.00").cast(DecimalType(3, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(ext * (one - disc)).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** C3/C4 composed: TPC-H Q5 (local supplier volume) — the 6-table join.
+    * The fact chain lineitem⋈orders⋈customer shuffles on its keys;
+    * supplier (|S| ≈ |customer|/15) joins on BOTH l_suppkey and the
+    * "local" constraint c_nationkey = s_nationkey; nation and region are
+    * broadcast. At 100 TB Catalyst's join reorder keeps the dims last and
+    * AQE picks broadcast for every side under the threshold. */
+  val c3TpchQ5: QueryDef = QueryDef(
+    "c3_tpch_q5", "C3 C4",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val ext = col("l_extendedprice").cast(DecimalType(12, 2))
+    val one = lit("1.00").cast(DecimalType(3, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= lit("1999-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("2000-01-01").cast(TimestampType))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(ext * (one - disc)).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** C4/C9/C13 composed: TPC-H Q10 (returned-item reporting) — revenue
+    * lost to returns per customer in one quarter, top 20. The group-by key
+    * carries the customer attributes (classic wide-key hash agg); nation
+    * broadcasts; top-20 is TakeOrderedAndProject. */
+  val c9TpchQ10: QueryDef = QueryDef(
+    "c9_tpch_q10", "C9 C4 C13",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '2000-10-01'
+      |  AND o_orderdate < TIMESTAMP '2001-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val ext = col("l_extendedprice").cast(DecimalType(12, 2))
+    val one = lit("1.00").cast(DecimalType(3, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= lit("2000-10-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("2001-01-01").cast(TimestampType))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(ext * (one - disc)).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+  }
+
+  /** C9/B3 composed: retention cohort analysis — users cohorted by the day
+    * of their first purchase event, then distinct-user counts per
+    * (cohort, days-since-cohort) cell. Two aggregates over the same
+    * (user_id, day) distinct set: the second (min per user) reuses the
+    * first's user_id partitioning, so the heavy events scan shuffles once
+    * on user_id and the cohort join is agg-to-agg on the same key — no
+    * second pass over raw events at 100 TB. */
+  val c9RetentionCohort: QueryDef = QueryDef(
+    "c9_retention_cohort", "C9 B3",
+    """WITH ua AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |co AS (SELECT user_id, min(d) AS cohort FROM ua GROUP BY 1)
+      |SELECT co.cohort AS cohort_day,
+      |  CAST(datediff('day', co.cohort, ua.d) AS INT) AS day_no,
+      |  count(DISTINCT ua.user_id) AS active_users
+      |FROM ua JOIN co ON ua.user_id = co.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ua = events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .distinct()
+    val co = ua.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    ua.join(co, "user_id")
+      .groupBy(col("cohort").as("cohort_day"),
+        datediff(col("d"), col("cohort")).as("day_no"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_day", "day_no")
+  }
+
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
-    c4ShuffleJoin, c4SaltedJoin,
+    c4ShuffleJoin, c4SaltedJoin, c4TpchQ3, c3TpchQ5, c9TpchQ10,
+    c9RetentionCohort,
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Funnel,

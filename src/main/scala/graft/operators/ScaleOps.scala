@@ -126,4 +126,21 @@ object ScaleOps {
     def join(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
       spark.table(leftTable).join(spark.table(rightTable), Seq(key))
   }
+
+  /** Hive-style partitioned layout: write the table as one directory per
+    * value of `partCol` (`path/partCol=v/...`), so a predicate on the
+    * partition column prunes whole directories at PLANNING time — the
+    * pruned files are never listed into tasks, let alone read. This is the
+    * primary scan-reduction lever at 100 TB: a day-partitioned events table
+    * serves a one-day query by reading 1/365th of the data no matter how
+    * wide the table is. Asserted in ScaleOpsSpec: the scan's
+    * PartitionFilters carry the predicate and the selected-partition count
+    * drops to the matching directories only. */
+  object PartitionedTables {
+    def write(df: DataFrame, path: String, partCol: String): Unit =
+      df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+    def read(spark: SparkSession, path: String): DataFrame =
+      spark.read.parquet(path)
+  }
 }

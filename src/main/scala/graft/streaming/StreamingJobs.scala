@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.etl.Purchases
 
@@ -149,5 +150,44 @@ object StreamingJobs {
           state.update(next)
           next
       }
+  }
+
+  /** C16 custom state, arbitrary-state-v2 form: the same per-user running
+    * totals as [[perUserRunningTotals]] but through the
+    * `transformWithState` / [[StatefulProcessor]] API — typed named state
+    * variables ([[ValueState]] here; ListState/MapState/timers/TTL are the
+    * same handle) held in the configured state store. With the RocksDB
+    * provider (exercised in StreamingSpec) state lives off-heap and spills
+    * to disk, so per-key state survives far past executor-memory scale —
+    * the 100 TB/day formulation of hand-rolled streaming state. State is
+    * partitioned by the groupByKey hash exactly like the v1 operator. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, SessionAgg] {
+    @transient private var totals: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[SessionAgg](
+        "totals", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[SessionAgg] = {
+      val prev = if (totals.exists()) totals.get() else SessionAgg(user, 0L, 0L)
+      var n = prev.n_events
+      var p = prev.n_purchases
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") p += 1
+      }
+      val next = SessionAgg(user, n, p)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def perUserRunningTotalsV2(events: Dataset[Ev]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -75,6 +75,36 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned table: partition-column predicate prunes at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("part_events").toString
+    val events = graft.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    ScaleOps.PartitionedTables.write(events, dir, "day")
+    val nDays = events.select("day").distinct().count()
+    val q = ScaleOps.PartitionedTables.read(spark, dir)
+      .where(col("day") === lit("2024-01-15").cast("date"))
+      .groupBy("event_type").count()
+    q.collect()
+    // recurse through AQE wrappers and query stages (leaf nodes to collect)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // the predicate landed in PartitionFilters (planning-time pruning) ...
+    assert(scan.partitionFilters.exists(_.toString.contains("day")),
+      s"expected day in PartitionFilters: ${scan.partitionFilters}")
+    // ... and only the one matching directory of the ~30 is ever listed
+    assert(nDays > 1)
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("asofJoin: equal-ts visibility, no-preceding nulls, atomic payload") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -45,6 +45,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("C4/C13 composed: TPC-H Q3/Q10 end in TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("c4_tpch_q3", "c9_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("C3 composed: TPC-H Q5's six-table join broadcasts the dims") {
+    val p = plan("c3_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("C9: retention cohort shuffles events once on user_id, join is agg-to-agg") {
+    val p = plan("c9_retention_cohort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the raw events scan appears once; the cohort side reuses the distinct set
+    assert(p.sliding("PushedFilters: [IsNotNull(event_type)".length)
+      .count(_ == "PushedFilters: [IsNotNull(event_type)") <= 2)
+  }
+
+  test("pipeline: mix-balance rates join broadcast — the corpus is never shuffled") {
+    val p = plan("pipeline_mix_balance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("C7 scale path: binned range join is an equi-join, not nested-loop") {
     val p = plan("c7_range_bin_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 0L)))
   }
 
+  test("C16 custom state: transformWithState accumulates across batches on RocksDB") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = StreamingJobs.perUserRunningTotalsV2(in.toDS())
+      val q = out.writeStream
+        .format("memory").queryName("totals_v2").outputMode(OutputMode.Update())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_totals_v2").toString)
+        .start()
+      in.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click"),
+        Ev(1L, ts("2024-01-01 10:01:00"), "purchase"),
+        Ev(2L, ts("2024-01-01 10:02:00"), "view"))
+      q.processAllAvailable()
+      // second batch: state must carry the first batch's totals
+      in.addData(Ev(1L, ts("2024-01-01 10:05:00"), "purchase"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("totals_v2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((1L, 2L, 1L))) // after batch 1
+      assert(rows.contains((1L, 3L, 2L))) // after batch 2: accumulated
+      assert(rows.contains((2L, 1L, 0L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B4 end-to-end: streamed CSVs land in an hour-partitioned parquet table") {
     val inDir = java.nio.file.Files.createTempDirectory("stream_in2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("stream_out").toString + "/purchases"

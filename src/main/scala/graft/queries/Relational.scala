@@ -1216,6 +1216,75 @@ object Relational {
       .orderBy("cohort_day", "day_no")
   }
 
+  /** B1/B3: QuestDB's signature `LATEST ON timestamp PARTITION BY key`
+    * (the query shape the reference's designated-timestamp table exists
+    * for), Spark-first: NOT a per-key window sort but `max_by` keyed on a
+    * (ts, id) struct — a plain hash aggregate with map-side partials, ONE
+    * shuffle of pre-aggregated rows and no per-partition full sort. The
+    * oracle states the same semantics as the textbook row_number()=1
+    * window. Struct comparison breaks ties on o_orderkey, so the answer
+    * is deterministic even with equal timestamps. */
+  val b1LatestOn: QueryDef = QueryDef(
+    "b1_latest_on", "B1 B3 C9",
+    """SELECT o_custkey, o_orderkey AS latest_order, o_orderdate AS latest_ts,
+      |  CAST(o_totalprice AS DOUBLE) AS latest_price
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("l"))
+      .select(
+        col("o_custkey"),
+        col("l.o_orderkey").as("latest_order"),
+        col("l.o_orderdate").as("latest_ts"),
+        col("l.o_totalprice").as("latest_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** C11: UNPIVOT (melt) — wide metric columns to (key, metric, value)
+    * rows, the inverse of [[c11Pivot]]. Narrow generate-style projection:
+    * each input row expands to exactly |metrics| output rows map-side,
+    * no shuffle before the final sort. */
+  val c11Unpivot: QueryDef = QueryDef(
+    "c11_unpivot", "C11",
+    """SELECT o_orderkey, metric, val
+      |FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+      |        CAST(o_custkey AS DOUBLE) AS custkey FROM orders)
+      |UNPIVOT (val FOR metric IN (totalprice, custkey))
+      |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DoubleType).as("totalprice"),
+        col("o_custkey").cast(DoubleType).as("custkey"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("totalprice"), col("custkey")), "metric", "val")
+      .orderBy("o_orderkey", "metric")
+  }
+
+  /** C12: relative-rank window functions (percent_rank / cume_dist) over
+    * an aggregated distribution — the tiny post-aggregation window runs
+    * over |event_type| rows, never the raw stream. */
+  val c12Dist: QueryDef = QueryDef(
+    "c12_percent_rank", "C12",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |  percent_rank() OVER (ORDER BY count(*)) AS pr,
+      |  cume_dist() OVER (ORDER BY count(*)) AS cd
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("cnt"))
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("cnt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
     c4ShuffleJoin, c4SaltedJoin, c4TpchQ3, c3TpchQ5, c9TpchQ10,
@@ -1225,8 +1294,8 @@ object Relational {
     c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
     c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters,
-    c11Rollup, c11Cube, c11Pivot, c11GroupingSets,
-    c12Window, c12RangeFrame, c12Ntile,
+    c11Rollup, c11Cube, c11Pivot, c11GroupingSets, c11Unpivot,
+    c12Window, c12RangeFrame, c12Ntile, c12Dist, b1LatestOn,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,

@@ -77,16 +77,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val defs = only.fold(Registry.defs)(names => Registry.defs.filter(q => names(q.name)))
-    val results = defs.map { q =>
-      val times = (0 until math.max(1, reps)).map { _ =>
+    // Reps are interleaved round-robin (full pass 1 over every query, then
+    // pass 2, then pass 3) instead of back-to-back per query: external load
+    // bursts on this box are time-local (round-7's driver run had a ~40 s
+    // burst that poisoned all 3 consecutive reps of two queries, reading as
+    // an 11 s median for a 0.6 s query). With interleaving a burst shorter
+    // than one full pass inflates at most ONE rep of any query, which the
+    // median then discards.
+    val timesByQuery =
+      scala.collection.mutable.LinkedHashMap(defs.map(q => q.name -> Vector.empty[Double]): _*)
+    (0 until math.max(1, reps)).foreach { _ =>
+      defs.foreach { q =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (q.name, times(times.size / 2), times.head, times.last)
+        timesByQuery(q.name) = timesByQuery(q.name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = timesByQuery.toSeq.map { case (name, raw) =>
+      val times = raw.sorted
+      (name, times(times.size / 2), times.head, times.last)
     }
     val loadAfter = loadAvg1
     val medians = results.map { case (n, med, _, _) => n -> med }

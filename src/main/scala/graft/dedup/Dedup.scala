@@ -378,6 +378,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Length (in word tokens) of the exact-substring spans below. */
+  val spanTokens = 16
+
+  /** Exact-substring span dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" shape, arXiv:2107.06499, re-expressed
+    * relationally): two documents are span-duplicates if they share a
+    * verbatim run of [[spanTokens]] word tokens. Every length-16 token
+    * window of each document becomes a gram; a pair is reported with the
+    * count of distinct shared windows.
+    *
+    * Scale shape — identical machinery to [[ngramJaccardPairs]]: one shingle
+    * scan, one shuffle of the exploded window table into bounded
+    * [[graft.functions.BoundedDistinct]] postings (cap = [[ngramDfCap]] + 1,
+    * the skew guard: a boilerplate span occurring in millions of documents
+    * is detected and dropped inside the aggregation, so per-gram pair
+    * fan-out is ≤ cap²/2 at any corpus size), pairs generated only from
+    * surviving postings, then one count-aggregate per pair. Long windows
+    * make grams near-unique, so the collision join is linear in true span
+    * sharing. The suffix-array formulation of the paper finds spans ≥ L
+    * across *arbitrary* positions; fixed-length window equality is the
+    * standard relational lowering (any shared run of ≥ 16 tokens shares at
+    * least one aligned 16-window, so recall over ≥16-token spans is
+    * exact). Oracle mirrors windows and cap with DuckDB list functions. */
+  val spanDedup: QueryDef = QueryDef(
+    "c17_span_dedup", "C17",
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - ${spanTokens - 2}),
+      |      i -> array_to_string(t[i:i+${spanTokens - 1}], ' ')))) AS g
+      |  FROM toks WHERE len(t) >= $spanTokens
+      |), df AS (SELECT g, count(*) AS df FROM grams GROUP BY g
+      |), keep AS (
+      |  SELECT gr.doc_id, gr.g FROM grams gr JOIN df USING (g) WHERE df.df <= $ngramDfCap)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS shared_spans
+      |FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    spanDedupPairs(Tables.documents(s, d), spanTokens, ngramDfCap)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** documents(doc_id, text) → (doc_a, doc_b, shared_spans) pairs sharing at
+    * least one verbatim `k`-token window (window df capped at `dfCap`). */
+  def spanDedupPairs(documents: DataFrame, k: Int, dfCap: Int): DataFrame = {
+    val cap1 = if (dfCap >= Int.MaxValue) Int.MaxValue else dfCap + 1
+    val postings = udaf(new graft.functions.BoundedDistinct(cap1))
+    val toks = filter(
+      split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+    val windows = array_distinct(transform(
+      sequence(lit(0), size(col("t")) - k),
+      i => concat_ws(" ", slice(col("t"), i + 1, lit(k)))))
+    documents
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), explode(windows).as("g"))
+      .groupBy("g")
+      .agg(postings(col("doc_id"), lit(0)).as("docs"))
+      .where(size(col("docs")) <= dfCap) // full (dfCap+1) buffer = boilerplate span
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("docs")).as(Seq("j", "b")))
+      .where(col("i") < col("j")) // sorted postings: i<j ⇒ doc_a < doc_b
+      .select(col("a._1").as("doc_a"), col("b._1").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast(IntegerType).as("shared_spans"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters)
+    Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters,
+      spanDedup)
 }

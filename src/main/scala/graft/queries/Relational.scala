@@ -614,6 +614,34 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** C14: INTERSECT ALL — multiset intersection keeps min(multiplicity) per
+    * value, the bag-semantics twin of [[c14Intersect]]. Spark lowers
+    * `intersectAll` to a count-compare aggregate + generate (one shuffle on
+    * the value), never a join of the raw rows. */
+  val c14IntersectAll: QueryDef = QueryDef(
+    "c14_intersect_all", "C14",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT ALL SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .intersectAll(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  /** C14: EXCEPT ALL — multiset difference (multiplicity subtraction): each
+    * F-status order cancels one occurrence of its priority. Same
+    * count-compare lowering as intersectAll — one shuffle on the value,
+    * output multiplicity = max(0, n_left − n_right). */
+  val c14ExceptAll: QueryDef = QueryDef(
+    "c14_except_all", "C14",
+    """SELECT o_orderpriority AS pr FROM orders
+      |EXCEPT ALL SELECT o_orderpriority AS pr FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY pr""".stripMargin) { (s, d) =>
+    orders(s, d).select(col("o_orderpriority").as("pr"))
+      .exceptAll(orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("pr")))
+      .orderBy("pr")
+  }
+
   /** C15: string function battery over part. */
   val c15String: QueryDef = QueryDef(
     "c15_string_funcs", "C15",
@@ -1298,6 +1326,7 @@ object Relational {
     c12Window, c12RangeFrame, c12Ntile, c12Dist, b1LatestOn,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
+    c14IntersectAll, c14ExceptAll,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,

@@ -375,6 +375,100 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Radius (threshold) search: every corpus neighbor with cosine ≥ τ for
+    * each query vector — the retrieval mode dedup verification and
+    * retrieval-augmented filtering actually use (a top-k cut discards
+    * qualifying matches past k; a radius cut returns them all).
+    *
+    * Plan: the small query side is broadcast, the corpus streams through
+    * once, each pair costs one fused codegen [[graft.functions.CosineSim]]
+    * and the ≥τ cut runs map-side BEFORE any shuffle — only survivors (a
+    * tiny fraction at a meaningful τ) reach the final order-for-output
+    * sort. At 100 TB the same shape holds: |survivors| ≪ |corpus|, and the
+    * scan parallelizes embarrassingly. For huge query sets the broadcast
+    * is replaced by the SRP-bucket candidate join ([[nearDupPairs]]) —
+    * registered and oracle-checked separately. */
+  val radiusSearch: QueryDef = QueryDef(
+    "c18_radius_search", "C18",
+    """SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+      |FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |WHERE a.vec_id < 20
+      |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+      |ORDER BY q_id, neighbor_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 20).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
+      .where(col("score") >= 0.3)
+      .select("q_id", "neighbor_id", "score")
+      .orderBy("q_id", "neighbor_id")
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the deterministic k-means coarse quantizer,
+    * then WITHIN each cluster drop every vector whose cosine to a
+    * lower-id cluster member is ≥ τ — near-duplicate semantics pruned
+    * without any cross-cluster pair ever being scored.
+    *
+    * Scale rationale: the pairwise verify is confined to single clusters,
+    * so cost is Σ |cluster|² with C chosen to bound cluster size (C grows
+    * with the corpus; the model stays a broadcastable C × dim float
+    * matrix trained on a bounded sample). The cluster assignment is the
+    * same map-side [[graft.functions.NearestCentroids]] projection as
+    * [[annIvf]] — no shuffle until the within-cluster self-join, which
+    * shuffles each row once on its (single) cluster id. The keep decision
+    * (drop iff a lower-id near-dup exists in the same cluster) is a
+    * left-anti join of the corpus against the drop set — deterministic
+    * under any partitioning because "lower id wins" is a total order.
+    *
+    * noOracle: the k-means model is not SQL-expressible. SimilaritySpec
+    * asserts the planted near-identical copies ([[injectedCorpus]], cosine
+    * 0.97–0.998 to their originals) are all dropped while their originals
+    * survive, and that kept/dropped partitions the corpus. */
+  val semanticDedup: QueryDef = QueryDef.noOracle("c17_semantic_dedup", "C17 C18") { (s, d) =>
+    semanticDedupKept(injectedCorpus(Tables.embeddings(s, d)), c = 16, tau = 0.9)
+  }
+
+  /** The SemDeDup pipeline over an (vec_id, embedding) corpus: returns
+    * (vec_id, c_id) of KEPT vectors (c_id = home cluster), ordered by
+    * vec_id.
+    *
+    * Multi-probe candidate generation: each vector probes its 2 nearest
+    * clusters for pair generation (home cluster only for output), so a
+    * near-dup pair straddling a cluster boundary — the single-assignment
+    * scheme's documented miss mode, observed on a planted copy whose
+    * zeroed last element flipped its argmax centroid — still meets in the
+    * non-home probe. Fan-out bound is 4× the single-probe pair count, cost
+    * still Σ |cluster|², never all-pairs. */
+  def semanticDedupKept(corpus: DataFrame, c: Int, tau: Double): DataFrame = {
+    val sample = corpus.where(pmod(col("vec_id"), lit(4)) === 0)
+    val model = kmeansCentroids(sample, c = c, iters = 3)
+    val assigned = corpus.select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorExprs.nearestCentroids(col("embedding"), model, keep = 2).as("ncs"))
+    val probed = assigned.select(
+      col("vec_id"), col("embedding"), explode(col("ncs")).as("c_id"))
+    val a = probed.select(
+      col("c_id"), col("vec_id").as("keep_id"), col("embedding").as("e_a"))
+    val b = probed.select(
+      col("c_id"), col("vec_id").as("drop_id"), col("embedding").as("e_b"))
+    // Pairs meet only inside a probed cluster; the ≥τ cut runs before the
+    // distinct shuffle so only (tiny) drop candidates leave the join stage.
+    val drops = a.join(b, Seq("c_id"))
+      .where(col("keep_id") < col("drop_id"))
+      .where(graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")) >= tau)
+      .select(col("drop_id").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), element_at(col("ncs"), 1).as("c_id"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(knnBrute, knnAgg, annLsh, embNearDup, embNearDupLsh, annIvf)
+    Seq(knnBrute, knnAgg, annLsh, embNearDup, embNearDupLsh, annIvf,
+      radiusSearch, semanticDedup)
 }

@@ -209,6 +209,64 @@ object TextAnalysis {
     typicality(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Gopher-rule document gate (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    * the public repetition/format heuristics, here the per-document shape
+    * ones): word count bounds, mean word length bounds, symbol-to-word
+    * ratio ('#' or ellipsis), and fraction of words containing at least one
+    * alphabetic character. One narrow projection; mean word length avoids a
+    * per-word lambda entirely (Σ word lengths = length of the text with all
+    * whitespace removed), and the one genuinely per-word predicate
+    * (has-alpha) is a bounded list_filter over a short token array. The
+    * final `pass_gopher` boolean is the conjunctive gate a curation
+    * pipeline filters on. */
+  val gopherRules: QueryDef = QueryDef(
+    "c19_gopher_rules", "C19",
+    """SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+      |  (n_words BETWEEN 10 AND 100000
+      |    AND mean_word_len BETWEEN 2 AND 12
+      |    AND symbol_ratio < 0.1
+      |    AND alpha_word_ratio > 0.6) AS pass_gopher
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS INT) AS n_words,
+      |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) AS mean_word_len,
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(w) AS symbol_ratio,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) AS alpha_word_ratio
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      |    FROM documents) t1) t2
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    gopherMetrics(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** documents(doc_id, text) → per-document Gopher shape metrics + gate. */
+  def gopherMetrics(docs: DataFrame): DataFrame = {
+    val w = filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))
+    val nWords = size(col("w"))
+    val meanWordLen =
+      length(regexp_replace(trim(col("text")), "\\s+", "")).cast(DoubleType) / nWords
+    val symbolRatio =
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast(DoubleType) / nWords
+    val alphaWordRatio =
+      size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast(DoubleType) / nWords
+    docs
+      .select(col("doc_id"), col("text"), w.as("w"))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        alphaWordRatio.as("alpha_word_ratio"))
+      .withColumn("pass_gopher",
+        col("n_words").between(10, 100000) &&
+          col("mean_word_len").between(2, 12) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_word_ratio") > 0.6)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality)
+    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
+      gopherRules)
 }

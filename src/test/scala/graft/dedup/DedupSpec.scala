@@ -127,4 +127,28 @@ class DedupSpec extends SparkSpec {
     }
     clusters.foreach { case (id, c) => assert(c <= id) } // min-label canonical
   }
+
+  test("span dedup finds exactly the planted aligned 16-token overlap") {
+    import spark.implicits._
+    val words = (1 to 24).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),                 // w1..w24
+      (2L, words.slice(4, 24).mkString(" ")),    // w5..w24: shares a 20-token run
+      (3L, (1 to 24).map(i => s"x$i").mkString(" ")) // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupPairs(docs, k = 16, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // a shared 20-token run contains 20-16+1 = 5 aligned 16-windows
+    assert(out === Map((1L, 2L) -> 5))
+  }
+
+  test("span dedup df cap drops boilerplate spans shared by too many docs") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 70L).map(id => (id, boiler)).toDF("doc_id", "text")
+    // the one span occurs in 70 > dfCap docs → dropped, no pairs at all
+    assert(Dedup.spanDedupPairs(docs, k = 16, dfCap = 64).count() === 0)
+    // with a cap above the df, all 70·69/2 pairs appear
+    assert(Dedup.spanDedupPairs(docs, k = 16, dfCap = 128).count() === 70L * 69 / 2)
+  }
 }

@@ -130,4 +130,28 @@ class SimilaritySpec extends SparkSpec {
       assert(s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9)
     }
   }
+
+  test("semantic dedup drops every planted near-identical copy, keeps the originals") {
+    val corpus = Similarity.injectedCorpus(graft.Tables.embeddings(spark, sf))
+    val total = corpus.count()
+    val kept = Similarity.semanticDedupKept(corpus, c = 16, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // the planted copies (vec_id = original + 1,000,000, cosine 0.97–0.998)
+    // must fall to a lower-id in-cluster near-dup — their original
+    Seq(1000000L, 1000001L, 1000002L).foreach(id => assert(!kept.contains(id)))
+    assert(Set(0L, 1L, 2L).subsetOf(kept))
+    // no genuine ≥0.9 pairs exist in the testdata (max real pair cosine
+    // ~0.5), so exactly the three planted copies are dropped
+    assert(kept.size === total - 3)
+  }
+
+  test("radius search agrees with brute-force scores and respects the threshold") {
+    val out = Similarity.radiusSearch.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) >= 0.3))
+    // symmetric sanity: if (q, n) qualifies with q,n < 20 then (n, q) does too
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.filter { case (q, n) => n < 20 }
+      .foreach { case (q, n) => assert(pairs.contains((n, q))) }
+  }
 }

@@ -94,4 +94,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === 4.0)
     assert(Seq(1L, 2L, 3L, 4L).forall(i => out(i) > out(5L)))
   }
+
+  test("gopher gate passes clean prose and fails each rule independently") {
+    val clean = (1 to 20).map(i => s"word$i").mkString(" ")   // 20 words, mwl 5–6
+    val tooShort = "only three words"                          // < 10 words
+    val symbols = (1 to 20).map(_ => "ok").mkString(" ") + " # # # ... … #" // symbol-heavy
+    val numeric = (1 to 20).map(_.toString).mkString(" ")      // no alpha words
+    val longWords = (1 to 12).map(_ => "a" * 20).mkString(" ") // mwl 20 > 12
+    val df = docs((1L, clean), (2L, tooShort), (3L, symbols), (4L, numeric), (5L, longWords))
+    val out = TextAnalysis.gopherMetrics(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
 }

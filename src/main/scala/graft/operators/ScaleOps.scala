@@ -112,6 +112,44 @@ object ScaleOps {
       .drop("_bin")
   }
 
+  /** Interval-overlap join via binning: pairs of intervals
+    * `[lLo, lHi] × [rLo, rHi]` (inclusive ends, numeric columns) with
+    * `lLo <= rHi AND rLo <= lHi`, as an equi-join. Spark's native plan for
+    * an interval×interval theta join is BroadcastNestedLoop — quadratic
+    * when neither side is small. Here BOTH sides explode into the
+    * `binWidth`-wide bins their interval covers and meet on the bin key.
+    *
+    * Exactly-once without a dedup shuffle: an overlapping pair shares every
+    * bin in the overlap, so matches are restricted to the overlap's FIRST
+    * bin (`floor(max(lLo, rLo) / binWidth)` — covered by both sides by
+    * construction). Each overlapping pair then survives in exactly one bin
+    * and the residual predicate removes same-bin non-overlaps; no
+    * dropDuplicates pass over the matches is needed.
+    *
+    * Fan-out bound: rows replicate interval_span/binWidth times — pick
+    * binWidth near the typical interval length so the explode factor stays
+    * O(1) while bins stay selective. */
+  def intervalBinJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lLo: String, lHi: String,
+      rLo: String, rHi: String,
+      binWidth: Long): DataFrame = {
+    val leftBinned = left.withColumn("_bin",
+      explode(sequence(
+        floor(col(lLo) / binWidth).cast(LongType),
+        floor(col(lHi) / binWidth).cast(LongType))))
+    val rightBinned = right.withColumn("_bin",
+      explode(sequence(
+        floor(col(rLo) / binWidth).cast(LongType),
+        floor(col(rHi) / binWidth).cast(LongType))))
+    leftBinned.join(rightBinned, Seq("_bin"))
+      .where(col("_bin") ===
+        floor(greatest(col(lLo), col(rLo)) / binWidth).cast(LongType))
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .drop("_bin")
+  }
+
   /** Bucketed co-located join support: write both sides bucketed by the join
     * key into the warehouse, then joins on that key need no shuffle (the
     * scan reports the hash partitioning). */

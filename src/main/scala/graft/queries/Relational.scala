@@ -242,6 +242,79 @@ object Relational {
       .orderBy("range_id")
   }
 
+  /** Maintenance-window dimension for the interval-overlap queries: 30
+    * fourteen-day windows spaced 60 days apart from the first ship date.
+    * Derived relationally from the data (agg row → generate), never
+    * collected to the driver. */
+  private def shipWindows(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(min(col("l_shipdate")).as("d0"))
+      .select(explode(sequence(lit(0L), lit(29L))).as("w_id"), col("d0"))
+      .withColumn("w_lo", expr("d0 + w_id * INTERVAL '60' DAY"))
+      .withColumn("w_hi", expr("w_lo + INTERVAL '14' DAY"))
+      .drop("d0")
+
+  private val intervalOverlapSql: String =
+    """WITH b AS (SELECT min(l_shipdate) AS d0 FROM lineitem),
+      |wins AS (
+      |  SELECT i AS w_id, d0 + i * INTERVAL 60 DAY AS w_lo,
+      |    d0 + i * INTERVAL 60 DAY + INTERVAL 14 DAY AS w_hi
+      |  FROM b, unnest(range(0, 30)) t(i))
+      |SELECT w_id, w_lo, CAST(count(*) AS INT) AS n_overlap,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM wins JOIN lineitem
+      |  ON l_shipdate <= w_hi AND w_lo <= l_shipdate + INTERVAL 7 DAY
+      |GROUP BY 1, 2 ORDER BY w_id""".stripMargin
+
+  /** C7: interval-overlap join, baseline form — each lineitem's 7-day
+    * delivery window `[l_shipdate, +7d]` against the maintenance windows,
+    * pairs where the intervals intersect. The window side is 30 rows →
+    * broadcast nested-loop is the RIGHT plan here (tiny build side); the
+    * scale path for a LARGE interval dimension is [[c7IntervalBinJoin]],
+    * same oracle. */
+  val c7IntervalOverlap: QueryDef = QueryDef(
+    "c7_interval_overlap", "C7", intervalOverlapSql) { (s, d) =>
+    val li = lineitem(s, d)
+      .select(col("l_shipdate"), col("l_quantity"))
+      .withColumn("ship_hi", expr("l_shipdate + INTERVAL '7' DAY"))
+    li.join(broadcast(shipWindows(s, d)),
+      col("l_shipdate") <= col("w_hi") && col("w_lo") <= col("ship_hi"))
+      .groupBy("w_id", "w_lo")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_overlap"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("w_id")
+  }
+
+  /** C7 scale path: the SAME interval-overlap result through
+    * [[graft.operators.ScaleOps.intervalBinJoin]] — both interval sets
+    * explode into 14-day epoch bins and meet on the bin key as a
+    * shuffle-parallel equi-join (each overlapping pair matched exactly
+    * once in its overlap-start bin), instead of nested-loop scanning. This
+    * is the formulation that survives a large×large interval join at
+    * 100 TB; binWidth ≈ interval length keeps the explode factor ≤ 2.
+    * Oracle identical to the baseline. */
+  val c7IntervalBinJoin: QueryDef = QueryDef(
+    "c7_interval_bin_join", "C7", intervalOverlapSql) { (s, d) =>
+    val li = lineitem(s, d)
+      .select(col("l_shipdate"), col("l_quantity"))
+      .withColumn("ship_hi", expr("l_shipdate + INTERVAL '7' DAY"))
+      .withColumn("ship_lo_s", unix_timestamp(col("l_shipdate")))
+      .withColumn("ship_hi_s", unix_timestamp(col("ship_hi")))
+    val wins = shipWindows(s, d)
+      .withColumn("w_lo_s", unix_timestamp(col("w_lo")))
+      .withColumn("w_hi_s", unix_timestamp(col("w_hi")))
+    graft.operators.ScaleOps.intervalBinJoin(
+      li, wins, "ship_lo_s", "ship_hi_s", "w_lo_s", "w_hi_s",
+      binWidth = 14L * 86400)
+      .groupBy("w_id", "w_lo")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_overlap"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("w_id")
+  }
+
   /** C8: as-of join — for every `purchase` event, the latest `click` event of
     * the same user at-or-before the purchase timestamp. Built on the
     * reusable [[graft.operators.ScaleOps.asofJoin]] operator (union + one
@@ -840,6 +913,52 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** C12: gaps-and-islands sessionization — the lag + conditional-flag +
+    * running-sum formulation of "split each user's event stream into
+    * sessions at >30-minute silences". The batch twin of
+    * `session_window` ([[c16SessionBatch]]), expressed purely with window
+    * functions so the session boundary rule is explicit and portable.
+    *
+    * Scale shape: both window passes share ONE partitioning (user_id) and
+    * ONE ordering (ts, event_id) — Catalyst collapses them into a single
+    * Window operator after a single shuffle; the session aggregation
+    * reuses the same hash key. Deterministic: (ts, event_id) is a total
+    * order within a user. */
+  val c12GapsIslands: QueryDef = QueryDef(
+    "c12_gaps_islands", "C12 C16",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM e)
+      |SELECT user_id, CAST(sess AS INT) AS session_no,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS INT) AS n_events
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(prev.isNull || col("ts") > prev + expr("INTERVAL '30' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "sess")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast(IntegerType).as("n_events"))
+      .select(
+        col("user_id"), col("sess").cast(IntegerType).as("session_no"),
+        col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** C15: math battery — only IEEE-exact operations (abs/floor/ceil/sqrt/
     * sign/%), no libm-dependent transcendentals whose last ulp differs
     * across implementations. */
@@ -1319,11 +1438,12 @@ object Relational {
     c9RetentionCohort,
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
-    c7RangeJoin, c7RangeBinJoin, c8AsofJoin, c9TpchQ1, c9Having, c9Funnel,
+    c7RangeJoin, c7RangeBinJoin, c7IntervalOverlap, c7IntervalBinJoin,
+    c8AsofJoin, c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
     c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets, c11Unpivot,
-    c12Window, c12RangeFrame, c12Ntile, c12Dist, b1LatestOn,
+    c12Window, c12RangeFrame, c12Ntile, c12Dist, c12GapsIslands, b1LatestOn,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c14IntersectAll, c14ExceptAll,

@@ -111,6 +111,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("C17 span dedup: postings equi-join machinery, no nested-loop, no all-pairs") {
+    val p = plan("c17_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate")) // bounded postings + pair count aggs
+  }
+
+  test("C17 semantic dedup: assignment map-side, pairs meet on cluster id, anti-join keep") {
+    val p = plan("c17_semantic_dedup")
+    assert(p.contains("nearest_centroids")) // map-side cluster assignment
+    assert(p.contains("LeftAnti"))          // drop-set application
+    assert(!p.contains("CartesianProduct")) // never all-pairs
+  }
+
+  test("C18 radius search: threshold cut runs in the join filter, before any shuffle") {
+    val p = plan("c18_radius_search")
+    // tiny query side broadcast; the >= tau predicate lives in the join
+    // condition/filter so survivors alone reach the output sort
+    assert(p.contains("BroadcastNestedLoopJoin")) // deliberate: broadcast × theta
+    assert(p.contains("cosine_sim") && p.contains("0.3"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("pipeline: CDC merge is one shuffle join, full-outer, no nested loop") {
     val p = plan("pipeline_cdc_merge")
     assert(p.contains("FullOuter"))

@@ -136,4 +136,34 @@ class ScaleOpsSpec extends SparkSpec {
       (300L, -1L, "<null>")  // no right rows for the key
     ))
   }
+
+  test("intervalBinJoin equals the overlap theta join, exactly once per pair") {
+    import spark.implicits._
+    // intervals chosen to exercise: multi-bin overlap (must NOT duplicate),
+    // same-bin non-overlap (must be filtered), touching endpoints
+    // (inclusive: lo == other's hi overlaps), disjoint bins
+    val left = Seq(
+      (1L, 0L, 250L),    // spans bins 0-2 at width 100
+      (2L, 90L, 110L),   // straddles bin boundary
+      (3L, 500L, 510L),
+      (4L, 130L, 140L)
+    ).toDF("lid", "l_lo", "l_hi")
+    val right = Seq(
+      (10L, 50L, 300L),  // overlaps 1 (bins 0-2 shared!), 2, 4
+      (20L, 110L, 120L), // touches 2 at 110 (inclusive), overlaps 1
+      (30L, 400L, 499L), // same bin 4-as-500? no: [400,499] bins 4, 3 in bin 5
+      (40L, 260L, 280L)  // overlaps nothing on the left side except 10? (right-right doesn't join)
+    ).toDF("rid", "r_lo", "r_hi")
+    val binned = graft.operators.ScaleOps
+      .intervalBinJoin(left, right, "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 100L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val theta = left.join(right,
+      col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(binned === theta)
+    // the multi-shared-bin pair (1, 10) appears exactly once
+    assert(binned.count(_ == (1L, 10L)) === 1)
+    assert(binned.contains((2L, 20L))) // inclusive endpoint touch
+    assert(!binned.contains((3L, 30L))) // [500,510] vs [400,499]: no overlap
+  }
 }

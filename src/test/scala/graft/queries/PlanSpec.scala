@@ -133,6 +133,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("C7 scale path: interval bin join is an equi-join on the bin, not nested-loop") {
+    val p = plan("c7_interval_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Join"))
+  }
+
+  test("C12 gaps-and-islands: both window passes collapse to one shuffle on user_id") {
+    val p = plan("c12_gaps_islands")
+    // lag-flag pass and running-sum pass share partitioning+ordering — the
+    // plan must contain Window operators but only ONE exchange hashed on
+    // user_id before them (the agg reuses the partitioning)
+    assert(p.contains("Window"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("pipeline: CDC merge is one shuffle join, full-outer, no nested loop") {
     val p = plan("pipeline_cdc_merge")
     assert(p.contains("FullOuter"))

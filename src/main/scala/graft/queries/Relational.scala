@@ -342,6 +342,94 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** C8: FORWARD as-of join — for every `purchase`, the EARLIEST `click` of
+    * the same user at-or-after the purchase timestamp (the "next action"
+    * direction attribution queries need). Reuses
+    * [[graft.operators.ScaleOps.asofJoin]] unchanged by running it on the
+    * NEGATED epoch-micros timestamp: ascending negated order is descending
+    * real time, so "latest right at-or-before" becomes "earliest right
+    * at-or-after" — operator reuse instead of a second window pipeline,
+    * same ONE-shuffle scale shape. */
+  val c8AsofForward: QueryDef = QueryDef(
+    "c8_asof_forward", "C8",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+      |  min_by(c.event_id, c.ts) AS next_click_id, min(c.ts) AS next_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), (-unix_micros(col("ts").cast(TimestampType))).as("ts_neg"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), (-unix_micros(col("ts").cast(TimestampType))).as("ts_neg"),
+        col("event_id"), col("ts"))
+    graft.operators.ScaleOps.asofJoin(
+      purchases, clicks, key = "user_id", tsCol = "ts_neg",
+      payload = Seq("event_id" -> "next_click_id", "ts" -> "next_click_ts"))
+      .select(
+        col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("next_click_id"), col("next_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** C10: mergeable distinct-count sketches — the property that matters at
+    * 100 TB: per-partition (here per-event-type) HLL sketches are built in
+    * one pass, then UNIONED into the corpus-wide estimate without touching
+    * the raw data again (Apache DataSketches HLL via Spark's built-in
+    * `hll_sketch_agg`/`hll_union_agg`). noOracle: sketch estimates are
+    * engine-specific by construction; SketchSpec asserts the merged
+    * estimate equals the direct whole-corpus sketch (HLL union is exact
+    * over register maxima, order-independent) and lands within 5% of the
+    * exact distinct count. */
+  val c10HllMerge: QueryDef = QueryDef.noOracle("c10_hll_merge", "C10") { (s, d) =>
+    val per = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val perRows = per.select(
+      col("event_type"),
+      hll_sketch_estimate(col("sk")).cast(LongType).as("approx_users"))
+    val merged = per
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select(
+        lit("ALL").as("event_type"),
+        hll_sketch_estimate(col("sk")).cast(LongType).as("approx_users"))
+    perRows.unionByName(merged).orderBy("event_type")
+  }
+
+  /** C20/C9: typed Dataset API — `groupByKey` + `mapGroups` computing an
+    * interpolated per-group median, the escape hatch for genuinely
+    * arbitrary per-group logic that no built-in aggregate expresses.
+    * Documented cost (why this stays the LAST resort): mapGroups shuffles
+    * every row to its group's reducer with no partial aggregation and the
+    * lambda is opaque to Catalyst — fine for bounded groups, never for the
+    * hot path. Interpolation is `lo + (hi − lo) · 0.5`, the same
+    * formulation as DuckDB's `quantile_cont`, so values hash-match the
+    * oracle exactly. */
+  val c20TypedMapGroups: QueryDef = QueryDef(
+    "c20_typed_mapgroups", "C20 C9",
+    """SELECT o_orderpriority AS pr, o_orderstatus AS st,
+      |  CAST(count(*) AS INT) AS n_orders,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price
+      |FROM orders GROUP BY 1, 2 ORDER BY pr, st""".stripMargin) { (s, d) =>
+    import s.implicits._
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, String, Double)]
+      .groupByKey { case (pr, st, _) => (pr, st) }
+      .mapGroups { (key: (String, String), rows: Iterator[(String, String, Double)]) =>
+        val v = rows.map(_._3).toArray
+        java.util.Arrays.sort(v)
+        val h = (v.length - 1) * 0.5
+        val lo = v(h.toInt)
+        val hi = v(math.ceil(h).toInt)
+        (key._1, key._2, v.length, lo + (hi - lo) * 0.5)
+      }
+      .toDF("pr", "st", "n_orders", "median_price")
+      .orderBy("pr", "st")
+  }
+
   /** C9: TPC-H Q1 shape — the canonical partial+final hash aggregate. All
     * money arithmetic in exact DECIMAL (see file header); averages are one
     * double division of exact operands. */
@@ -1439,9 +1527,10 @@ object Relational {
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c7IntervalOverlap, c7IntervalBinJoin,
-    c8AsofJoin, c9TpchQ1, c9Having, c9Funnel,
+    c8AsofJoin, c8AsofForward, c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
-    c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters,
+    c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,
+    c20TypedMapGroups,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets, c11Unpivot,
     c12Window, c12RangeFrame, c12Ntile, c12Dist, c12GapsIslands, b1LatestOn,
     c13TopK, c13TopKPerGroup,

@@ -13,7 +13,9 @@
 # EXISTS / set-op / windowed-top-k / as-of join (ScaleOps.asofJoin vs
 # DuckDB max_by) / binned range join (random bin widths vs binless
 # oracle, half the draws through the declarative band join rewritten by
-# RangeBinJoinRule) / salted join (vs plain equi-join) / ROLLUP / CUBE /
+# RangeBinJoinRule) / interval-overlap join (ScaleOps.intervalBinJoin,
+# random window geometry and bin widths vs the binless overlap oracle) /
+# salted join (vs plain equi-join) / ROLLUP / CUBE /
 # random GROUPING SETS / CASE WHEN / COALESCE /
 # date_trunc shapes; seed 42 also 150/150 at sf0.1.
 set -euo pipefail

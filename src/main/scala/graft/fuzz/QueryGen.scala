@@ -755,6 +755,51 @@ object QueryGen {
     })
   }
 
+  /** Interval-overlap join over derived maintenance windows vs the binless
+    * overlap theta-join oracle: random window count / stride / length,
+    * random lineitem interval length, AND a random bin width — the
+    * property under test is that ScaleOps.intervalBinJoin's result is
+    * INDEPENDENT of binWidth (covering-bin enumeration, exactly-once
+    * overlap-start-bin matching, inclusive endpoints). */
+  private def intervalQuery(r: Random, name: String): FuzzQuery = {
+    val n = 10 + r.nextInt(41)
+    val stride = pick(r, Seq(30, 45, 60, 90))
+    val len = pick(r, Seq(7, 14, 21, 30))
+    val ship = pick(r, Seq(3, 7, 10))
+    val binDays = pick(r, Seq(5, 14, 30, 61))
+    val sql =
+      s"SELECT w_id, count(*) AS a0, " +
+        s"CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS a1 " +
+        s"FROM (SELECT i AS w_id, d0 + i * INTERVAL $stride DAY AS w_lo, " +
+        s"d0 + i * INTERVAL $stride DAY + INTERVAL $len DAY AS w_hi " +
+        s"FROM (SELECT min(l_shipdate) AS d0 FROM lineitem) b, " +
+        s"unnest(range(0, $n)) t(i)) wins " +
+        s"JOIN lineitem ON l_shipdate <= w_hi " +
+        s"AND w_lo <= l_shipdate + INTERVAL $ship DAY " +
+        s"GROUP BY 1"
+    FuzzQuery(name, sql, (s, d) => {
+      val wins = Tables.lineitem(s, d).agg(min(col("l_shipdate")).as("d0"))
+        .select(explode(sequence(lit(0L), lit((n - 1).toLong))).as("w_id"), col("d0"))
+        .withColumn("w_lo", expr(s"d0 + w_id * INTERVAL '$stride' DAY"))
+        .withColumn("w_hi", expr(s"w_lo + INTERVAL '$len' DAY"))
+        .withColumn("w_lo_s", unix_timestamp(col("w_lo")))
+        .withColumn("w_hi_s", unix_timestamp(col("w_hi")))
+        .drop("d0")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_shipdate"), col("l_quantity"))
+        .withColumn("ship_hi", expr(s"l_shipdate + INTERVAL '$ship' DAY"))
+        .withColumn("ship_lo_s", unix_timestamp(col("l_shipdate")))
+        .withColumn("ship_hi_s", unix_timestamp(col("ship_hi")))
+      graft.operators.ScaleOps.intervalBinJoin(
+        li, wins, "ship_lo_s", "ship_hi_s", "w_lo_s", "w_hi_s",
+        binWidth = binDays.toLong * 86400)
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("a0"),
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("a1"))
+    })
+  }
+
   /** Salted join vs the plain equi-join oracle: the salt factor must not
     * change the result multiset (hot-key scatter + replica join is a pure
     * execution technique). Random salt, random filters on either side. */
@@ -800,7 +845,8 @@ object QueryGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(22) match {
+      r.nextInt(24) match {
+        case s if s >= 22 => intervalQuery(r, name)
         case s if s >= 21 => saltQuery(r, name)
         case s if s >= 19 => rangeQuery(r, name)
         case s if s >= 16 => asofQuery(r, name)

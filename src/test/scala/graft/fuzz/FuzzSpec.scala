@@ -26,7 +26,9 @@ import graft.SparkSpec
   * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join + max_by
   * form), binned range joins (ScaleOps.rangeBinJoin under random bin
   * widths vs the binless inequality-join oracle — half the draws through
-  * the declarative band join rewritten by RangeBinJoinRule), salted
+  * the declarative band join rewritten by RangeBinJoinRule), interval-
+  * overlap joins (ScaleOps.intervalBinJoin under random window geometry
+  * and bin widths vs the binless overlap theta-join oracle), salted
   * joins (vs the plain equi-join), CASE WHEN / COALESCE / string-concat /
   * date_trunc expressions. If this spec's
   * pinned SQL hash changes, the generator changed and the sweep must be
@@ -47,7 +49,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "edf32920d2d8d4a0947d2b2d3c60457d546ffe9e")
+    assert(hex === "7e831458eefef4a3ec5372900e2d4f9667ab5e7f")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -13,6 +13,7 @@ object Registry {
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++
       graft.text.TextAnalysis.all ++
+      graft.text.Bpe.all ++
       graft.multimodal.Multimodal.all ++
       graft.pipelines.Curation.all ++
       graft.functions.Udafs.all

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the BPE trainer on a hand-computable corpus and determinism /
+  * consistency on real data. */
+class BpeSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("trainer learns the hand-computed merges on the textbook corpus") {
+    // word frequencies: hug x10, pug x5, pun x12, bun x4, hugs x5
+    // pair counts round 1: (u,g)=10+5+5=20 (max), (h,u)=15, (p,u)=17,
+    // (u,n)=16, (b,u)=4, (g,s)=5 -> merge (u,g)
+    // round 2: pug=p|ug, hug=h|ug, hugs=h|ug|s: (p,u)=12, (u,n)=16 (max),
+    // (h,ug)=15, (p,ug)=5, (b,u)=4, (ug,s)=5 -> merge (u,n)
+    val corpus = docs(
+      (1L, Array.fill(10)("hug").mkString(" ")),
+      (2L, Array.fill(5)("pug").mkString(" ")),
+      (3L, Array.fill(12)("pun").mkString(" ")),
+      (4L, Array.fill(4)("bun").mkString(" ")),
+      (5L, Array.fill(5)("hugs").mkString(" ")))
+    val dict = Bpe.boundedDict(corpus, cap = 100)
+    assert(dict.toMap === Map("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L))
+    val merges = Bpe.trainMerges(dict, numMerges = 2)
+    assert(merges === Seq(("u", "g"), ("u", "n")))
+  }
+
+  test("encodeWord replays the learned merges exactly") {
+    val ranks = Map(("u", "g") -> 0, ("u", "n") -> 1, ("h", "ug") -> 2)
+    assert(Bpe.encodeWord("hug", ranks).toSeq === Seq("hug"))
+    assert(Bpe.encodeWord("pug", ranks).toSeq === Seq("p", "ug"))
+    assert(Bpe.encodeWord("pun", ranks).toSeq === Seq("p", "un"))
+    assert(Bpe.encodeWord("hugs", ranks).toSeq === Seq("hug", "s"))
+    assert(Bpe.encodeWord("x", ranks).toSeq === Seq("x"))
+  }
+
+  test("merges stop when no pair repeats") {
+    val dict = Array(("ab", 1L), ("cd", 1L))
+    assert(Bpe.trainMerges(dict, numMerges = 10) === Seq.empty)
+  }
+
+  test("registered train/encode queries are deterministic and consistent on real data") {
+    val m1 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq
+    val m2 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq
+    assert(m1 === m2)
+    assert(m1.nonEmpty)
+    val enc = Bpe.bpeEncode.fn(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (tokens, chars) = (r.getInt(1), r.getInt(2))
+      // merges only ever compress: chars >= bpe tokens >= 1 per non-empty doc
+      assert(tokens <= chars && tokens > 0, s"doc ${r.getLong(0)}: $tokens vs $chars")
+    }
+  }
+}

@@ -137,6 +137,17 @@ class ScaleOpsSpec extends SparkSpec {
     ))
   }
 
+  test("AQE re-plans at runtime: post-shuffle partitions coalesce on small aggregates") {
+    // the 100 TB story leans on AQE (runtime partition coalescing, skew
+    // splitting, join re-selection); this pins that it is ON and actually
+    // rewrites our plans in this session's default config
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val df = graft.Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead"), p.take(800))
+  }
+
   test("intervalBinJoin equals the overlap theta join, exactly once per pair") {
     import spark.implicits._
     // intervals chosen to exercise: multi-bin overlap (must NOT duplicate),

@@ -456,8 +456,75 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The curation pipeline, second composition: the round-8 pillars chained
+    * end-to-end with ONE full oracle —
+    *
+    *   Gopher shape gates ([[graft.text.TextAnalysis.gopherMetrics]]) →
+    *   language filter → exact dedup keep-first →
+    *   benchmark decontamination (drop docs sharing ≥3 shingles with the
+    *   held-out split, plus the held-out split itself).
+    *
+    * Plan shape at 100 TB: the gate pass is one narrow projection (the
+    * per-word list_filter runs over short token arrays map-side); the
+    * shuffles are the dedup fingerprint aggregate + semi-join and the
+    * decontamination gram join (benchmark side broadcastable, Bloom-gated
+    * variant available) — each keyed on uniform hashes, each AFTER the
+    * narrow gates have already dropped most rows. */
+  val curateV2: QueryDef = QueryDef(
+    "pipeline_curate_v2", "C17 C19 north_star-pipeline",
+    """WITH m AS (
+      |  SELECT doc_id, lang, source, text, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+      |    (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2 AND 12
+      |      AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.6) AS pass_gopher
+      |  FROM (
+      |    SELECT doc_id, lang, source, text,
+      |      CAST(len(w) AS INT) AS n_words,
+      |      CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) AS mean_word_len,
+      |      CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(w) AS symbol_ratio,
+      |      CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) AS alpha_word_ratio
+      |    FROM (SELECT doc_id, lang, source, text,
+      |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents) t1) t2
+      |), gated AS (SELECT * FROM m WHERE pass_gopher AND lang = 'en'),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      |deduped AS (SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)),
+      |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS grams FROM toks),
+      |gr AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+      |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 100 = 0),
+      |flagged AS (SELECT gr.doc_id FROM gr JOIN bench ON gr.g = bench.g
+      |  WHERE gr.doc_id % 100 <> 0 GROUP BY gr.doc_id HAVING count(*) >= 3)
+      |SELECT doc_id, source, n_words, mean_word_len
+      |FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM flagged) AND doc_id % 100 <> 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val gated = graft.text.TextAnalysis
+      .gopherMetrics(docs, carry = Seq("text", "lang", "source"))
+      .where(col("pass_gopher") && col("lang") === "en")
+    val keep = gated
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.dedup.Dedup.shingles(col("text"))).as("g"))
+    val bench = grams.where(col("doc_id") % 100 === 0).select("g").distinct()
+    val flagged = grams.where(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .select("doc_id")
+    deduped
+      .where(col("doc_id") % 100 =!= 0) // the held-out split never trains
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_words", "mean_word_len")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    curateDocs, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
+    curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
     dedupApply, mixBalance)
 }

@@ -240,8 +240,10 @@ object TextAnalysis {
     gopherMetrics(Tables.documents(s, d)).orderBy("doc_id")
   }
 
-  /** documents(doc_id, text) → per-document Gopher shape metrics + gate. */
-  def gopherMetrics(docs: DataFrame): DataFrame = {
+  /** documents(doc_id, text) → per-document Gopher shape metrics + gate;
+    * `carry` columns pass through untouched (for composed pipelines that
+    * gate first and need text/lang/source downstream). */
+  def gopherMetrics(docs: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
     val w = filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))
     val nWords = size(col("w"))
     val meanWordLen =
@@ -252,13 +254,14 @@ object TextAnalysis {
     val alphaWordRatio =
       size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast(DoubleType) / nWords
     docs
-      .select(col("doc_id"), col("text"), w.as("w"))
-      .select(
+      .select(Seq(col("doc_id"), col("text"), w.as("w")) ++
+        carry.filterNot(_ == "text").map(col): _*)
+      .select(Seq(
         col("doc_id"),
         nWords.as("n_words"),
         meanWordLen.as("mean_word_len"),
         symbolRatio.as("symbol_ratio"),
-        alphaWordRatio.as("alpha_word_ratio"))
+        alphaWordRatio.as("alpha_word_ratio")) ++ carry.map(col): _*)
       .withColumn("pass_gopher",
         col("n_words").between(10, 100000) &&
           col("mean_word_len").between(2, 12) &&

@@ -2,7 +2,9 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.util.Locale
+import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
@@ -39,6 +41,27 @@ object Bench {
   private def toJson(entries: Seq[(String, Double)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+
+  /** Task-metric accumulator: per-query shuffle volume and spill, the
+    * quantitative side of every "one shuffle on the key" claim. Listener
+    * delivery is asynchronous, so totals attribute to the query whose reps
+    * were running when the task finished — exact enough at per-query
+    * granularity (queries run serially). */
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spilled = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (shuffleRead.get, shuffleWrite.get, spilled.get)
+  }
 
   /** 1-minute load average — stamped into the output so a contaminated run
     * (concurrent sbt/compile load on the box) is self-labeling instead of
@@ -84,22 +107,38 @@ object Bench {
     // an 11 s median for a 0.6 s query). With interleaving a burst shorter
     // than one full pass inflates at most ONE rep of any query, which the
     // median then discards.
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     val timesByQuery =
       scala.collection.mutable.LinkedHashMap(defs.map(q => q.name -> Vector.empty[Double]): _*)
+    val shuffleByQuery =
+      scala.collection.mutable.LinkedHashMap(defs.map(q => q.name -> (0L, 0L, 0L)): _*)
     (0 until math.max(1, reps)).foreach { _ =>
       defs.foreach { q =>
+        val before = listener.snapshot
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         timesByQuery(q.name) = timesByQuery(q.name) :+ (System.nanoTime() - t0) / 1e9
+        val after = listener.snapshot
+        val (r0, w0, s0) = shuffleByQuery(q.name)
+        shuffleByQuery(q.name) = (
+          r0 + after._1 - before._1, w0 + after._2 - before._2, s0 + after._3 - before._3)
       }
     }
     val results = timesByQuery.toSeq.map { case (name, raw) =>
       val times = raw.sorted
       (name, times(times.size / 2), times.head, times.last)
     }
+    // per-query shuffle-write MB averaged over reps (read ≈ write locally;
+    // spill recorded only if nonzero anywhere)
+    val nReps = math.max(1, reps)
+    val shuffleMb = shuffleByQuery.toSeq.map { case (n, (_, w, _)) =>
+      "\"" + n + "\":" + fmt(w.toDouble / nReps / 1e6)
+    }.mkString("{", ",", "}")
+    val totalSpill = shuffleByQuery.valuesIterator.map(_._3).sum
     val loadAfter = loadAvg1
     val medians = results.map { case (n, med, _, _) => n -> med }
     val total = medians.map(_._2).sum
@@ -109,7 +148,7 @@ object Bench {
     val env =
       s""""reps":$reps,"load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}"""
     val fullLine =
-      s"""{"queries":${toJson(medians)},"spread":$spread,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
+      s"""{"queries":${toJson(medians)},"spread":$spread,"shuffle_write_mb":$shuffleMb,"spilled_bytes":$totalSpill,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
     println(fullLine)
     // Smoke runs (sf0.001, reps=1) set SPARK_GRAFT_BENCH_NOFILE=1 so they
     // don't clobber the committed clean sf0.1 median-of-3 record.

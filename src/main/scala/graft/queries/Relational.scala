@@ -374,6 +374,52 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** C9: second-moment statistics (stddev, correlation) the hash-matchable
+    * way. Spark's `stddev_samp`/`corr` merge partial Welford states, so the
+    * last ulps depend on partition boundaries — unusable for cross-engine
+    * hash comparison AND for run-to-run reproducibility audits. Instead the
+    * raw moments (Σx, Σy, Σx², Σy², Σxy, n) accumulate in exact DECIMAL
+    * (order-independent), and the statistics are derived in ONE double
+    * expression mirrored verbatim in the oracle — bit-identical on any
+    * partitioning, any cluster size. Same partial+final hash-aggregate
+    * plan as any sum. */
+  val c9ExactMoments: QueryDef = QueryDef(
+    "c9_exact_moments", "C9",
+    """SELECT l_returnflag, n,
+      |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val x = col("l_quantity").cast(DecimalType(12, 2))
+    val y = col("l_extendedprice").cast(DecimalType(12, 2))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1.0))).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** C10: mergeable distinct-count sketches — the property that matters at
     * 100 TB: per-partition (here per-event-type) HLL sketches are built in
     * one pass, then UNIONED into the corpus-wide estimate without touching
@@ -1529,7 +1575,7 @@ object Relational {
     c7RangeJoin, c7RangeBinJoin, c7IntervalOverlap, c7IntervalBinJoin,
     c8AsofJoin, c8AsofForward, c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
-    c9QuantilesApprox, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,
+    c9QuantilesApprox, c9ExactMoments, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,
     c20TypedMapGroups,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets, c11Unpivot,
     c12Window, c12RangeFrame, c12Ntile, c12Dist, c12GapsIslands, b1LatestOn,

@@ -191,6 +191,19 @@ object StreamingJobs {
         new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** C16: stream-static enrichment join — every micro-batch joins against a
+    * (slowly-changing) static dimension. The static side is broadcast, so
+    * the stream is never shuffled and no streaming state accrues — the
+    * cheapest join Structured Streaming offers and the right shape for
+    * dimension lookups at any stream rate. The static frame is re-planned
+    * per micro-batch, so an overwritten dimension table is picked up
+    * without restarting the query. */
+  def enrichWithDimension(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Exactly-once to a non-transactional sink: the idempotent-replay
     * `foreachBatch` recipe. Structured Streaming guarantees a micro-batch
     * is REPROCESSED after a failure (at-least-once delivery to the sink

@@ -233,6 +233,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("purch").count() === 2L)
   }
 
+  test("stream-static join enriches each micro-batch from the broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = StreamingJobs.enrichWithDimension(
+      in.toDF().toDF("user_id", "amount"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_enrich").toString)
+      .start()
+    in.addData((1L, 10.0), (2L, 5.0), (3L, 7.0)) // 3 has no dim row
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) "<null>" else r.getString(2))).toMap
+    assert(rows === Map(1L -> "gold", 2L -> "basic", 3L -> "<null>"))
+  }
+
   test("idempotent foreachBatch sink: batch replay rewrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

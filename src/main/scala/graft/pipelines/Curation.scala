@@ -523,8 +523,45 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Data-derived quality thresholds (the adaptive twin of fixed gates
+    * like `pipeline_curate`'s token budget): per-language exact length
+    * quantiles (p10/p99) are computed in one tiny aggregate, broadcast
+    * back over the corpus, and documents outside their OWN language's band
+    * are dropped — a fixed global cut would systematically bias against
+    * languages with shorter scripts (zh) or longer compounds (de).
+    *
+    * Scale shape: same as [[mixBalance]] — the threshold table is |langs|
+    * rows (broadcast), the corpus passes ONCE with a narrow projection and
+    * a broadcast join; exact `percentile` keeps the oracle bit-exact
+    * (DuckDB `quantile_cont`; at extreme cardinalities swap for the
+    * mergeable `approx_percentile` twin, same plan — see c9_quantiles_approx
+    * for that documented trade). */
+  val adaptiveLengthGate: QueryDef = QueryDef(
+    "pipeline_adaptive_length_gate", "C9 C19 north_star-pipeline",
+    """WITH n AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_tokens
+      |  FROM documents),
+      |th AS (SELECT lang, quantile_cont(n_tokens, 0.10) AS lo,
+      |  quantile_cont(n_tokens, 0.99) AS hi FROM n GROUP BY lang)
+      |SELECT n.doc_id, n.lang, n.n_tokens, th.lo, th.hi
+      |FROM n JOIN th USING (lang)
+      |WHERE n.n_tokens >= th.lo AND n.n_tokens <= th.hi
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val n = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).as("n_tokens"))
+    val th = n.groupBy("lang").agg(
+      percentile(col("n_tokens"), lit(0.10)).as("lo"),
+      percentile(col("n_tokens"), lit(0.99)).as("hi"))
+    n.join(broadcast(th), Seq("lang"))
+      .where(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select("doc_id", "lang", "n_tokens", "lo", "hi")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
-    dedupApply, mixBalance)
+    dedupApply, mixBalance, adaptiveLengthGate)
 }

@@ -128,6 +128,35 @@ class DedupSpec extends SparkSpec {
     clusters.foreach { case (id, c) => assert(c <= id) } // min-label canonical
   }
 
+  test("minhash signature match-rate estimates exact Jaccard within theory bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // high-overlap pair (1,2), disjoint pair (1,3)
+    val base = (1 to 60).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.drop(12) ++ (1 to 12).map(i => s"new$i")).mkString(" ")),
+      (3L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val k = 256 // sigma = sqrt(J(1-J)/k) <= 0.032; assert within ~4 sigma
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.HashExprs.minhashSig(Dedup.tokens(col("text")), 3, k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val shingleSets = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def exactJ(a: Long, b: Long): Double =
+      (shingleSets(a) & shingleSets(b)).size.toDouble / (shingleSets(a) | shingleSets(b)).size
+    def estJ(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / k
+    for ((a, b) <- Seq((1L, 2L), (1L, 3L))) {
+      assert(math.abs(estJ(a, b) - exactJ(a, b)) <= 0.13,
+        s"pair ($a,$b): est ${estJ(a, b)} vs exact ${exactJ(a, b)}")
+    }
+    assert(exactJ(1L, 3L) === 0.0) // and the estimator agrees it is far
+    assert(estJ(1L, 3L) <= 0.13)
+    assert(exactJ(1L, 2L) >= 0.6) // genuinely near-dup
+  }
+
   test("span dedup finds exactly the planted aligned 16-token overlap") {
     import spark.implicits._
     val words = (1 to 24).map(i => s"w$i")

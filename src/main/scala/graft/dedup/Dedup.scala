@@ -447,7 +447,37 @@ object Dedup {
       .agg(count(lit(1)).cast(IntegerType).as("shared_spans"))
   }
 
+  /** Text near-dup through the VECTOR path: documents are embedded
+    * in-engine by [[graft.functions.FeatureHashEmbed]] (hashing-trick
+    * bag-of-tokens, L2-normalized, one map-side pass — no external model),
+    * then the SAME SRP-bucketed near-dup pipeline as
+    * `c17_embedding_neardup_lsh` ([[graft.similarity.Similarity
+    * .nearDupPairs]]) finds cosine ≥ 0.95 pairs. This closes the
+    * text→vector bridge: every embedding-side operator (ANN, radius,
+    * SemDeDup) now runs on raw documents too.
+    *
+    * The corpus has no genuine ≥0.95 multiset pairs, so 3 near-identical
+    * copies are planted (doc_id + 1,000,000, one token appended) — same
+    * non-vacuousness pattern as the embeddings-side injection. noOracle
+    * (hash embeddings are engine-specific); DedupSpec asserts exact copies
+    * embed at cosine exactly 1, planted near-copies are found, and the
+    * pair set is deterministic. */
+  val textEmbedNearDup: QueryDef = QueryDef.noOracle(
+    "c17_text_embed_neardup", "C17 C18 C19") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.where(col("doc_id") < 3).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" appended")).as("text"))
+    val emb = docs.unionAll(planted).select(
+      col("doc_id").as("vec_id"),
+      graft.functions.VectorExprs
+        .featureHashEmbed(tokens(col("text")), 64).as("embedding"))
+    graft.similarity.Similarity
+      .nearDupPairs(emb, tables = 8, bits = 8, threshold = 0.95)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters,
-      spanDedup)
+      spanDedup, textEmbedNearDup)
 }

@@ -238,6 +238,55 @@ case class NearestCentroids(
     copy(child = newChild)
 }
 
+/** Feature-hashing text embedding (the hashing trick — Weinberger et al.
+  * 2009, arXiv:0902.2206): token t contributes ±1 to dimension
+  * `murmur(t) mod dims`, sign from an independent bit of the mixed hash;
+  * the result is L2-normalized. This is the in-engine bridge from raw text
+  * to the `array<float>` similarity/dedup operators — no external model,
+  * one pass per row, map-side only, and identical vectors for identical
+  * token multisets (so exact duplicates embed at cosine exactly 1).
+  * Input: array<string> tokens. Output: array<float> of `dims`.
+  */
+case class FeatureHashEmbed(child: Expression, dims: Int)
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "feature_hash_embed"
+
+  override def compute(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val acc = new Array[Double](dims)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+      val d = java.lang.Math.floorMod(h, dims)
+      // sign from an independent mixed bit, not the index bits
+      val sign = if ((HashMix.mix(h.toLong) & 1L) == 0L) 1.0 else -1.0
+      acc(d) += sign
+      i += 1
+    }
+    var norm2 = 0.0
+    var j = 0
+    while (j < dims) { norm2 += acc(j) * acc(j); j += 1 }
+    val inv = if (norm2 == 0.0) 0.0 else 1.0 / math.sqrt(norm2)
+    val out = new Array[Float](dims)
+    j = 0
+    while (j < dims) { out(j) = (acc(j) * inv).toFloat; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: fused codegen cosine similarity of two float arrays. */
   def cosineSim(a: Column, b: Column): Column =
@@ -246,6 +295,10 @@ object VectorExprs {
   /** All SRP-LSH table buckets of a float vector in one pass. */
   def srpBuckets(emb: Column, tables: Int, bits: Int): Column =
     GraftBridge.column(SrpBuckets(GraftBridge.expression(emb), tables, bits))
+
+  /** Feature-hashed, L2-normalized text embedding from a token array. */
+  def featureHashEmbed(tokens: Column, dims: Int): Column =
+    GraftBridge.column(FeatureHashEmbed(GraftBridge.expression(tokens), dims))
 
   /** Map-side IVF assignment: ids of the `keep` nearest centroids. */
   def nearestCentroids(

@@ -157,6 +157,30 @@ class DedupSpec extends SparkSpec {
     assert(exactJ(1L, 2L) >= 0.6) // genuinely near-dup
   }
 
+  test("feature-hash embedding: identical token multisets at cosine exactly 1, near-copies found") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact copy
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"), // near copy
+      (4L, "totally different vocabulary everywhere here now")
+    ).toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      graft.functions.VectorExprs.featureHashEmbed(Dedup.tokens(col("text")), 64).as("embedding"))
+    val pairs = graft.similarity.Similarity
+      .nearDupPairs(emb, tables = 8, bits = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0) // identical multiset -> identical vector
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.9)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // registered query: planted near-copies (doc_id+1e6) must be found
+    val reg = Dedup.textEmbedNearDup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0L, 1L, 2L).foreach(id => assert(reg.contains((id, id + 1000000L)),
+      s"planted pair for doc $id missing"))
+  }
+
   test("span dedup finds exactly the planted aligned 16-token overlap") {
     import spark.implicits._
     val words = (1 to 24).map(i => s"w$i")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinHashBands, MinHashSig, ShingleArray, SimHashSig, SrpBuckets}
+import graft.functions.{CosineSim, FeatureHashEmbed, MinHashBands, MinHashSig, ShingleArray, SimHashSig, SrpBuckets}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -46,5 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_buckets"),
       info("srp_buckets", "srp_buckets(array<float>) - 4 sign-random-projection LSH buckets"),
       ((args: Seq[Expression]) => SrpBuckets(args.head, 4, 8)): FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("feature_hash_embed"),
+      info("feature_hash_embed",
+        "feature_hash_embed(tokens) - 64-dim hashing-trick text embedding, L2-normalized"),
+      ((args: Seq[Expression]) => FeatureHashEmbed(args.head, 64)): FunctionBuilder))
   }
 }

@@ -25,13 +25,19 @@ class ExtensionsSpec extends AnyFunSuite {
         |  simhash_sig(array('x','y')) AS sh,
         |  size(shingle_array(array('a','b','c','d'))) AS n_shingles,
         |  size(minhash_bands(array('a','b','c','d'))) AS n_bands,
-        |  size(srp_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)))) AS n_buckets
+        |  size(srp_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)))) AS n_buckets,
+        |  size(feature_hash_embed(array('a','b','c'))) AS emb_dims,
+        |  cosine_sim(feature_hash_embed(array('a','b','c')),
+        |             feature_hash_embed(array('c','b','a'))) AS emb_self
         |""".stripMargin).first()
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(row.getInt(1) === 64)
     assert(row.getInt(3) === 2) // "a b c", "b c d"
     assert(row.getInt(4) === 16)
     assert(row.getInt(5) === 4)
+    assert(row.getInt(6) === 64)
+    // order-independent: same token multiset -> identical vector
+    assert(math.abs(row.getDouble(7) - 1.0) < 1e-12)
   }
 
   test("RangeBinJoinRule rewrites a pure band join to a binned equi-join") {

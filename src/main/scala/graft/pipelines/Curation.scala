@@ -560,8 +560,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Apply step for exact-substring span dedup (the greedy keep-first
+    * policy over [[graft.dedup.Dedup.spanDedupPairs]]): any document
+    * sharing a verbatim 16-token window with a LOWER-id document is
+    * dropped. Greedy-by-id is the standard policy for span dedup (Lee et
+    * al. remove one side of every overlapping pair); because pairs are
+    * emitted as doc_a < doc_b, the drop set is exactly the doc_b column —
+    * one anti-join, no cluster pass needed (unlike the Jaccard-cluster
+    * apply in [[dedupApply]], where transitive families are wanted).
+    * Fully oracle-checked end-to-end: pair generation (df cap included)
+    * AND the keep policy. */
+  val spanDedupApply: QueryDef = QueryDef(
+    "pipeline_span_dedup_apply", "C17 north_star-pipeline",
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - ${graft.dedup.Dedup.spanTokens - 2}),
+      |      i -> array_to_string(t[i:i+${graft.dedup.Dedup.spanTokens - 1}], ' ')))) AS g
+      |  FROM toks WHERE len(t) >= ${graft.dedup.Dedup.spanTokens}
+      |), df AS (SELECT g, count(*) AS df FROM grams GROUP BY g
+      |), keep AS (
+      |  SELECT gr.doc_id, gr.g FROM grams gr JOIN df USING (g)
+      |  WHERE df.df <= ${graft.dedup.Dedup.ngramDfCap}
+      |), drops AS (
+      |  SELECT DISTINCT b.doc_id FROM keep a JOIN keep b
+      |  ON a.g = b.g AND a.doc_id < b.doc_id)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val drops = graft.dedup.Dedup
+      .spanDedupPairs(docs, graft.dedup.Dedup.spanTokens, graft.dedup.Dedup.ngramDfCap)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
-    dedupApply, mixBalance, adaptiveLengthGate)
+    dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply)
 }

@@ -148,5 +148,32 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
-  val all: Seq[QueryDef] = Seq(binaryMeta, featureStub, decodeBatchQuery)
+  /** Chunk-row emission — the asset is split into fixed-size chunks, ONE
+    * ROW PER CHUNK with its index and checksum: the layout an object-store
+    * uploader, a dedup-by-chunk pass (CDC-style), or a frame-level feature
+    * pipeline consumes. Generate (explode of a closed-form index range) +
+    * project — no shuffle, chunk count derived arithmetically, so a 100 TB
+    * asset table chunks in one embarrassingly parallel pass. Chunking is
+    * character-based here so DuckDB's `substr` is an exact oracle (the
+    * byte-based binary variant is the same plan with `substring` on the
+    * payload column). */
+  val chunkRows: QueryDef = QueryDef(
+    "mm_chunk_rows", "C15 north_star-multimodal",
+    """SELECT doc_id AS asset_id, i AS chunk_idx,
+      |  md5(substr(text, (i*64)+1, 64)) AS chunk_md5,
+      |  CAST(length(substr(text, (i*64)+1, 64)) AS INT) AS chunk_len
+      |FROM documents, unnest(range(0, CAST(ceil(length(text)/64.0) AS INT))) t(i)
+      |ORDER BY asset_id, chunk_idx""".stripMargin) { (s, d) =>
+    val nChunks = ceil(length(col("text")) / 64.0).cast(IntegerType)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("asset_id"), col("text"),
+        explode(sequence(lit(0L), nChunks.cast(LongType) - 1L)).as("chunk_idx"))
+      .select(
+        col("asset_id"), col("chunk_idx"),
+        md5(expr("substring(text, CAST(chunk_idx*64 + 1 AS INT), 64)")).as("chunk_md5"),
+        length(expr("substring(text, CAST(chunk_idx*64 + 1 AS INT), 64)")).as("chunk_len"))
+      .orderBy("asset_id", "chunk_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(binaryMeta, featureStub, decodeBatchQuery, chunkRows)
 }

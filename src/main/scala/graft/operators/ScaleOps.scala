@@ -24,17 +24,20 @@ import org.apache.spark.sql.types._
 object ScaleOps {
 
   /** As-of join: for each left row, attach the payload of the LATEST right
-    * row with `right.tsCol <= left.tsCol` in the same `key` group (strict
-    * "at or before": a right row at exactly the left row's timestamp is
-    * visible). Left rows with no preceding right row get typed nulls.
+    * row with `right.tsCol <= left.tsCol` in the same `key` group ("at or
+    * before": a right row at exactly the left row's timestamp is visible;
+    * with `strict = true` the bound is `<` — QuestDB's LT JOIN semantics —
+    * and the equal-ts right row is NOT visible). Left rows with no
+    * qualifying right row get typed nulls.
     *
     * Spark-first formulation (no public as-of API): union both sides
     * tagged with a kind bit, one window pass per key ordered by
-    * (ts, kind) — right rows sort before left rows at equal ts — then
-    * `last(payload, ignoreNulls)` carries the most recent right payload
-    * forward. ONE shuffle on `key`; at 100 TB this is the scale-safe
-    * shape. Deterministic iff (key, tsCol) is unique on the right side
-    * (ties would make "the latest right row" ill-defined in any engine).
+    * (ts, kind) — right rows sort before left rows at equal ts (after, in
+    * strict mode) — then `last(payload, ignoreNulls)` carries the most
+    * recent right payload forward. ONE shuffle on `key`; at 100 TB this is
+    * the scale-safe shape. Deterministic iff (key, tsCol) is unique on the
+    * right side (ties would make "the latest right row" ill-defined in any
+    * engine).
     *
     * @param payload right-side columns to carry, as (sourceCol → outCol);
     *                outCol names must not collide with left's columns
@@ -45,7 +48,8 @@ object ScaleOps {
       right: DataFrame,
       key: String,
       tsCol: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)],
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the payload travels as ONE struct so all columns come atomically
     // from the SAME right row even if individual payload values are null
@@ -55,8 +59,11 @@ object ScaleOps {
     val lSide = left.select(
       Seq(col(key), col(tsCol), lit(1).as("_kind"),
         lit(null).cast(pType).as("_p")) ++ leftExtra.map(col): _*)
+    // kind ordering at equal ts decides visibility: 0 sorts before the
+    // left's 1 (inclusive <=), 2 sorts after it (strict <)
+    val rKind = if (strict) 2 else 0
     val rSide = right.select(
-      Seq(col(key), col(tsCol), lit(0).as("_kind"),
+      Seq(col(key), col(tsCol), lit(rKind).as("_kind"),
         struct(payload.map { case (s, o) => col(s).as(o) }: _*).as("_p")) ++
         leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(key).orderBy(col(tsCol), col("_kind"))

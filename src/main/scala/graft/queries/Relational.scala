@@ -374,6 +374,70 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** C8: STRICT as-of join (QuestDB `LT JOIN`): the latest click strictly
+    * BEFORE each purchase — an equal-timestamp click is not visible. Same
+    * one-shuffle union+window operator with the tie-breaking kind bit
+    * flipped (`strict = true`). */
+  val c8AsofStrict: QueryDef = QueryDef(
+    "c8_asof_strict", "C8",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+      |  max_by(c.event_id, c.ts) AS last_click_id, max(c.ts) AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND c.ts < p.ts
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    graft.operators.ScaleOps.asofJoin(
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+      ev.where(col("event_type") === "click"),
+      key = "user_id", tsCol = "ts",
+      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"),
+      strict = true)
+      .select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** C8: SPLICE-style full-outer as-of (QuestDB `SPLICE JOIN`): every row
+    * of BOTH streams, each matched with the latest OTHER-side row
+    * at-or-before its timestamp. Two directed as-of passes — mutual
+    * equal-ts visibility cannot be expressed in one total order, so a
+    * fused single window pass would break ties asymmetrically; both
+    * passes shuffle on the same user_id key, and Catalyst schedules them
+    * independently (no barrier between the two unioned branches). */
+  val c8SpliceJoin: QueryDef = QueryDef(
+    "c8_splice_join", "C8",
+    """SELECT p.user_id, p.ts, 'purchase' AS src, p.event_id AS own_id,
+      |  max_by(c.event_id, c.ts) AS other_id, max(c.ts) AS other_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |GROUP BY 1, 2, 4
+      |UNION ALL
+      |SELECT c.user_id, c.ts, 'click' AS src, c.event_id AS own_id,
+      |  max_by(p.event_id, p.ts) AS other_id, max(p.ts) AS other_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts
+      |GROUP BY 1, 2, 4
+      |ORDER BY user_id, ts, src, own_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    def side(ownType: String, otherType: String, srcName: String) =
+      graft.operators.ScaleOps.asofJoin(
+        ev.where(col("event_type") === ownType)
+          .select(col("user_id"), col("ts"), col("event_id").as("own_id")),
+        ev.where(col("event_type") === otherType),
+        key = "user_id", tsCol = "ts",
+        payload = Seq("event_id" -> "other_id", "ts" -> "other_ts"))
+        .select(col("user_id"), col("ts"), lit(srcName).as("src"),
+          col("own_id"), col("other_id"), col("other_ts"))
+    side("purchase", "click", "purchase")
+      .unionByName(side("click", "purchase", "click"))
+      .orderBy("user_id", "ts", "src", "own_id")
+  }
+
   /** C9: second-moment statistics (stddev, correlation) the hash-matchable
     * way. Spark's `stddev_samp`/`corr` merge partial Welford states, so the
     * last ulps depend on partition boundaries — unusable for cross-engine
@@ -1573,7 +1637,8 @@ object Relational {
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c7IntervalOverlap, c7IntervalBinJoin,
-    c8AsofJoin, c8AsofForward, c9TpchQ1, c9Having, c9Funnel,
+    c8AsofJoin, c8AsofForward, c8AsofStrict, c8SpliceJoin,
+    c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
     c9QuantilesApprox, c9ExactMoments, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,
     c20TypedMapGroups,

@@ -148,6 +148,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead"), p.take(800))
   }
 
+  test("asofJoin strict mode: the equal-ts right row is invisible") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L),
+      (1L, ts("2024-01-01 10:00:00"), 8L) // exactly at the left row's ts
+    ).toDF("k", "t", "rid")
+    def run(strict: Boolean): Long = graft.operators.ScaleOps
+      .asofJoin(left, right, "k", "t", Seq("rid" -> "a_rid"), strict = strict)
+      .collect().head.getAs[Long]("a_rid")
+    assert(run(strict = false) === 8L) // <= : equal-ts row wins
+    assert(run(strict = true) === 7L)  // <  : falls back to the earlier row
+  }
+
   test("intervalBinJoin equals the overlap theta join, exactly once per pair") {
     import spark.implicits._
     // intervals chosen to exercise: multi-bin overlap (must NOT duplicate),

@@ -687,23 +687,48 @@ object QueryGen {
     val eventsSrc = sources.find(_.id == "e").get
     val rightPred = if (r.nextInt(2) == 0) Some(leafPred(r, eventsSrc)) else None
     val rightWhere = rightPred.map(p => s" AND (${p.sql})").getOrElse("")
+    // all four as-of semantics: backward/forward × inclusive/strict —
+    // backward runs the operator directly, forward runs the SAME operator
+    // on negated epoch micros (the c8_asof_forward construction)
+    val strict = r.nextInt(2) == 0
+    val forward = r.nextInt(2) == 0
+    val cmp = (forward, strict) match {
+      case (false, false) => "<="
+      case (false, true) => "<"
+      case (true, false) => ">="
+      case (true, true) => ">"
+    }
+    val (aggBy, agg) = if (forward) ("min_by", "min") else ("max_by", "max")
     val sql =
       s"SELECT p.event_id AS p_id, p.user_id AS k, p.ts AS p_ts, " +
-        s"max_by(c.event_id, c.ts) AS last_id, max(c.ts) AS last_ts " +
+        s"$aggBy(c.event_id, c.ts) AS last_id, $agg(c.ts) AS last_ts " +
         s"FROM (SELECT * FROM events WHERE event_type = '$lt') p " +
         s"LEFT JOIN (SELECT * FROM events WHERE event_type = '$rt'$rightWhere) c " +
-        s"ON c.user_id = p.user_id AND c.ts <= p.ts " +
+        s"ON c.user_id = p.user_id AND c.ts $cmp p.ts " +
         s"GROUP BY 1, 2, 3"
     FuzzQuery(name, sql, (s, d) => {
       val ev = Tables.events(s, d)
-      val leftDf = ev.where(col("event_type") === lt)
-        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
       val right0 = ev.where(col("event_type") === rt)
-      val rightDf = rightPred.map(p => right0.where(p.spark)).getOrElse(right0)
-      graft.operators.ScaleOps.asofJoin(leftDf, rightDf, "user_id", "ts",
-        Seq("event_id" -> "last_id", "ts" -> "last_ts"))
-        .select(col("p_id"), col("user_id").as("k"), col("ts").as("p_ts"),
-          col("last_id"), col("last_ts"))
+      val rightDf0 = rightPred.map(p => right0.where(p.spark)).getOrElse(right0)
+      if (!forward) {
+        val leftDf = ev.where(col("event_type") === lt)
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        graft.operators.ScaleOps.asofJoin(leftDf, rightDf0, "user_id", "ts",
+          Seq("event_id" -> "last_id", "ts" -> "last_ts"), strict = strict)
+          .select(col("p_id"), col("user_id").as("k"), col("ts").as("p_ts"),
+            col("last_id"), col("last_ts"))
+      } else {
+        val neg = -unix_micros(col("ts").cast(TimestampType))
+        val leftDf = ev.where(col("event_type") === lt)
+          .select(col("user_id"), neg.as("ts_neg"),
+            col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val rightDf = rightDf0.select(col("user_id"), neg.as("ts_neg"),
+          col("event_id"), col("ts"))
+        graft.operators.ScaleOps.asofJoin(leftDf, rightDf, "user_id", "ts_neg",
+          Seq("event_id" -> "last_id", "ts" -> "last_ts"), strict = strict)
+          .select(col("p_id"), col("user_id").as("k"), col("p_ts"),
+            col("last_id"), col("last_ts"))
+      }
     })
   }
 

@@ -22,9 +22,10 @@ import graft.SparkSpec
   * aliased cols passed to Dataset.groupingSets mint a phantom grouping
   * column, so the fuzzer groups on raw exprs and renames positionally),
   * exact interpolated quantiles (percentile vs quantile_cont),
-  * UNION/INTERSECT/EXCEPT, windowed top-k, as-of joins
-  * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join + max_by
-  * form), binned range joins (ScaleOps.rangeBinJoin under random bin
+  * UNION/INTERSECT/EXCEPT, windowed top-k, as-of joins in all four
+  * semantics — backward/forward × inclusive/strict
+  * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join +
+  * max_by/min_by forms), binned range joins (ScaleOps.rangeBinJoin under random bin
   * widths vs the binless inequality-join oracle — half the draws through
   * the declarative band join rewritten by RangeBinJoinRule), interval-
   * overlap joins (ScaleOps.intervalBinJoin under random window geometry
@@ -49,7 +50,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "7e831458eefef4a3ec5372900e2d4f9667ab5e7f")
+    assert(hex === "32163532d1b93bc1560e9a010413503a82653e26")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

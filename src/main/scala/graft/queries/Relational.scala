@@ -1344,6 +1344,60 @@ object Relational {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
+  /** C14/SQL surface: RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`) — a
+    * complete month calendar enumerated by the recursion (anchor = first
+    * order month, step = +1 month while below the last), LEFT-joined to
+    * per-month order counts: the gap-filled calendar without `sequence`.
+    * Recursion depth = number of months — bounded by data span, not data
+    * volume, so the driver-side iteration is O(months) while each step
+    * stays a distributed plan. Oracle: DuckDB's identical recursive CTE
+    * (its `date_trunc` returns DATE → cast back to TIMESTAMP for schema
+    * parity). */
+  val c14RecursiveCte: QueryDef = QueryDef(
+    "c14_recursive_cte", "C14 C15",
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) FROM orders
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP) FROM months
+      |  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) FROM orders)
+      |)
+      |SELECT m, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+      |GROUP BY m ORDER BY m""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH FROM months
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** C5/C13/SQL surface: LATERAL correlated subquery with ORDER BY+LIMIT —
+    * per-nation top-2 customers by balance, the "top-k per row" idiom SQL
+    * users reach for before window functions. Catalyst de-correlates the
+    * lateral into a join + per-key limit; the window-function formulation
+    * (`c13_topk_pergroup`) stays the recommended scale shape. */
+  val c5LateralTopk: QueryDef = QueryDef(
+    "c5_lateral_topk", "C5 C13",
+    """SELECT n.n_name, l.c_name, l.c_acctbal FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n.n_name, l.c_name, l.c_acctbal FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
   /** C16 (batch twin): session windows — 30-minute-gap sessions per user
     * over events, the same operator the streaming path runs with a
     * watermark. Oracle = the classic gaps-and-islands construction: a new
@@ -1646,7 +1700,7 @@ object Relational {
     c12Window, c12RangeFrame, c12Ntile, c12Dist, c12GapsIslands, b1LatestOn,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
-    c14IntersectAll, c14ExceptAll,
+    c14IntersectAll, c14ExceptAll, c14RecursiveCte, c5LateralTopk,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,

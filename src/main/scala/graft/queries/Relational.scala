@@ -1344,36 +1344,46 @@ object Relational {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
-  /** C14/SQL surface: RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`) — a
-    * complete month calendar enumerated by the recursion (anchor = first
-    * order month, step = +1 month while below the last), LEFT-joined to
-    * per-month order counts: the gap-filled calendar without `sequence`.
-    * Recursion depth = number of months — bounded by data span, not data
-    * volume, so the driver-side iteration is O(months) while each step
-    * stays a distributed plan. Oracle: DuckDB's identical recursive CTE
-    * (its `date_trunc` returns DATE → cast back to TIMESTAMP for schema
-    * parity). */
+  /** C14/SQL surface: RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`) — a month
+    * calendar over one order year enumerated by the recursion (anchor =
+    * first 1995 month, step = +1 month while below the year's last),
+    * LEFT-joined to per-month order counts: the gap-filled calendar
+    * without `sequence`.
+    *
+    * Cost model, measured: every recursion step is a separately-scheduled
+    * Spark job, so the query pays ~150 ms of driver latency PER MONTH
+    * regardless of data volume (the full 80-month span costs ~13 s while
+    * producing 80 rows). That fixed per-iteration price is why the
+    * production gap-fill (`b2_trend_gapfill`) builds
+    * its calendar with `sequence` + explode — one job, any span — and this
+    * query exists for SQL-surface parity on a bounded 12-step span.
+    * Oracle: DuckDB's identical recursive CTE (its `date_trunc` returns
+    * DATE → cast back to TIMESTAMP for schema parity). */
   val c14RecursiveCte: QueryDef = QueryDef(
     "c14_recursive_cte", "C14 C15",
-    """WITH RECURSIVE months(m) AS (
-      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) FROM orders
+    """WITH RECURSIVE o AS (
+      |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |), months(m) AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) FROM o
       |  UNION ALL
       |  SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP) FROM months
-      |  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) FROM orders)
+      |  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) FROM o)
       |)
       |SELECT m, count(o_orderkey) AS n_orders
-      |FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+      |FROM months LEFT JOIN o ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
       |GROUP BY m ORDER BY m""".stripMargin) { (s, d) =>
     Tables.registerAll(s, d)
     s.sql(
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+      """WITH RECURSIVE o AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |), months(m) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) FROM o
         |  UNION ALL
         |  SELECT m + INTERVAL '1' MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM o)
         |)
         |SELECT m, count(o_orderkey) AS n_orders
-        |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |FROM months LEFT JOIN o ON date_trunc('month', o_orderdate) = m
         |GROUP BY m ORDER BY m""".stripMargin)
   }
 

@@ -618,7 +618,8 @@ object QueryGen {
     val nk = 1 + r.nextInt(math.min(2, lowCard.size))
     val cs = r.shuffle1(lowCard.map(_.name), nk)
     val (p1, p2) = (leafPred(r, src), leafPred(r, src))
-    val op = pick(r, Seq("UNION", "INTERSECT", "EXCEPT"))
+    val op = pick(r,
+      Seq("UNION", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"))
     val selSql = cs.zipWithIndex.map { case (c, j) => s"$c AS p$j" }
       .mkString(", ")
     val sql =
@@ -631,7 +632,9 @@ object QueryGen {
       op match {
         case "UNION" => a.union(b).distinct()
         case "INTERSECT" => a.intersect(b)
-        case _ => a.except(b)
+        case "EXCEPT" => a.except(b)
+        case "INTERSECT ALL" => a.intersectAll(b)
+        case _ => a.exceptAll(b)
       }
     })
   }

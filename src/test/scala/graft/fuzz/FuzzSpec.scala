@@ -22,7 +22,8 @@ import graft.SparkSpec
   * aliased cols passed to Dataset.groupingSets mint a phantom grouping
   * column, so the fuzzer groups on raw exprs and renames positionally),
   * exact interpolated quantiles (percentile vs quantile_cont),
-  * UNION/INTERSECT/EXCEPT, windowed top-k, as-of joins in all four
+  * UNION/INTERSECT/EXCEPT (set and bag ALL semantics), windowed top-k,
+  * as-of joins in all four
   * semantics — backward/forward × inclusive/strict
   * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join +
   * max_by/min_by forms), binned range joins (ScaleOps.rangeBinJoin under random bin
@@ -50,7 +51,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "32163532d1b93bc1560e9a010413503a82653e26")
+    assert(hex === "7d38d7c9cba23a86197cb450c5239d9156930b67")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

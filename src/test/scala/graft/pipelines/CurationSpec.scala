@@ -141,4 +141,15 @@ class CurationSpec extends SparkSpec {
     // coverage: last chunk reaches the end of the text (800 + 153 = 953)
     assert(d1.last.getInt(2) + d1.last.getInt(3) === text.length)
   }
+
+  test("pipeline and dedup helpers tolerate empty input (empty partitions are routine at scale)") {
+    val empty = graft.Tables.documents(spark, sf).limit(0)
+    assert(Curation.curate(empty, 20, 5000, 0.8).count() === 0L)
+    assert(graft.text.TextAnalysis.gopherMetrics(empty).count() === 0L)
+    assert(graft.text.TextAnalysis.typicality(empty).count() === 0L)
+    assert(graft.dedup.Dedup.spanDedupPairs(empty, 16, 64).count() === 0L)
+    assert(graft.dedup.Dedup.ngramJaccardPairs(empty, 0.7, 64).count() === 0L)
+    assert(graft.dedup.Dedup.minhashPairs(empty, 64, 16, 0.7).count() === 0L)
+    assert(graft.text.Bpe.trainMerges(graft.text.Bpe.boundedDict(empty, 100), 10) === Seq.empty)
+  }
 }

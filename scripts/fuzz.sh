@@ -17,7 +17,8 @@
 # random window geometry and bin widths vs the binless overlap oracle) /
 # salted join (vs plain equi-join) / ROLLUP / CUBE /
 # random GROUPING SETS / CASE WHEN / COALESCE /
-# date_trunc shapes; seed 42 also 150/150 at sf0.1.
+# date_trunc shapes; seed 42 also 150/150 at sf0.1, and a fresh-seed
+# confirmation sweep (seed 555 × 200) 200/200 green (2026-08-13).
 set -euo pipefail
 SEED=${1:-42}
 N=${2:-120}

@@ -172,6 +172,41 @@ object ScaleOps {
       spark.table(leftTable).join(spark.table(rightTable), Seq(key))
   }
 
+  /** Z-order (Morton) interleave of two dimension columns — the storage-
+    * clustering lever for MULTI-dimensional pruning. A layout sorted by one
+    * column serves range predicates on that column only; sorting by the
+    * interleaved code bounds BOTH dimensions within every contiguous file /
+    * row-group, so min/max stats prune scans on either dimension (the
+    * technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`). Pure `Column`
+    * bit arithmetic — shifts, masks, ors — stays inside whole-stage
+    * codegen and is exactly mirrorable in the DuckDB oracle.
+    *
+    * Each input is truncated to its low 16 bits (callers bucket wider
+    * domains first), bits are spread apart with the classic mask ladder,
+    * and the two spread words interleave into one 32-bit code.
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    def spread(v: Column): Column = {
+      var x = v.cast(LongType).bitwiseAND(lit(65535L))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(16711935L))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(252645135L))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(858993459L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(1431655765L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write `df` clustered by the Z-order of (`colA`, `colB`) into `files`
+    * parquet files: range-partition on the code so each file owns one
+    * contiguous Z interval, sort within so row groups are tight too. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int): Unit =
+    df.withColumn("_z", zorder2(col(colA), col(colB)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Hive-style partitioned layout: write the table as one directory per
     * value of `partCol` (`path/partCol=v/...`), so a predicate on the
     * partition column prunes whole directories at PLANNING time — the

@@ -37,6 +37,33 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** C1 scale technique: Z-order (Morton) clustering codes over two join
+    * dimensions — the multi-dimensional storage-clustering lever
+    * (ScaleOps.zorder2; layout demonstration with measured file skipping in
+    * ScaleOpsSpec). The code itself is pure bit arithmetic, fully
+    * oracle-able: the DuckDB SQL mirrors the identical mask ladder. */
+  val c1ZorderCluster: QueryDef = QueryDef(
+    "c1_zorder_cluster", "C1",
+    """WITH s0 AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |         (l_partkey::BIGINT & 65535) AS a, (l_suppkey::BIGINT & 65535) AS b
+      |  FROM lineitem WHERE l_orderkey <= 2000),
+      |s1 AS (SELECT * REPLACE (((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b) FROM s0),
+      |s2 AS (SELECT * REPLACE (((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b) FROM s1),
+      |s3 AS (SELECT * REPLACE (((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b) FROM s2),
+      |s4 AS (SELECT * REPLACE (((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b) FROM s3)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       (a | (b << 1)) AS zval
+      |FROM s4 ORDER BY zval, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .where(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.operators.ScaleOps.zorder2(col("l_partkey"), col("l_suppkey"))
+          .as("zval"))
+      .orderBy("zval", "l_orderkey", "l_linenumber")
+  }
+
   /** C2: conjunctive predicate pushdown on orders. */
   val c2Filter: QueryDef = QueryDef(
     "c2_filter_pushdown", "C2",
@@ -1695,7 +1722,8 @@ object Relational {
   }
 
   val all: Seq[QueryDef] = Seq(
-    c1ScanProject, c2Filter, c2Predicates, c3BroadcastJoin, c3SqlSurface,
+    c1ScanProject, c1ZorderCluster, c2Filter, c2Predicates, c3BroadcastJoin,
+    c3SqlSurface,
     c4ShuffleJoin, c4SaltedJoin, c4TpchQ3, c3TpchQ5, c9TpchQ10,
     c9RetentionCohort,
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,

@@ -193,4 +193,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(binned.contains((2L, 20L))) // inclusive endpoint touch
     assert(!binned.contains((3L, 30L))) // [500,510] vs [400,499]: no overlap
   }
+
+  test("zorder2 matches a reference Morton interleave on sample points") {
+    import spark.implicits._
+    def mortonRef(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val pts = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256))
+    val got = pts.toDF("x", "y")
+      .select(ScaleOps.zorder2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pts.map { case (x, y) => mortonRef(x, y) })
+  }
+
+  test("z-ordered layout skips second-dimension files a linear sort cannot") {
+    import spark.implicits._
+    // 256x256 uniform grid; the linear layout sorts by x only, so every
+    // file spans the full y domain and a y-range predicate can prune
+    // nothing; the z-ordered layout bounds y per file
+    val grid = spark.range(65536)
+      .select((col("id") % 256).cast("int").as("x"),
+        (col("id") / 256).cast("int").as("y"))
+    val linDir = java.nio.file.Files.createTempDirectory("zorder_lin").toString
+    val zDir = java.nio.file.Files.createTempDirectory("zorder_z").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    ScaleOps.writeZOrdered(grid, zDir, "x", "y", files = 16)
+    // files whose [min(y), max(y)] footer range overlaps y IN [10, 13] —
+    // exactly the stat-based skipping decision parquet row-group pruning
+    // makes, measured at file granularity
+    def overlapping(dir: String): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+        r.getInt(0) <= 13 && r.getInt(1) >= 10
+      }
+    }
+    val lin = overlapping(linDir)
+    val z = overlapping(zDir)
+    assert(lin === 16, s"every x-sorted file should span y=[0,255], got $lin")
+    assert(z <= lin / 2, s"z-ordered layout should skip most files, touched $z")
+  }
 }

@@ -9,7 +9,11 @@
 # customer/part/supplier/nation/events/documents), covering projection
 # (mixed-direction
 # ORDER BY) / DISTINCT / aggregate / HAVING / DECIMAL discounted sums /
-# exact interpolated quantiles (percentile vs quantile_cont) /
+# exact interpolated quantiles (percentile vs quantile_cont, both on a
+# 1e-6 grid: the engines' interpolation FORMULAS differ by ulps —
+# a + f*(b-a) vs (1-f)*a + f*b — caught by this fuzzer, seed 1337) /
+# NULLIF-planted NULLs (null propagation through projections and
+# ORDER BY, null-skipping SUM/COUNT, all-null groups) /
 # EXISTS / set-op / windowed-top-k / as-of join (ScaleOps.asofJoin vs
 # DuckDB max_by) / binned range join (random bin widths vs binless
 # oracle, half the draws through the declarative band join rewritten by

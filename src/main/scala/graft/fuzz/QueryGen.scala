@@ -372,7 +372,15 @@ object QueryGen {
   private def derivedExpr(r: Random, src: FSrc): E = {
     val nums = numericCols(src)
     val a = pick(r, nums)
-    r.nextInt(7) match {
+    r.nextInt(8) match {
+      case 7 if a.kind == KInt || a.kind == KLong =>
+        // NULLIF plants genuine NULLs (the base tables have none), so the
+        // null-propagation semantics of projection/ORDER BY/compare get
+        // differential coverage; ~1/m of rows go null
+        val m = 5 + r.nextInt(16)
+        val k = r.nextInt(m)
+        E(when(col(a.name) % m === k, lit(null)).otherwise(col(a.name) % m),
+          s"NULLIF(${a.name} % $m, $k)")
       case 5 => // CASE WHEN over a numeric comparison
         val (v, s) = numLit(r, a)
         E(when(col(a.name) > v, lit("hi")).otherwise(lit("lo")),
@@ -463,20 +471,39 @@ object QueryGen {
       else E(max(col(c.name)).as(alias), s"max(${c.name}) AS $alias")
     }
     // exact interpolated quantile: Spark percentile and DuckDB
-    // quantile_cont share the (n-1)·p linear-interpolation convention
-    // (parity proven by c9_quantiles), both → DOUBLE for any numeric input
+    // quantile_cont share the (n-1)·p linear-interpolation convention,
+    // but not the FORMULA — Spark computes a + f·(b−a), DuckDB
+    // (1−f)·a + f·b, which differ by an ulp even when a = b (caught by
+    // seed-1337 fuzzing: an equality predicate made every group value 47
+    // and DuckDB returned 47.00000000000001). Pin both to a 1e-6 grid.
     def quantile(): E = {
       val p = pick(r, Seq("0.1", "0.25", "0.5", "0.75", "0.9"))
-      E(percentile(col(c.name), lit(p.toDouble)).as(alias),
-        s"quantile_cont(${c.name}, $p) AS $alias")
+      E(round(percentile(col(c.name), lit(p.toDouble)), 6).as(alias),
+        s"round(quantile_cont(${c.name}, $p), 6) AS $alias")
     }
     c.kind match {
       case KLong | KInt =>
-        r.nextInt(4) match {
+        r.nextInt(6) match {
           case 0 => minMax()
           case 1 => E(countDistinct(col(c.name)).as(alias),
             s"count(DISTINCT ${c.name}) AS $alias")
           case 2 => quantile()
+          case 4 =>
+            // null-skipping SUM: NULLIF plants NULLs inside the aggregate
+            // input, so both engines must agree that sum ignores them (and
+            // that an all-null group sums to NULL, not 0)
+            val m = 5 + r.nextInt(16)
+            val k = r.nextInt(m)
+            E(sum(when(col(c.name) % m === k, lit(null))
+                .otherwise(col(c.name) % m)).as(alias),
+              s"CAST(sum(NULLIF(${c.name} % $m, $k)) AS BIGINT) AS $alias")
+          case 5 =>
+            // COUNT(expr) counts only non-null inputs, unlike COUNT(*)
+            val m = 5 + r.nextInt(16)
+            val k = r.nextInt(m)
+            E(count(when(col(c.name) % m === k, lit(null))
+                .otherwise(col(c.name))).as(alias),
+              s"count(NULLIF(${c.name} % $m, $k)) AS $alias")
           case _ => E(sum(col(c.name)).as(alias),
             s"CAST(sum(${c.name}) AS BIGINT) AS $alias")
         }

@@ -542,8 +542,8 @@ object Curation {
       |  SELECT doc_id, lang, source,
       |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_tokens
       |  FROM documents),
-      |th AS (SELECT lang, quantile_cont(n_tokens, 0.10) AS lo,
-      |  quantile_cont(n_tokens, 0.99) AS hi FROM n GROUP BY lang)
+      |th AS (SELECT lang, round(quantile_cont(n_tokens, 0.10), 6) AS lo,
+      |  round(quantile_cont(n_tokens, 0.99), 6) AS hi FROM n GROUP BY lang)
       |SELECT n.doc_id, n.lang, n.n_tokens, th.lo, th.hi
       |FROM n JOIN th USING (lang)
       |WHERE n.n_tokens >= th.lo AND n.n_tokens <= th.hi
@@ -551,9 +551,11 @@ object Curation {
     val n = Tables.documents(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).as("n_tokens"))
+    // 1e-6 grid: the engines' interpolation formulas differ by ulps and a
+    // threshold used in a >= filter must not sit an ulp apart (c9Quantiles)
     val th = n.groupBy("lang").agg(
-      percentile(col("n_tokens"), lit(0.10)).as("lo"),
-      percentile(col("n_tokens"), lit(0.99)).as("hi"))
+      round(percentile(col("n_tokens"), lit(0.10)), 6).as("lo"),
+      round(percentile(col("n_tokens"), lit(0.99)), 6).as("hi"))
     n.join(broadcast(th), Seq("lang"))
       .where(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
       .select("doc_id", "lang", "n_tokens", "lo", "hi")
@@ -600,8 +602,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source winsorization of document length: clip each token count
+    * into its source's [p05, p95] band — the robust-statistics treatment
+    * of outliers that KEEPS every row (unlike [[adaptiveLengthGate]],
+    * which drops), standard before computing corpus statistics that a few
+    * giant or empty documents would otherwise dominate.
+    *
+    * Scale shape: thresholds are one tiny per-source aggregate broadcast
+    * back over the corpus — ONE pass over documents, no second shuffle
+    * (same pattern as [[mixBalance]]). Output stays per-row, so the
+    * clipped doubles are bitwise-deterministic (same interpolation
+    * formula as c9_quantiles on both engines; no order-dependent double
+    * summation anywhere). */
+  val winsorize: QueryDef = QueryDef(
+    "pipeline_winsorize", "C9 north_star-pipeline",
+    """WITH n AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_tokens
+      |  FROM documents),
+      |th AS (SELECT source, round(quantile_cont(n_tokens, 0.05), 6) AS lo,
+      |  round(quantile_cont(n_tokens, 0.95), 6) AS hi FROM n GROUP BY source)
+      |SELECT n.doc_id, n.source, n.n_tokens,
+      |  LEAST(GREATEST(n.n_tokens::DOUBLE, th.lo), th.hi) AS w_tokens,
+      |  (n.n_tokens::DOUBLE < th.lo OR n.n_tokens::DOUBLE > th.hi) AS clipped
+      |FROM n JOIN th USING (source)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val n = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).as("n_tokens"))
+    // 1e-6 grid on both engines — see adaptiveLengthGate's rationale
+    val th = n.groupBy("source").agg(
+      round(percentile(col("n_tokens"), lit(0.05)), 6).as("lo"),
+      round(percentile(col("n_tokens"), lit(0.95)), 6).as("hi"))
+    val t = col("n_tokens").cast(DoubleType)
+    n.join(broadcast(th), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        least(greatest(t, col("lo")), col("hi")).as("w_tokens"),
+        (t < col("lo") || t > col("hi")).as("clipped"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
-    dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply)
+    dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply, winsorize)
 }

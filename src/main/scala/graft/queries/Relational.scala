@@ -542,13 +542,13 @@ object Relational {
     * every row to its group's reducer with no partial aggregation and the
     * lambda is opaque to Catalyst — fine for bounded groups, never for the
     * hot path. Interpolation is `lo + (hi − lo) · 0.5`, the same
-    * formulation as DuckDB's `quantile_cont`, so values hash-match the
-    * oracle exactly. */
+    * convention as DuckDB's `quantile_cont` (but not bitwise the same
+    * formula — both sides round to a 1e-6 grid, see [[c9Quantiles]]). */
   val c20TypedMapGroups: QueryDef = QueryDef(
     "c20_typed_mapgroups", "C20 C9",
     """SELECT o_orderpriority AS pr, o_orderstatus AS st,
       |  CAST(count(*) AS INT) AS n_orders,
-      |  quantile_cont(o_totalprice, 0.5) AS median_price
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
       |FROM orders GROUP BY 1, 2 ORDER BY pr, st""".stripMargin) { (s, d) =>
     import s.implicits._
     orders(s, d)
@@ -564,6 +564,10 @@ object Relational {
         (key._1, key._2, v.length, lo + (hi - lo) * 0.5)
       }
       .toDF("pr", "st", "n_orders", "median_price")
+      // 1e-6 grid via the same Column round as the oracle's round(): the
+      // engines' interpolation formulas differ by ulps (see c9Quantiles)
+      .select(col("pr"), col("st"), col("n_orders"),
+        round(col("median_price"), 6).as("median_price"))
       .orderBy("pr", "st")
   }
 
@@ -612,18 +616,22 @@ object Relational {
   val c9Quantiles: QueryDef = QueryDef(
     "c9_quantiles", "C9",
     """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
-      |  quantile_cont(l_quantity, 0.9) AS qty_p90,
-      |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
-      |  quantile_cont(l_discount, 0.5) AS disc_p50
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+      |  round(quantile_cont(l_discount, 0.5), 6) AS disc_p50
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // round to a 1e-6 grid on BOTH engines: the interpolation conventions
+    // agree but the formulas differ — Spark a + f·(b−a) vs DuckDB
+    // (1−f)·a + f·b — which diverges by an ulp even for a = b (seed-1337
+    // fuzz catch)
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        percentile(col("l_quantity"), lit(0.5)).as("qty_p50"),
-        percentile(col("l_quantity"), lit(0.9)).as("qty_p90"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"),
-        percentile(col("l_discount"), lit(0.5)).as("disc_p50"))
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("qty_p90"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("price_p25"),
+        round(percentile(col("l_discount"), lit(0.5)), 6).as("disc_p50"))
       .orderBy("l_returnflag")
   }
 

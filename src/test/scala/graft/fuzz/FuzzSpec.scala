@@ -51,7 +51,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "7d38d7c9cba23a86197cb450c5239d9156930b67")
+    assert(hex === "1ee2da9dc28c9be0e65a534d4610e60e7afc41bf")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -142,6 +142,23 @@ class CurationSpec extends SparkSpec {
     assert(d1.last.getInt(2) + d1.last.getInt(3) === text.length)
   }
 
+  test("winsorize clips outliers into the per-source band and keeps every row") {
+    val out = graft.Registry.queries("pipeline_winsorize")(spark, sf)
+      .select("n_tokens", "w_tokens", "clipped").collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === total, "winsorize must keep every row")
+    out.foreach { r =>
+      val (n, w, c) = (r.getInt(0).toDouble, r.getDouble(1), r.getBoolean(2))
+      if (c) assert(w !== n) else assert(w === n)
+    }
+    // p05/p95 clipping must actually fire on both tails of real data
+    assert(out.count(_.getBoolean(2)) > 0, "no clipping happened — vacuous")
+    assert(out.exists(r => r.getBoolean(2) && r.getDouble(1) > r.getInt(0)),
+      "no low-tail clip (w > n) found")
+    assert(out.exists(r => r.getBoolean(2) && r.getDouble(1) < r.getInt(0)),
+      "no high-tail clip (w < n) found")
+  }
+
   test("pipeline and dedup helpers tolerate empty input (empty partitions are routine at scale)") {
     val empty = graft.Tables.documents(spark, sf).limit(0)
     assert(Curation.curate(empty, 20, 5000, 0.8).count() === 0L)

@@ -642,8 +642,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Token-budget curation: fill a fixed per-source token budget with the
+    * highest-quality documents first — the selection step that decides
+    * what actually enters a training mix once a budget is set. Quality
+    * proxy is the alpha ratio (one int÷int double division, bitwise
+    * deterministic per row); per source, documents are taken best-first
+    * (ties by doc_id) while the running token sum stays within budget.
+    *
+    * Scale shape: ONE shuffle of the corpus on source for the window pass
+    * (same partitioning as [[sequencePack]]); the cumulative sum is a
+    * running window aggregate, no self-join, no per-group collect. The cut
+    * is a take-while: documents are taken in quality order while the
+    * running sum (including the current document) fits the budget; since
+    * the sum is monotone, the kept set is a prefix — pinned in
+    * CurationSpec. */
+  val tokenBudget: QueryDef = QueryDef(
+    "pipeline_token_budget", "C12 north_star-pipeline",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS quality
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM q)
+      |SELECT doc_id, source, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 800
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).as("n_tokens"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(DoubleType) /
+        length(col("text"))).as("quality"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("cum_tokens", sum(col("n_tokens").cast(LongType)).over(w))
+      .where(col("cum_tokens") <= 800)
+      .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
-    dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply, winsorize)
+    dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply, winsorize,
+    tokenBudget)
 }

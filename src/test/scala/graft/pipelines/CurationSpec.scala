@@ -159,6 +159,23 @@ class CurationSpec extends SparkSpec {
       "no high-tail clip (w < n) found")
   }
 
+  test("token budget keeps best-quality docs first and never overruns per source") {
+    val out = graft.Registry.queries("pipeline_token_budget")(spark, sf)
+      .select("source", "n_tokens", "quality", "cum_tokens").collect()
+    assert(out.nonEmpty)
+    // never overruns, and the running sum is consistent per source
+    assert(out.forall(_.getLong(3) <= 800L))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.length.toLong < total, "budget must actually cut something")
+    // within each source, kept docs sorted by quality desc have the
+    // running sums this cut was computed from: max cum == sum of kept
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val kept = rows.map(_.getInt(1).toLong).sum
+      assert(rows.map(_.getLong(3)).max === kept,
+        s"$src: running-sum inconsistency")
+    }
+  }
+
   test("pipeline and dedup helpers tolerate empty input (empty partitions are routine at scale)") {
     val empty = graft.Tables.documents(spark, sf).limit(0)
     assert(Curation.curate(empty, 20, 5000, 0.8).count() === 0L)

@@ -165,9 +165,13 @@ object Multimodal {
       |FROM documents, unnest(range(0, CAST(ceil(length(text)/64.0) AS INT))) t(i)
       |ORDER BY asset_id, chunk_idx""".stripMargin) { (s, d) =>
     val nChunks = ceil(length(col("text")) / 64.0).cast(IntegerType)
+    // Guard nChunks=0 (empty text): sequence(0, -1) would default to step -1
+    // and emit two bogus rows, while the oracle's range(0, 0) emits none.
+    // explode of NULL emits no rows, matching range() on both empty and null.
+    val idx = when(nChunks > 0, sequence(lit(0L), nChunks.cast(LongType) - 1L))
     Tables.documents(s, d)
       .select(col("doc_id").as("asset_id"), col("text"),
-        explode(sequence(lit(0L), nChunks.cast(LongType) - 1L)).as("chunk_idx"))
+        explode(idx).as("chunk_idx"))
       .select(
         col("asset_id"), col("chunk_idx"),
         md5(expr("substring(text, CAST(chunk_idx*64 + 1 AS INT), 64)")).as("chunk_md5"),

@@ -665,7 +665,7 @@ object Curation {
       |  FROM documents),
       |c AS (
       |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
-      |    ORDER BY quality DESC, doc_id
+      |    ORDER BY quality DESC NULLS LAST, doc_id
       |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
       |  FROM q)
       |SELECT doc_id, source, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
@@ -677,8 +677,10 @@ object Curation {
       size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).as("n_tokens"),
       (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(DoubleType) /
         length(col("text"))).as("quality"))
+    // quality is NULL for empty text (0/0); DESC defaults to NULLS FIRST in
+    // DuckDB but NULLS LAST in Spark — pin NULLS LAST explicitly on both.
     val w = Window.partitionBy("source")
-      .orderBy(col("quality").desc, col("doc_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     q.withColumn("cum_tokens", sum(col("n_tokens").cast(LongType)).over(w))
       .where(col("cum_tokens") <= 800)

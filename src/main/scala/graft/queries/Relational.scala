@@ -311,7 +311,7 @@ object Relational {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("w_id")
-  }
+  }.asBaseline("broadcast nested-loop interval baseline; 100 TB path is c7_interval_bin_join")
 
   /** C7 scale path: the SAME interval-overlap result through
     * [[graft.operators.ScaleOps.intervalBinJoin]] — both interval sets
@@ -633,7 +633,7 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("price_p25"),
         round(percentile(col("l_discount"), lit(0.5)), 6).as("disc_p50"))
       .orderBy("l_returnflag")
-  }
+  }.asBaseline("exact percentile materializes each group; 100 TB path is c9_quantiles_approx (mergeable sketch)")
 
   /** C9: sketch twin of [[c9Quantiles]] — `approx_percentile` is a
     * mergeable map-side-partial sketch (no per-group value
@@ -1080,6 +1080,89 @@ object Relational {
         col("event_type"), col("h"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
         last(col("val"), ignoreNulls = true).over(w).as("val_filled"))
+      .orderBy("event_type", "h")
+  }
+
+  /** B2 platform idiom: `SAMPLE BY 1h FILL(LINEAR)` — the remaining QuestDB
+    * fill mode after FILL(0)/FILL(PREV) ([[b2TrendGapfill]]): a missing
+    * bucket takes the linear interpolation between the nearest present
+    * buckets on either side; leading/trailing gaps (no neighbor on one
+    * side) stay NULL, matching QuestDB's no-extrapolation contract.
+    *
+    * Same single-pass shape as gapfill — the heavy stream is hash-aggregated
+    * once, and the interpolation runs on the bounded grid (series × hours)
+    * with two ignoreNulls windows per direction (value + its epoch). The
+    * arithmetic `prev + (next−prev)·(Δt/Δtotal)` is written identically on
+    * both engines and rounded to the repo's 1e-6 grid, the same discipline
+    * as the quantile surfaces (interpolation formula order is engine-
+    * specific in the last ulp). */
+  val b2TrendInterpolate: QueryDef = QueryDef(
+    "b2_trend_interpolate", "B2 B1",
+    """WITH agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+      |                  max(date_trunc('hour', ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |              FROM bounds) g),
+      |j AS (
+      |  SELECT grid.event_type, grid.h, coalesce(agg.cnt, 0) AS cnt, agg.val,
+      |         CAST(epoch(grid.h) AS BIGINT) AS eh
+      |  FROM grid LEFT JOIN agg USING (event_type, h)),
+      |w AS (
+      |  SELECT event_type, h, cnt, val, eh,
+      |    last_value(val IGNORE NULLS) OVER pw AS prev_val,
+      |    last_value(CASE WHEN val IS NOT NULL THEN eh END IGNORE NULLS) OVER pw AS prev_eh,
+      |    first_value(val IGNORE NULLS) OVER nw AS next_val,
+      |    first_value(CASE WHEN val IS NOT NULL THEN eh END IGNORE NULLS) OVER nw AS next_eh
+      |  FROM j
+      |  WINDOW pw AS (PARTITION BY event_type ORDER BY h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         nw AS (PARTITION BY event_type ORDER BY h
+      |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, h, cnt,
+      |  CASE WHEN val IS NOT NULL THEN round(val, 6)
+      |       WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+      |       ELSE round(prev_val + (next_val - prev_val) *
+      |            (CAST(eh - prev_eh AS DOUBLE) / CAST(next_eh - prev_eh AS DOUBLE)), 6)
+      |  END AS val_interp
+      |FROM w ORDER BY event_type, h""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val agg = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("val"))
+    val hours = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val grid = ev.select("event_type").distinct().crossJoin(hours)
+    val pw = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nw = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(1, Window.unboundedFollowing)
+    grid.join(broadcast(agg), Seq("event_type", "h"), "left")
+      .withColumn("eh", unix_timestamp(col("h")))
+      .withColumn("prev_val", last(col("val"), ignoreNulls = true).over(pw))
+      .withColumn("prev_eh",
+        last(when(col("val").isNotNull, col("eh")), ignoreNulls = true).over(pw))
+      .withColumn("next_val", first(col("val"), ignoreNulls = true).over(nw))
+      .withColumn("next_eh",
+        first(when(col("val").isNotNull, col("eh")), ignoreNulls = true).over(nw))
+      .select(
+        col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        when(col("val").isNotNull, round(col("val"), 6))
+          .when(col("prev_val").isNull || col("next_val").isNull,
+            lit(null).cast(DoubleType))
+          .otherwise(round(
+            col("prev_val") + (col("next_val") - col("prev_val")) *
+              ((col("eh") - col("prev_eh")).cast(DoubleType) /
+                (col("next_eh") - col("prev_eh")).cast(DoubleType)), 6))
+          .as("val_interp"))
       .orderBy("event_type", "h")
   }
 
@@ -1750,5 +1833,5 @@ object Relational {
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
-    b2TrendGapfill, b3PerUser)
+    b2TrendGapfill, b2TrendInterpolate, b3PerUser)
 }

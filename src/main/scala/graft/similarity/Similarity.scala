@@ -71,7 +71,7 @@ object Similarity {
         col("neighbor_id"), col("score"))
       .where(col("rnk") <= 5)
       .orderBy("q_id", "rnk")
-  }
+  }.asBaseline("all-pairs exact top-k; 100 TB path is c18_knn_agg (bounded TopKAgg)")
 
   /** One row per (vector, LSH table): all table buckets come from one
     * [[graft.functions.SrpBuckets]] pass (deterministic implicit planes —
@@ -205,7 +205,7 @@ object Similarity {
       .where(col("score") >= 0.9)
       .select("vec_a", "vec_b", "score")
       .orderBy("vec_a", "vec_b")
-  }
+  }.asBaseline("all-pairs exact verify; 100 TB path is c17_embedding_neardup_lsh (SRP buckets)")
 
   /** Reusable bucketed near-dup pipeline: SRP-bucket candidate generation +
     * the SAME exact-cosine verify as [[embNearDup]]. Pairs only meet when

@@ -74,6 +74,18 @@ object Bench {
       s.split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  /** Whole-JVM CPU time in seconds (driver + all local[N] executor threads).
+    * Queries run serially, so the per-rep delta attributes to one query.
+    * The point (round-8 verdict): external load inflates WALL but not OUR
+    * CPU, so a rep whose wall grows while cpu stays flat is contaminated —
+    * the run self-diagnoses instead of reading as a plan regression.
+    * (cpu > wall is normal here: N threads work in parallel.) */
+  private def processCpuSec: Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,17 +123,21 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     val timesByQuery =
       scala.collection.mutable.LinkedHashMap(defs.map(q => q.name -> Vector.empty[Double]): _*)
+    val cpuByQuery =
+      scala.collection.mutable.LinkedHashMap(defs.map(q => q.name -> Vector.empty[Double]): _*)
     val shuffleByQuery =
       scala.collection.mutable.LinkedHashMap(defs.map(q => q.name -> (0L, 0L, 0L)): _*)
     (0 until math.max(1, reps)).foreach { _ =>
       defs.foreach { q =>
         val before = listener.snapshot
+        val cpu0 = processCpuSec
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         timesByQuery(q.name) = timesByQuery(q.name) :+ (System.nanoTime() - t0) / 1e9
+        cpuByQuery(q.name) = cpuByQuery(q.name) :+ (processCpuSec - cpu0)
         val after = listener.snapshot
         val (r0, w0, s0) = shuffleByQuery(q.name)
         shuffleByQuery(q.name) = (
@@ -142,13 +158,20 @@ object Bench {
     val loadAfter = loadAvg1
     val medians = results.map { case (n, med, _, _) => n -> med }
     val total = medians.map(_._2).sum
+    // median CPU seconds per query — read next to the wall median: a wall
+    // median far above its own earlier record while cpu_s is unchanged is
+    // the contamination signature (see README "Benchmarking").
+    val cpuMedians = cpuByQuery.toSeq.map { case (n, raw) =>
+      val c = raw.sorted; n -> c(c.size / 2)
+    }
+    val cpuTotal = cpuMedians.map(_._2).sum
     val spread = results.map { case (n, _, mn, mx) =>
       "\"" + n + "\":[" + fmt(mn) + "," + fmt(mx) + "]"
     }.mkString("{", ",", "}")
     val env =
       s""""reps":$reps,"load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}"""
     val fullLine =
-      s"""{"queries":${toJson(medians)},"spread":$spread,"shuffle_write_mb":$shuffleMb,"spilled_bytes":$totalSpill,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
+      s"""{"queries":${toJson(medians)},"cpu_s":${toJson(cpuMedians)},"cpu_total":${fmt(cpuTotal)},"spread":$spread,"shuffle_write_mb":$shuffleMb,"spilled_bytes":$totalSpill,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
     println(fullLine)
     // Smoke runs (sf0.001, reps=1) set SPARK_GRAFT_BENCH_NOFILE=1 so they
     // don't clobber the committed clean sf0.1 median-of-3 record.
@@ -160,7 +183,7 @@ object Bench {
       }
     val head = medians.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},$env,"queries":${toJson(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"cpu_total":${fmt(cpuTotal)},$env,"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

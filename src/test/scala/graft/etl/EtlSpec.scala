@@ -124,6 +124,49 @@ class EtlSpec extends SparkSpec {
     assert(deadLines.length.toLong === dead)
   }
 
+  test("A11: task retry gives at-least-once inserts and exactly-once dead letters") {
+    // SURVEY §7 documents the sink's contract under task re-execution:
+    // the external insert side-effect is at-least-once (rows inserted
+    // before the fault are inserted again by the retry), the dead-letter
+    // file is per-partition truncate-on-retry (no duplicate lines), and
+    // the returned accumulator counts reflect only the successful attempt.
+    // The injected fault is an Error, not an Exception, so it escapes the
+    // per-row dead-letter catch and kills the task attempt itself
+    // (retried because SparkSpec runs local[4, 2]).
+    import spark.implicits._
+    val dlDir = Files.createTempDirectory("dead_letter_retry").toFile.getAbsolutePath
+    SinkRetryFault.reset()
+    // 2 deterministic partitions: 0..9 and 10..19, in order
+    val df = spark.sparkContext.parallelize(0L until 20L, 2).toDF("id")
+    val (ok, dead) = Purchases.writeErrorTolerant(
+      df,
+      row => {
+        val id = row.getLong(0)
+        if (id == 3L) throw new RuntimeException("permanent row failure")
+        if (id == 5L && !SinkRetryFault.failedOnce.getAndSet(true))
+          throw new AssertionError("injected mid-partition task fault")
+        SinkRetryFault.inserted.add(id)
+      },
+      s"file:$dlDir")
+    assert(SinkRetryFault.failedOnce.get(), "the injected fault never fired")
+    // accumulators: only the successful attempt counts (19 ok, 1 dead)
+    assert((ok, dead) === (19L, 1L))
+    // at-least-once inserts: every non-dead row arrived, and the rows the
+    // failed attempt had already inserted (0,1,2,4 — before the fault at 5)
+    // arrived a second time from the retry
+    val byId = SinkRetryFault.inserted.toArray(Array.empty[java.lang.Long])
+      .groupBy(_.longValue).view.mapValues(_.length).toMap
+    assert(byId.keySet === (0L until 20L).toSet - 3L)
+    assert(byId(0L) === 2, s"expected row 0 duplicated by the retry; got $byId")
+    assert(byId(10L) === 1, "the healthy partition must not re-execute")
+    // exactly-once dead letters: the retry truncated its partition's file,
+    // so row 3 appears once even though both attempts dead-lettered it
+    val deadLines = new java.io.File(dlDir).listFiles()
+      .filter(_.getName.endsWith(".dead"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(deadLines.length === 1, s"dead letters duplicated: ${deadLines.toSeq}")
+  }
+
   test("A12 scale path: hour-partitioned ordered write keeps per-partition order") {
     val out = Files.createTempDirectory("purch_part").toFile.getAbsolutePath + "/t"
     Purchases.writeOrderedPartitioned(Purchases.etl(spark, exampleDir), out)
@@ -202,4 +245,12 @@ class EtlSpec extends SparkSpec {
     val back = Purchases.etl(spark, dir)
     assert(back.count().toInt === rows.size)
   }
+}
+
+/** JVM-static fault state for the retry test: executors share the test JVM
+  * in local mode, so the closure and the assertions see the same object. */
+object SinkRetryFault {
+  val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val inserted = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  def reset(): Unit = { failedOnce.set(false); inserted.clear() }
 }

@@ -477,9 +477,9 @@ object Relational {
   val c9ExactMoments: QueryDef = QueryDef(
     "c9_exact_moments", "C9",
     """SELECT l_returnflag, n,
-      |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
-      |  (n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
+      |  round((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag,
       |    CAST(count(*) AS DOUBLE) AS n,
@@ -502,12 +502,16 @@ object Relational {
         sum(y * y).cast(DoubleType).as("syy"),
         sum(x * y).cast(DoubleType).as("sxy"))
       .select(
+        // 1e-6 grid on the derived statistics (sf1 gate catch): the squared
+        // moments' unscaled decimals exceed 2^53 there, so the two engines'
+        // decimal→double casts differ by an ulp and the mirrored expression
+        // no longer lands bit-identically — the grid absorbs it.
         col("l_returnflag"), col("n"),
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - 1.0))).as("stddev_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1.0))), 6).as("stddev_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
@@ -578,16 +582,22 @@ object Relational {
     "c9_tpch_q1", "C9",
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
       |  SUM(l_quantity) / count(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  round(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    // Grid discipline (sf1 gate catch): once a decimal sum's UNSCALED value
+    // crosses 2^53 (scale-6 charge sums do at sf1), the two engines'
+    // decimal→double casts may land on ADJACENT doubles — the cast is no
+    // longer exact. Money sums are exact 2-dp decimals, so snapping the
+    // double to the 0.01 grid is lossless and makes both casts converge;
+    // the per-row averages get the repo's standard 1e-6 grid.
     val ext = col("l_extendedprice").cast(DecimalType(12, 2))
     val one = lit("1.00").cast(DecimalType(3, 2))
     val disc = col("l_discount").cast(DecimalType(4, 2))
@@ -597,12 +607,12 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(ext).cast(DoubleType).as("sum_base_price"),
-        sum(ext * (one - disc)).cast(DoubleType).as("sum_disc_price"),
-        sum(ext * (one - disc) * (one + tax)).cast(DoubleType).as("sum_charge"),
+        round(sum(ext).cast(DoubleType), 2).as("sum_base_price"),
+        round(sum(ext * (one - disc)).cast(DoubleType), 2).as("sum_disc_price"),
+        round(sum(ext * (one - disc) * (one + tax)).cast(DoubleType), 2).as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (sum(ext).cast(DoubleType) / count(lit(1))).as("avg_price"),
-        (sum(disc).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        round(sum(ext).cast(DoubleType) / count(lit(1)), 6).as("avg_price"),
+        round(sum(disc).cast(DoubleType) / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -1612,7 +1622,7 @@ object Relational {
   val c4TpchQ3: QueryDef = QueryDef(
     "c4_tpch_q3", "C4 C3 C13",
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -1632,7 +1642,7 @@ object Relational {
       .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .where(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(ext * (one - disc)).cast(DoubleType).as("revenue"))
+      .agg(round(sum(ext * (one - disc)).cast(DoubleType), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -1647,7 +1657,7 @@ object Relational {
   val c3TpchQ5: QueryDef = QueryDef(
     "c3_tpch_q5", "C3 C4",
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1674,7 +1684,7 @@ object Relational {
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(sum(ext * (one - disc)).cast(DoubleType).as("revenue"))
+      .agg(round(sum(ext * (one - disc)).cast(DoubleType), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -1685,7 +1695,7 @@ object Relational {
   val c9TpchQ10: QueryDef = QueryDef(
     "c9_tpch_q10", "C9 C4 C13",
     """SELECT c_custkey, c_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
       |  c_acctbal, n_name
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -1708,7 +1718,7 @@ object Relational {
       .where(col("l_returnflag") === "R")
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg(sum(ext * (one - disc)).cast(DoubleType).as("revenue"))
+      .agg(round(sum(ext * (one - disc)).cast(DoubleType), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")

@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** GraftExtensions: the custom expressions are callable from plain SQL. */
 class ExtensionsSpec extends AnyFunSuite {
 
+  // master must match SparkSpec's: if this suite runs first, getOrCreate
+  // creates the JVM-wide SparkContext every other suite reuses, and the
+  // sink retry test needs maxTaskFailures = 2.
   private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[4, 2]")
     .appName("ext-spec")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")

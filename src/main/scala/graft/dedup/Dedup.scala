@@ -484,8 +484,16 @@ object Dedup {
       col("doc_id").as("vec_id"),
       graft.functions.VectorExprs
         .featureHashEmbed(tokens(col("text")), 64).as("embedding"))
+    // Signature width sized from the corpus (metadata-cheap count of the
+    // base table, +3 plants) so bucket load stays ~64 at any scale —
+    // fixed 8-bit signatures made within-bucket pair cost quadratic in
+    // the corpus (sf1 gate: 35 s, 4× the adaptive plan). Deduplicates are
+    // near-exact (cosine ≈ 1), so recall is unaffected by the extra bits
+    // (see Similarity.bitsFor); DedupSpec pins the planted pairs.
+    val bits = graft.similarity.Similarity.bitsFor(
+      Tables.documents(s, d).count() + 3)
     graft.similarity.Similarity
-      .nearDupPairs(emb, tables = 8, bits = 8, threshold = 0.95)
+      .nearDupPairs(emb, tables = 8, bits = bits, threshold = 0.95)
       .orderBy("vec_a", "vec_b")
   }
 

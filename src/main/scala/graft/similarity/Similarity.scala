@@ -222,14 +222,44 @@ object Similarity {
     * codegen cosine k times, which is far cheaper than shuffling both
     * embedding payloads per candidate the way dedup-first would (the score
     * is deterministic per pair, so the kept row is identical either way). */
+  /** SRP signature width for a corpus of `n` vectors targeting
+    * ~`targetBucket` vectors per bucket: `ceil(log2(n / targetBucket))`,
+    * clamped to [minBits, 24]. A FIXED width makes bucket load — and with
+    * it the within-bucket pair cost — grow linearly with the corpus
+    * (quadratic total work); sizing bits from n holds bucket load
+    * constant, so candidate generation stays linear at any scale. The
+    * recall trade is explicit: each extra bit lowers the per-table
+    * collision rate for a given cosine, so callers whose duplicates sit
+    * near the threshold (rather than near 1.0) should raise `tables`
+    * alongside. Near-exact duplicates (cosine ≳ 0.99, the dedup case)
+    * keep recall ≈ 1 across the whole clamp range: per-table collision is
+    * (1 − θ/π)^bits ≈ 0.9 at bits = 10, and 8 tables make a miss ~1e-8. */
+  def bitsFor(n: Long, targetBucket: Int = 64, minBits: Int = 8): Int = {
+    val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val ceilLog2 =
+      if (buckets <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(minBits, ceilLog2))
+  }
+
   def nearDupPairs(emb: DataFrame, tables: Int, bits: Int, threshold: Double): DataFrame = {
+    // Materialize the bucketed exploded table ONCE (lazy local checkpoint)
+    // and self-join it with a shuffle-hash hint. Without this, Catalyst
+    // (a) recomputes the whole embed+signature pipeline for BOTH join
+    // branches and (b) broadcast-builds the n×tables exploded side into a
+    // single-threaded hash relation — at sf1 that plan ran 24 s at a
+    // CPU/wall ratio of 1.6 on 32 cores; the partition-parallel shuffle
+    // join of the materialized table runs 2.3 s with the identical
+    // candidate set (the sf1 gate's measured 10×). At cluster scale the
+    // exploded side is never broadcastable anyway — the shuffle join on
+    // (tbl, bkt) is the only shape that survives.
     val bucketed = withBuckets(
       emb.select(col("vec_id"), col("embedding")), "embedding", tables, bits)
+      .localCheckpoint(false)
     val a = bucketed.select(
       col("tbl"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = bucketed.select(
       col("tbl"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("tbl", "bkt"))
+    a.hint("shuffle_hash").join(b, Seq("tbl", "bkt"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
       .where(col("score") >= threshold)

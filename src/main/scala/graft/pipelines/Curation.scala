@@ -89,7 +89,11 @@ object Curation {
       |          '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
       |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
       |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val aug = Tables.documents(s, d).select(
+    // repartition before the regex stack: the scan is a single-row-group
+    // parquet file (one task), and three full-text regex passes are pure
+    // per-row CPU that should spread across every core — the input shuffle
+    // is tiny next to the regex work (sf1: 10.6 s at CPU/wall 1.1 before).
+    val aug = Tables.documents(s, d).repartition(col("doc_id")).select(
       col("doc_id"),
       concat(
         col("text"), lit(" contact u"), col("doc_id").cast(StringType),

@@ -198,9 +198,15 @@ object Similarity {
   val embNearDup: QueryDef = QueryDef(
     "c17_embedding_neardup", "C17 C18", nearDupOracleSql) { (s, d) =>
     val emb = injectedCorpus(Tables.embeddings(s, d))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    // stream side repartitioned: single-row-group parquet arrives as one
+    // task, which would run the O(n²) cosine loop single-threaded (sf1
+    // gate: 102 s at CPU/wall 1.0); with 32 stream partitions the same
+    // baseline runs the loop partition-parallel. Build side broadcast as
+    // before — it is the whole (small) corpus by this baseline's design.
+    val a = emb.repartition(col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("score", graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")))
       .where(col("score") >= 0.9)
       .select("vec_a", "vec_b", "score")
@@ -252,8 +258,12 @@ object Similarity {
     // candidate set (the sf1 gate's measured 10×). At cluster scale the
     // exploded side is never broadcastable anyway — the shuffle join on
     // (tbl, bkt) is the only shape that survives.
+    // repartition before the signature projection: upstream is typically a
+    // narrow chain over a single-row-group parquet scan (one task), and
+    // the O(n·tables·bits·d) SRP projection is the CPU-heavy stage.
     val bucketed = withBuckets(
-      emb.select(col("vec_id"), col("embedding")), "embedding", tables, bits)
+      emb.repartition(col("vec_id")).select(col("vec_id"), col("embedding")),
+      "embedding", tables, bits)
       .localCheckpoint(false)
     val a = bucketed.select(
       col("tbl"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
@@ -463,8 +473,19 @@ object Similarity {
     * asserts the planted near-identical copies ([[injectedCorpus]], cosine
     * 0.97–0.998 to their originals) are all dropped while their originals
     * survive, and that kept/dropped partitions the corpus. */
+  /** Cluster count for a SemDeDup corpus of n vectors targeting
+    * ~targetCluster vectors per cluster (the paper scales C with the
+    * corpus for exactly this reason): within-cluster pair cost is
+    * Σ|cluster|² ≈ n²/C, so a FIXED C is quadratic in n while
+    * C = n/targetCluster holds it at n·targetCluster — linear. Clamped so
+    * spec-scale corpora keep the pinned C=16 behavior and the centroid
+    * model stays far below the 4096-vector training sample. */
+  def clusterCountFor(n: Long, targetCluster: Int = 256): Int =
+    math.min(2048L, math.max(16L, n / targetCluster)).toInt
+
   val semanticDedup: QueryDef = QueryDef.noOracle("c17_semantic_dedup", "C17 C18") { (s, d) =>
-    semanticDedupKept(injectedCorpus(Tables.embeddings(s, d)), c = 16, tau = 0.9)
+    val corpus = injectedCorpus(Tables.embeddings(s, d))
+    semanticDedupKept(corpus, c = clusterCountFor(corpus.count()), tau = 0.9)
   }
 
   /** The SemDeDup pipeline over an (vec_id, embedding) corpus: returns
@@ -481,9 +502,16 @@ object Similarity {
   def semanticDedupKept(corpus: DataFrame, c: Int, tau: Double): DataFrame = {
     val sample = corpus.where(pmod(col("vec_id"), lit(4)) === 0)
     val model = kmeansCentroids(sample, c = c, iters = 3)
-    val assigned = corpus.select(
+    // repartition before the map-side assignment: the corpus usually
+    // arrives as a handful of single-row-group parquet scans, and the
+    // O(n·C·d) centroid projection should use every core, not one task
+    // per file. The checkpoint then materializes the assignment ONCE for
+    // its three consumers (both pair-join sides + the final anti-join)
+    // instead of recomputing it per branch.
+    val assigned = corpus.repartition(col("vec_id")).select(
       col("vec_id"), col("embedding"),
       graft.functions.VectorExprs.nearestCentroids(col("embedding"), model, keep = 2).as("ncs"))
+      .localCheckpoint(false)
     val probed = assigned.select(
       col("vec_id"), col("embedding"), explode(col("ncs")).as("c_id"))
     val a = probed.select(
@@ -492,7 +520,9 @@ object Similarity {
       col("c_id"), col("vec_id").as("drop_id"), col("embedding").as("e_b"))
     // Pairs meet only inside a probed cluster; the ≥τ cut runs before the
     // distinct shuffle so only (tiny) drop candidates leave the join stage.
-    val drops = a.join(b, Seq("c_id"))
+    // shuffle-hash on c_id: partition-parallel across clusters, and the
+    // exploded corpus is not broadcast-built single-threaded.
+    val drops = a.hint("shuffle_hash").join(b, Seq("c_id"))
       .where(col("keep_id") < col("drop_id"))
       .where(graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")) >= tau)
       .select(col("drop_id").as("vec_id")).distinct()

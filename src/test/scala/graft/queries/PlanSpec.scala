@@ -117,9 +117,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate")) // bounded postings + pair count aggs
   }
 
-  test("C17 semantic dedup: assignment map-side, pairs meet on cluster id, anti-join keep") {
+  test("C17 semantic dedup: assignment materialized once, pairs meet on cluster id, anti-join keep") {
     val p = plan("c17_semantic_dedup")
-    assert(p.contains("nearest_centroids")) // map-side cluster assignment
+    // the map-side nearest_centroids assignment is computed once behind a
+    // lazy localCheckpoint (so the pair join's two sides and the anti-join
+    // all reuse it instead of recomputing the projection per branch) — the
+    // visible plan therefore starts at the materialized RDD scan
+    assert(p.contains("ExistingRDD"))       // checkpointed assignment, reused
+    assert(p.contains("ShuffledHashJoin"))  // pairs meet partition-parallel on c_id
     assert(p.contains("LeftAnti"))          // drop-set application
     assert(!p.contains("CartesianProduct")) // never all-pairs
   }

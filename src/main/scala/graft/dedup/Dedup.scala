@@ -226,6 +226,9 @@ object Dedup {
     val cap1 = if (dfCap >= Int.MaxValue) Int.MaxValue else dfCap + 1
     val postings = udaf(new graft.functions.BoundedDistinct(cap1))
     documents
+      // repartition before shingling (same single-scan-task rationale as
+      // spanDedupPairs)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
       .select(col("source"), col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
@@ -445,6 +448,9 @@ object Dedup {
       sequence(lit(0), size(col("t")) - k),
       i => xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k))))))
     documents
+      // repartition before the tokenize + window-hash stage (heavy per-row
+      // CPU; a single-row-group scan would run it in one task)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) >= k)
       .select(col("doc_id"), explode(windows).as("g"))

@@ -502,7 +502,9 @@ object Curation {
       |SELECT doc_id, source, n_words, mean_word_len
       |FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM flagged) AND doc_id % 100 <> 0
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    // all downstream branches (gopher metrics, shingles, dedup hash) are
+    // CPU-heavy narrow stages — repartition the shared scan once
+    val docs = Tables.documents(s, d).repartition(col("doc_id"))
     val gated = graft.text.TextAnalysis
       .gopherMetrics(docs, carry = Seq("text", "lang", "source"))
       .where(col("pass_gopher") && col("lang") === "en")

@@ -142,7 +142,10 @@ object Bpe {
     val ranks: Map[(String, String), Int] =
       trainMerges(boundedDict(Tables.documents(s, d), dictCap), numMerges)
         .zipWithIndex.toMap
+    // repartition before the encode: the per-word merge loop is the CPU
+    // stage, and a single-row-group scan would otherwise run it in one task
     Tables.documents(s, d)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

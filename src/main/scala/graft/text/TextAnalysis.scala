@@ -161,7 +161,9 @@ object TextAnalysis {
     * `split(text, "") + minhashSig` composition it replaced. */
   val winnow: QueryDef = QueryDef.noOracle("c19_winnow_fingerprint", "C19 C17") { (s, d) =>
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-    Tables.documents(s, d).select(
+    // repartition: the rolling-hash signature is pure per-row CPU; spread
+    // it across cores instead of one single-row-group scan task
+    Tables.documents(s, d).repartition(col("doc_id")).select(
       col("doc_id"),
       graft.functions.HashExprs.charMinhashSig(norm, 8, 16).as("fp"))
       .select(col("doc_id"),

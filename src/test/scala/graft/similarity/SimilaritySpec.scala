@@ -154,4 +154,32 @@ class SimilaritySpec extends SparkSpec {
     pairs.filter { case (q, n) => n < 20 }
       .foreach { case (q, n) => assert(pairs.contains((n, q))) }
   }
+
+  test("bitsFor holds bucket load ~constant: width grows with the corpus, clamped") {
+    // spec-scale corpora keep today's pinned 8-bit behavior
+    assert(Similarity.bitsFor(500) === 8)
+    assert(Similarity.bitsFor(5000) === 8)
+    // 10x bench scale: ceil(log2(50000/64)) = 10
+    assert(Similarity.bitsFor(50000) === 10)
+    // load ~target at any n: buckets >= n/target within a factor of 2
+    for (n <- Seq(100000L, 10000000L, 1000000000L)) {
+      val bits = Similarity.bitsFor(n)
+      val load = n.toDouble / (1L << bits)
+      assert(load <= 64.0 * 1.01 || bits === 24,
+        s"n=$n bits=$bits load=$load")
+    }
+    // clamp: never past 24 bits (int bucket ids, and 16M buckets suffice)
+    assert(Similarity.bitsFor(Long.MaxValue / 2) === 24)
+  }
+
+  test("clusterCountFor scales C with the corpus, clamped to the spec and model bounds") {
+    assert(Similarity.clusterCountFor(500) === 16)   // spec scale: pinned C
+    assert(Similarity.clusterCountFor(4096) === 16)
+    assert(Similarity.clusterCountFor(20000) === 78) // sf1: ~256/cluster
+    assert(Similarity.clusterCountFor(Long.MaxValue / 2) === 2048)
+    // monotone non-decreasing across the whole range
+    val cs = Seq(1L, 1000L, 10000L, 100000L, 10000000L)
+      .map(Similarity.clusterCountFor(_))
+    assert(cs === cs.sorted)
+  }
 }

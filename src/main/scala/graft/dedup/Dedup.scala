@@ -230,8 +230,15 @@ object Dedup {
       // spanDedupPairs)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
+      // grams leave the map side as xxhash64 longs, not trigram strings —
+      // same key-narrowing as spanDedupPairs (this was the suite's largest
+      // shuffle at sf1, 98 MB of raw trigrams). Set sizes n are taken
+      // BEFORE hashing; pair intersection counts and Jaccard are invariant
+      // under the per-gram hash modulo the documented 2⁻⁶⁴ collision
+      // residual, and the DuckDB oracle keeps grouping by raw strings,
+      // which checks exactly that equivalence.
       .select(col("source"), col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("g"))
+        explode(transform(col("sh"), g => xxhash64(g))).as("g"))
       .groupBy("source", "g")
       .agg(postings(col("doc_id"), col("n")).as("docs"))
       .where(size(col("docs")) <= dfCap) // full (dfCap+1) buffer = hot gram

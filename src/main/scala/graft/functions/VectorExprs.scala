@@ -287,10 +287,213 @@ case class FeatureHashEmbed(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** L2-normalize a float vector (zero vectors pass through unchanged). With
+  * both sides unit-norm, inner product = cosine, which is what lets the
+  * PQ asymmetric-distance scores below rank by cosine. */
+case class L2Normalize(child: Expression) extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var norm2 = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; norm2 += x * x; i += 1 }
+    val inv = if (norm2 == 0.0) 1.0 else 1.0 / math.sqrt(norm2)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (v.getFloat(i).toDouble * inv).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** Product-quantization encode (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search"): the vector is split into `m`
+  * contiguous subspaces of dims/m dimensions; each sub-vector is replaced by
+  * the id of its nearest (squared-L2, ties → lowest id) codeword among that
+  * subspace's `k` codewords. Output: array<int> of `m` codes in [0, k).
+  *
+  * This is the map-side index-build step: after it runs, the raw embedding
+  * is DROPPED and the inverted index carries m small ints per vector
+  * (m=8, k=16 → 8 codes ≈ 4 bits each vs 64 × 4-byte floats — the
+  * compression that lets a 100 TB corpus's ANN index live in memory).
+  * `books` is the trained codebook, row-major: entry (s·k + j) holds
+  * subspace s's codeword j. Trained driver-locally on a bounded sample
+  * ([[graft.similarity.Similarity.pqCodebooks]]), rides inside the
+  * expression like [[NearestCentroids]] — no join, no shuffle.
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Float]], m: Int, k: Int)
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val bookArr: Array[Array[Float]] =
+    books.map(_.toArray).toArray
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dsub = v.numElements() / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var best = 0
+      var bestDist = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val cw = bookArr(s * k + j)
+        var dist = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v.getFloat(base + i).toDouble - cw(i).toDouble
+          dist += d * d
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = j } // strict < : lowest id wins ties
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup table for one query vector: entry (s·k + j) =
+  * inner product of the query's subspace-s sub-vector with codeword j. With
+  * the LUT on the query side, scoring a corpus vector against the query
+  * costs `m` table lookups instead of a dims-length float loop
+  * ([[PqAdcScore]]) — the ADC trick that makes PQ scan-rate-bound, not
+  * FLOP-bound. Output: array<double> of m·k entries.
+  */
+case class PqLut(child: Expression, books: Seq[Seq[Float]], m: Int, k: Int)
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val bookArr: Array[Array[Float]] =
+    books.map(_.toArray).toArray
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dsub = v.numElements() / m
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var j = 0
+      while (j < k) {
+        val cw = bookArr(s * k + j)
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          dot += v.getFloat(base + i).toDouble * cw(i).toDouble
+          i += 1
+        }
+        out(s * k + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** ADC score: Σ_s lut[s·k + codes[s]] — the approximate inner product of a
+  * PQ-encoded corpus vector with the query whose [[PqLut]] is on the other
+  * side. m table lookups per pair, fully inside whole-stage codegen. */
+case class PqAdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int> codes, array<double> lut)")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(codes: Any, lut: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val t = lut.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    val m = c.numElements()
+    while (s < m) {
+      acc += t.getDouble(s * k + c.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $c.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $t.getDouble($s * $k + $c.getInt($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column wrapper: fused codegen cosine similarity of two float arrays. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** L2-normalized copy of a float vector. */
+  def l2Normalize(a: Column): Column =
+    GraftBridge.column(L2Normalize(GraftBridge.expression(a)))
+
+  /** PQ codes (array<int> of m) of a float vector under a trained codebook. */
+  def pqEncode(emb: Column, books: Seq[Seq[Float]], m: Int, k: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(emb), books, m, k))
+
+  /** Per-query ADC lookup table (array<double> of m·k). */
+  def pqLut(emb: Column, books: Seq[Seq[Float]], m: Int, k: Int): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(emb), books, m, k))
+
+  /** ADC approximate inner product from codes + a query LUT. */
+  def pqAdcScore(codes: Column, lut: Column, k: Int): Column =
+    GraftBridge.column(PqAdcScore(
+      GraftBridge.expression(codes), GraftBridge.expression(lut), k))
 
   /** All SRP-LSH table buckets of a float vector in one pass. */
   def srpBuckets(emb: Column, tables: Int, bits: Int): Column =

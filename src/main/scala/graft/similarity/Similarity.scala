@@ -321,14 +321,26 @@ object Similarity {
     * model. Local training over the same bounded sample produces the same
     * model shape with ONE job (the sample collect); the corpus-sized
     * assignment pass in [[annIvf]] stays fully distributed. */
-  def kmeansCentroids(emb: DataFrame, c: Int, iters: Int, maxTrain: Int = 4096): Seq[(Long, Seq[Float])] = {
+  def kmeansCentroids(emb: DataFrame, c: Int, iters: Int, maxTrain: Int = 4096): Seq[(Long, Seq[Float])] =
+    kmeansFromSample(collectSample(emb, maxTrain), c, iters)
+
+  /** The ONE bounded model-training collect shared by the k-means / PQ
+    * trainers: the `maxTrain` lowest vec_ids (≤ maxTrain × dim floats,
+    * ~1 MB at the default cap, independent of corpus size). Callers that
+    * train several models (e.g. [[annIvfPq]]'s coarse quantizer + PQ
+    * codebooks) collect once and reuse the array. */
+  def collectSample(emb: DataFrame, maxTrain: Int = 4096): Array[(Long, Array[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample: Array[(Long, Array[Float])] = emb
-      .select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(maxTrain)
       .as[(Long, Array[Float])].collect()
       .sortBy(_._1)
+  }
+
+  /** Driver-local deterministic Lloyd over an already-collected bounded
+    * sample (see [[kmeansCentroids]] for the design rationale). */
+  def kmeansFromSample(sample: Array[(Long, Array[Float])], c: Int, iters: Int): Seq[(Long, Seq[Float])] = {
     require(sample.length >= c, s"k-means needs at least $c training vectors, got ${sample.length}")
     val ids: Array[Long] = sample.take(c).map(_._1)
     var cents: Array[Array[Double]] = sample.take(c).map(_._2.map(_.toDouble))
@@ -402,6 +414,149 @@ object Similarity {
     val topk = udaf(new graft.functions.TopKAgg(3))
     corpus.join(broadcast(queries), Seq("c_id"))
       .where(col("neighbor_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("col._2").as("neighbor_id"),
+        col("col._1").as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Driver-local L2 normalization (mirror of the [[graft.functions.L2Normalize]]
+    * expression) for preparing PQ training sub-vectors. */
+  def l2NormLocal(v: Array[Float]): Array[Float] = {
+    var norm2 = 0.0
+    var i = 0
+    while (i < v.length) { norm2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = if (norm2 == 0.0) 1.0 else 1.0 / math.sqrt(norm2)
+    v.map(x => (x.toDouble * inv).toFloat)
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011): an
+    * independent deterministic L2 Lloyd per contiguous subspace over the
+    * bounded training sample. Init = the first `k` sample rows' sub-vectors;
+    * assignment = argmin squared L2 (strict <, so the lowest codeword id
+    * wins ties); per-dimension means accumulate in double over the
+    * id-sorted sample on one thread — bit-identical run-to-run. Empty
+    * cells keep their previous codeword. Returns the row-major codebook
+    * [[graft.functions.PqEncode]] / [[graft.functions.PqLut]] consume:
+    * entry (s·k + j) is subspace s's codeword j (dims/m floats each).
+    *
+    * Like every quantizer here, training is driver-local over a FIXED-size
+    * sample (m × k × dims/m floats of model, ~8 KB at 8×16×8) — the
+    * corpus-sized encode pass stays a fully distributed projection. */
+  def pqCodebooks(sample: Array[Array[Float]], m: Int, k: Int, iters: Int): Seq[Seq[Float]] = {
+    require(sample.length >= k, s"PQ needs at least $k training vectors, got ${sample.length}")
+    val dims = sample(0).length
+    require(dims % m == 0, s"PQ needs dims ($dims) divisible by m ($m)")
+    val dsub = dims / m
+    val books = Array.tabulate(m, k) { (s, j) =>
+      Array.tabulate(dsub)(i => sample(j)(s * dsub + i).toDouble)
+    }
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        sample.foreach { v =>
+          var best = 0
+          var bestDist = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            val cw = books(s)(j)
+            var dist = 0.0
+            var i = 0
+            while (i < dsub) {
+              val d = v(base + i).toDouble - cw(i)
+              dist += d * d
+              i += 1
+            }
+            if (dist < bestDist) { bestDist = dist; best = j }
+            j += 1
+          }
+          val acc = sums(best)
+          var i = 0
+          while (i < dsub) { acc(i) += v(base + i).toDouble; i += 1 }
+          counts(best) += 1
+        }
+        var j = 0
+        while (j < k) {
+          if (counts(j) > 0) books(s)(j) = sums(j).map(_ / counts(j))
+          j += 1
+        }
+        it += 1
+      }
+      s += 1
+    }
+    books.flatten.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  /** IVF-PQ ANN (Jégou et al. 2011 — the memory-bounded 100 TB ANN path):
+    * [[annIvf]]'s inverted lists, but the list entries are 8 product-
+    * quantization codes (4 bits each over 8-dim subspaces of the unit-
+    * normalized vector) instead of the raw 64 × 4-byte embedding — a ~16×
+    * smaller index, which is what makes a corpus-scale ANN index hold in
+    * executor memory at 100 TB (raw vectors are only refetched for the
+    * tiny rerank shortlist). Queries probe the 4 nearest lists, score
+    * candidates with the ADC lookup-table trick ([[graft.functions.PqLut]]
+    * on the query side + [[graft.functions.PqAdcScore]] — m table lookups
+    * per pair, no float loop), keep a bounded ADC top-20 shortlist per
+    * query ([[graft.functions.TopKAgg]] — only 20 candidates per query per
+    * partition cross the shuffle), then rerank the shortlist EXACTLY by
+    * refetching raw embeddings with a broadcast join. Output schema and
+    * exactness contract match [[annIvf]]: reported scores are true
+    * cosines; only WHICH neighbors made the shortlist is approximate.
+    *
+    * Both models (coarse 16-centroid quantizer + 8×16 PQ codebook, ~12 KB
+    * total) train driver-locally on ONE shared bounded sample collect.
+    * noOracle (approximate by construction); SimilaritySpec pins exact
+    * rerank scores, recall vs brute, ADC-vs-exact agreement, and
+    * determinism. */
+  val annIvfPq: QueryDef = QueryDef.noOracle("c18_ann_ivfpq", "C18") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val M = 8; val K = 16
+    val sample = collectSample(emb.where(pmod(col("vec_id"), lit(4)) === 0))
+    val coarse = kmeansFromSample(sample, c = 16, iters = 3)
+    val books = pqCodebooks(sample.map(p => l2NormLocal(p._2)), m = M, k = K, iters = 3)
+    // Index build: one map-side projection, then the raw embedding is GONE —
+    // the inverted index is (list id, neighbor id, 8 codes) ≈ 12 bytes/row.
+    val index = emb.repartition(col("vec_id")).select(
+      col("vec_id").as("neighbor_id"),
+      element_at(graft.functions.VectorExprs.nearestCentroids(
+        col("embedding"), coarse, keep = 1), 1).as("c_id"),
+      graft.functions.VectorExprs.pqEncode(
+        graft.functions.VectorExprs.l2Normalize(col("embedding")), books, M, K).as("codes"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(
+        col("vec_id").as("q_id"),
+        graft.functions.VectorExprs.pqLut(
+          graft.functions.VectorExprs.l2Normalize(col("embedding")), books, M, K).as("lut"),
+        explode(graft.functions.VectorExprs.nearestCentroids(
+          col("embedding"), coarse, keep = 4)).as("c_id"))
+    val topAdc = udaf(new graft.functions.TopKAgg(20))
+    val shortlist = index.join(broadcast(queries), Seq("c_id"))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .withColumn("adc", graft.functions.VectorExprs.pqAdcScore(col("codes"), col("lut"), K))
+      .groupBy("q_id")
+      .agg(topAdc(col("adc"), col("neighbor_id")).as("cand"))
+      .select(col("q_id"), explode(col("cand")).as("c"))
+      .select(col("q_id"), col("c._2").as("neighbor_id"))
+    // Exact rerank over the 5 × 20-row shortlist: broadcast it onto the
+    // corpus to refetch raw vectors (no corpus shuffle), rejoin the 5 query
+    // vectors, true-cosine top-3.
+    val qVecs = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
       .withColumn("score",
         graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")))
       .groupBy("q_id")
@@ -533,5 +688,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(knnBrute, knnAgg, annLsh, embNearDup, embNearDupLsh, annIvf,
-      radiusSearch, semanticDedup)
+      annIvfPq, radiusSearch, semanticDedup)
 }

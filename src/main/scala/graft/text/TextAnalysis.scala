@@ -271,7 +271,111 @@ object TextAnalysis {
           col("alpha_word_ratio") > 0.6)
   }
 
+  /** TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
+    * the scikit-learn formulation): the keyword-extraction / relevance
+    * signal a curation pipeline uses for topic balancing.
+    *
+    * Scale shape — NO dictionary broadcast: the doc-frequency table derives
+    * from the (doc_id, term) counts by a second aggregate on `term`, and
+    * the tf⋈df join is a plain equi-join on `term` — Catalyst reuses the
+    * term-hash exchange between the df aggregate and the join (AQE picks
+    * broadcast only when df is actually small), so the vocabulary is never
+    * assumed to fit on the driver. The corpus-size scalar N is the usual
+    * broadcast 1-row aggregate. Scores are snapped to the 1e-6 grid on
+    * both engines BEFORE ranking (ties then break on the term string), so
+    * the ranking never depends on the two engines' libm `ln` agreeing in
+    * the last ulp. */
+  val tfidfTopTerms: QueryDef = QueryDef(
+    "c19_tfidf_topterms", "C19",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, rnk, term, tf, score FROM (
+      |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS INT) AS tf,
+      |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) DESC, tf.term) AS INT) AS rnk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n) t
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    tfidfTop(Tables.documents(s, d), topK = 3).orderBy("doc_id", "rnk")
+  }
+
+  /** documents(doc_id, text) → top-`topK` TF-IDF terms per document
+    * (doc_id, rnk, term, tf, score). See [[tfidfTopTerms]]. */
+  def tfidfTop(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .where(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        col("tf").cast(IntegerType).as("tf"), col("score"))
+  }
+
+  /** Per-document unigram entropy (nats + bits): H = ln L − (Σ tf·ln tf)/L
+    * over the word-frequency distribution — the lexical-diversity /
+    * degenerate-repetition signal (H → 0 means one token dominates; H =
+    * ln n_distinct means perfectly uniform). One extra aggregate over the
+    * same (doc_id, term) counts as [[tfidfTopTerms]]; no joins at all.
+    *
+    * Parity note: Σ tf·ln(tf) is a genuine double sum, so its partition
+    * merge order is not fixed — but each per-document sum has at most a
+    * few dozen terms, bounding the order spread at ~1e-13 relative, six
+    * orders below the 1e-6 output grid both engines snap to (same
+    * contract as the radius-search score grid: verified green, and
+    * deterministic for any fixed testdata unless a true value sits within
+    * ulps of a .5e-6 boundary). */
+  val wordEntropy: QueryDef = QueryDef(
+    "c19_word_entropy", "C19",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS l, CAST(count(*) AS INT) AS n_distinct,
+      |    sum(tf * ln(tf)) AS s
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, CAST(l AS INT) AS n_tokens, n_distinct,
+      |  round(ln(l) - s / l, 6) AS entropy,
+      |  round((ln(l) - s / l) / ln(2.0), 6) AS entropy_bits
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    unigramEntropy(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** documents(doc_id, text) → (doc_id, n_tokens, n_distinct, entropy,
+    * entropy_bits). See [[wordEntropy]]. */
+  def unigramEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val hNats = log(col("l")) - col("s") / col("l")
+    tf.groupBy("doc_id")
+      .agg(
+        sum("tf").as("l"),
+        count(lit(1)).cast(IntegerType).as("n_distinct"),
+        sum(col("tf").cast(DoubleType) * log(col("tf").cast(DoubleType))).as("s"))
+      .select(
+        col("doc_id"),
+        col("l").cast(IntegerType).as("n_tokens"),
+        col("n_distinct"),
+        round(hNats, 6).as("entropy"),
+        round(hNats / math.log(2.0), 6).as("entropy_bits"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
-      gopherRules)
+      gopherRules, tfidfTopTerms, wordEntropy)
 }

@@ -106,4 +106,34 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
     assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
   }
+
+  test("tf-idf top terms match hand-computed smoothed-idf scores") {
+    val df = docs(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"))
+    val out = TextAnalysis.tfidfTop(df, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3), r.getDouble(4))).toMap
+    // N=3; df: apple 1, banana 2, cherry 2
+    // idf(apple) = ln(4/2)+1 = 1.693147…; idf(banana|cherry) = ln(4/3)+1 = 1.287682…
+    assert(out((1L, 1))._1 === "apple")
+    assert(math.abs(out((1L, 1))._3 - 3.386294) < 1e-6)   // 2 × idf(apple)
+    assert(out((1L, 2)) === (("banana", 1, 1.287682)))
+    assert(out((2L, 1))._1 === "banana")                   // tie with cherry → term asc
+    assert(out((2L, 2))._1 === "cherry")
+    assert(math.abs(out((3L, 1))._3 - 3.863046) < 1e-6)   // 3 × idf(cherry)
+  }
+
+  test("unigram entropy: uniform two-term doc = 1 bit, single-term doc = 0") {
+    val df = docs(
+      (1L, "a a b b"),     // uniform over 2 terms → exactly ln 2 nats = 1 bit
+      (2L, "a a a a"),     // degenerate → 0
+      (3L, "a b c d"))     // uniform over 4 → 2 bits
+    val out = TextAnalysis.unigramEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 === 4 && out(1L)._2 === 2)
+    assert(math.abs(out(1L)._3 - 0.693147) < 1e-6 && math.abs(out(1L)._4 - 1.0) < 1e-6)
+    assert(out(2L)._3 === 0.0 && out(2L)._4 === 0.0)
+    assert(math.abs(out(3L)._4 - 2.0) < 1e-6)
+  }
 }

@@ -375,7 +375,99 @@ object TextAnalysis {
         round(hNats / math.log(2.0), 6).as("entropy_bits"))
   }
 
+  /** Multinomial Naive Bayes classifier trained IN-ENGINE in one pass and
+    * applied to the same corpus — the quality/domain-classifier filtering
+    * step of an LLM data pipeline (CCNet/GPT-3-style) done relationally:
+    * "training" is two token-count aggregates (per-(term,class) counts +
+    * per-class token mass), "inference" is a per-occurrence join against
+    * those counts and a per-(doc,class) log-likelihood sum, argmax by
+    * window. Laplace-smoothed: ln((c(t,l)+1)/(n_l+|V|)), prior ln(d_l/N).
+    *
+    * Scale shape: the candidate grid is |token occurrences| × |classes|
+    * (classes are a broadcast handful); the occurrence⋈counts join is a
+    * plain equi-join on (term, class) — like [[tfidfTopTerms]], the
+    * vocabulary-sized model table is NEVER broadcast or collected, so the
+    * same plan trains on any corpus. Scores snap to the 1e-6 grid on both
+    * engines before the argmax (ties → class name ascending).
+    *
+    * Here the label is `lang` (self-classification; resubstitution
+    * accuracy is the pinned observable) — substituting a curated
+    * quality/domain label column changes nothing structurally. */
+  val nbClassifier: QueryDef = QueryDef(
+    "c19_nb_classifier", "C19",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), counts AS (SELECT term, lang, count(*) AS c FROM toks GROUP BY term, lang),
+      |totals AS (SELECT lang, count(*) AS n_l FROM toks GROUP BY lang),
+      |vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+      |priors AS (SELECT lang, count(*) AS d_l FROM documents GROUP BY lang),
+      |ndocs AS (SELECT count(*) AS n_docs FROM documents),
+      |grid AS (
+      |  SELECT t.doc_id, t.term, cl.lang AS cls
+      |  FROM (SELECT doc_id, term FROM toks) t
+      |  CROSS JOIN (SELECT lang FROM totals) cl),
+      |ll AS (
+      |  SELECT g.doc_id, g.cls,
+      |    ln((coalesce(c.c, 0) + 1.0) / (tt.n_l + v.v)) AS ll
+      |  FROM grid g
+      |  LEFT JOIN counts c ON c.term = g.term AND c.lang = g.cls
+      |  JOIN totals tt ON tt.lang = g.cls
+      |  CROSS JOIN vocab v),
+      |doc_scores AS (SELECT doc_id, cls, sum(ll) AS s_ll FROM ll GROUP BY doc_id, cls),
+      |scored AS (
+      |  SELECT d.doc_id, d.cls, round(d.s_ll + ln(p.d_l * 1.0 / n.n_docs), 6) AS score
+      |  FROM doc_scores d JOIN priors p ON p.lang = d.cls CROSS JOIN ndocs n)
+      |SELECT s.doc_id, s.cls AS pred_lang, s.score, dd.lang AS actual_lang,
+      |  (s.cls = dd.lang) AS correct
+      |FROM (
+      |  SELECT doc_id, cls, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rnk
+      |  FROM scored) s
+      |JOIN documents dd USING (doc_id)
+      |WHERE s.rnk = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    nbClassify(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** documents(doc_id, text, lang) → (doc_id, pred_lang, score,
+    * actual_lang, correct). See [[nbClassifier]]. */
+  def nbClassify(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val counts = toks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    val priors = docs.groupBy("lang").agg(count(lit(1)).as("d_l"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // candidate grid: one row per (token occurrence, candidate class)
+    val grid = toks.select("doc_id", "term")
+      .crossJoin(broadcast(totals.select(col("lang"), col("n_l"))))
+    val ll = grid
+      .join(counts, Seq("term", "lang"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"), col("lang"),
+        log((coalesce(col("c"), lit(0L)) + 1.0) / (col("n_l") + col("v"))).as("ll"))
+    val docScores = ll.groupBy("doc_id", "lang").agg(sum(col("ll")).as("s_ll"))
+    val scored = docScores
+      .join(broadcast(priors), Seq("lang"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("s_ll") + log(col("d_l") * 1.0 / col("n_docs")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("actual_lang")), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("lang").as("pred_lang"), col("score"),
+        col("actual_lang"), (col("lang") === col("actual_lang")).as("correct"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
-      gopherRules, tfidfTopTerms, wordEntropy)
+      gopherRules, tfidfTopTerms, wordEntropy, nbClassifier)
 }

@@ -124,6 +124,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out((3L, 1))._3 - 3.863046) < 1e-6)   // 3 × idf(cherry)
   }
 
+  test("naive bayes classifier recovers the labels of a cleanly separable corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "le chat noir", "fr"), (2L, "le chien blanc", "fr"),
+      (3L, "the black cat", "en"), (4L, "the white dog", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.nbClassify(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(3), r.getBoolean(4))).toMap
+    assert(out.size === 4)
+    // every doc's own tokens dominate its class likelihood → resubstitution
+    // is perfect on a disjoint-vocabulary corpus
+    assert(out(1L) === (("fr", "fr", true)))
+    assert(out(2L) === (("fr", "fr", true)))
+    assert(out(3L) === (("en", "en", true)))
+    assert(out(4L) === (("en", "en", true)))
+  }
+
   test("unigram entropy: uniform two-term doc = 1 bit, single-term doc = 0") {
     val df = docs(
       (1L, "a a b b"),     // uniform over 2 terms → exactly ln 2 nats = 1 bit

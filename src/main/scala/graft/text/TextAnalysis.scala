@@ -275,16 +275,19 @@ object TextAnalysis {
     * the scikit-learn formulation): the keyword-extraction / relevance
     * signal a curation pipeline uses for topic balancing.
     *
-    * Scale shape — NO dictionary broadcast: the doc-frequency table derives
-    * from the (doc_id, term) counts by a second aggregate on `term`, and
-    * the tf⋈df join is a plain equi-join on `term` — Catalyst reuses the
-    * term-hash exchange between the df aggregate and the join (AQE picks
-    * broadcast only when df is actually small), so the vocabulary is never
-    * assumed to fit on the driver. The corpus-size scalar N is the usual
-    * broadcast 1-row aggregate. Scores are snapped to the 1e-6 grid on
-    * both engines BEFORE ranking (ties then break on the term string), so
-    * the ranking never depends on the two engines' libm `ln` agreeing in
-    * the last ulp. */
+    * Scale shape — NO dictionary broadcast: the (doc_id, term) count table
+    * is materialized ONCE (lazy localCheckpoint — the repo's standard
+    * recipe when one derived table feeds two plan branches) and both the
+    * df aggregate and the join read the materialization, so the
+    * explode+count work is not recomputed per branch; the tf⋈df join is a
+    * plain equi-join on `term` (Catalyst broadcasts df only when it
+    * actually fits — the vocabulary is never assumed driver-sized, and
+    * Zipf-hot terms are unique keys on the df side, the skew-benign
+    * direction). The corpus-size scalar N is the usual broadcast 1-row
+    * aggregate. Scores are snapped to the 1e-6 grid on both engines
+    * BEFORE ranking (ties then break on the term string), so the ranking
+    * never depends on the two engines' libm `ln` agreeing in the last
+    * ulp. */
   val tfidfTopTerms: QueryDef = QueryDef(
     "c19_tfidf_topterms", "C19",
     """WITH toks AS (
@@ -309,7 +312,9 @@ object TextAnalysis {
     val toks = docs.select(
       col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    // materialize once: feeds both the df aggregate and the scoring join
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -386,9 +391,12 @@ object TextAnalysis {
     * Scale shape: the candidate grid is |token occurrences| × |classes|
     * (classes are a broadcast handful); the occurrence⋈counts join is a
     * plain equi-join on (term, class) — like [[tfidfTopTerms]], the
-    * vocabulary-sized model table is NEVER broadcast or collected, so the
-    * same plan trains on any corpus. Scores snap to the 1e-6 grid on both
-    * engines before the argmax (ties → class name ascending).
+    * vocabulary-sized model table is NEVER broadcast or collected (it is
+    * materialized once and its three consumers read the materialization;
+    * Zipf-hot terms are unique keys on the model side, so the join skew
+    * stays on the streamed side where AQE splits it), and the same plan
+    * trains on any corpus. Scores snap to the 1e-6 grid on both engines
+    * before the argmax (ties → class name ascending).
     *
     * Here the label is `lang` (self-classification; resubstitution
     * accuracy is the pinned observable) — substituting a curated
@@ -436,9 +444,16 @@ object TextAnalysis {
     val toks = docs.select(
       col("doc_id"), col("lang"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    // The model table is materialized ONCE (lazy localCheckpoint) and its
+    // three consumers — per-class token mass, vocabulary size, and the
+    // scoring join — all read the materialization instead of re-running
+    // the corpus explode+count per branch. Deriving totals/vocab FROM the
+    // counts table (Σc per class ≡ class token mass; distinct terms in
+    // counts ≡ corpus vocabulary) is what makes them one-aggregate cheap.
     val counts = toks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
-    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_l"))
-    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+      .localCheckpoint(false)
+    val totals = counts.groupBy("lang").agg(sum(col("c")).as("n_l"))
+    val vocab = counts.agg(countDistinct(col("term")).as("v"))
     val priors = docs.groupBy("lang").agg(count(lit(1)).as("d_l"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // candidate grid: one row per (token occurrence, candidate class)

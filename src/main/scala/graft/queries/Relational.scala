@@ -1193,6 +1193,157 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** B2/C12: exponentially-weighted moving average (EWMA) per event series —
+    * the time-series smoothing primitive (QuestDB-style trend smoothing /
+    * monitoring EMA). True EWMA is a sequential recurrence; this is the
+    * standard bounded-window form: the last K=8 observations with weights
+    * α(1−α)^j, normalized by the weight actually present so the series head
+    * is unbiased. Truncation residual (1−α)^8 ≈ 5.8% is absorbed by the
+    * normalization.
+    *
+    * Parity contract: the K weights are computed ONCE in Scala and spliced
+    * into both engines as shortest-roundtrip double literals, and the
+    * weighted sum is a fixed left-associated chain over `lag` columns — the
+    * identical expression tree on both sides, so the result is bit-exact
+    * BEFORE the house 1e-6 snap (no aggregation-order exposure at all).
+    *
+    * Scale shape: one shuffle on user_id; row_number + all 8 lags share one
+    * window spec → a single Window operator pass; O(K) state per row, no
+    * joins, no grid materialization. */
+  val b2Ewma: QueryDef = {
+    val alpha = 0.3
+    val ws = (0 until 8).map(j => alpha * math.pow(1 - alpha, j))
+    val wLit = ws.map(w => java.lang.Double.toString(w))
+    val sqlNum = wLit.zipWithIndex.map { case (w, j) =>
+      val x = if (j == 0) "value" else s"x$j"
+      s"CASE WHEN $x IS NOT NULL THEN $w * $x ELSE 0.0 END"
+    }.mkString(" + ")
+    val sqlDen = wLit.zipWithIndex.map { case (w, j) =>
+      val x = if (j == 0) "value" else s"x$j"
+      s"CASE WHEN $x IS NOT NULL THEN $w ELSE 0.0 END"
+    }.mkString(" + ")
+    val lags = (1 until 8)
+      .map(j => s"lag(value, $j) OVER w AS x$j").mkString(",\n      |    ")
+    QueryDef(
+      "b2_ewma", "B2 C12",
+      s"""WITH t AS (
+         |  SELECT user_id, value,
+         |    CAST(row_number() OVER w AS INT) AS seq,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT user_id, seq, value,
+         |        ($sqlNum) AS num, ($sqlDen) AS den FROM t)
+         |SELECT user_id, seq, value,
+         |  CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma
+         |FROM g ORDER BY user_id, seq""".stripMargin) { (s, d) =>
+      ewmaSeries(events(s, d), alpha, 8)
+    }
+  }
+
+  /** Bounded-window EWMA core (see [[b2Ewma]]): last-k weighted average per
+    * user_id series ordered by (ts, event_id), normalized by the weight
+    * mass actually present so the series head is unbiased. */
+  def ewmaSeries(ev: DataFrame, alpha: Double, k: Int): DataFrame = {
+    val ws = (0 until k).map(j => alpha * math.pow(1 - alpha, j))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val xs = col("value") +: (1 until k).map(j => lag(col("value"), j).over(w))
+    val num = xs.zip(ws).map { case (x, wt) =>
+      when(x.isNotNull, lit(wt) * x).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = xs.zip(ws).map { case (x, wt) =>
+      when(x.isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    ev.select(
+        col("user_id"),
+        col("value"),
+        row_number().over(w).as("seq"),
+        num.as("num"), den.as("den"))
+      .select(
+        col("user_id"), col("seq"), col("value"),
+        when(col("den") > 0, round(col("num") / col("den"), 6)).as("ewma"))
+      .orderBy("user_id", "seq")
+  }
+
+  /** B2/C12: rolling z-score anomaly detection — per event_type, each value
+    * scored against the trailing 1-hour window's mean/stddev (the ops
+    * monitoring / metric-outlier primitive; a RANGE frame over event time,
+    * not row offsets, so sparse and dense hours are handled alike).
+    *
+    * Parity contract: window aggregates over doubles diverge across engines
+    * (DuckDB's segment-tree accumulation vs Spark's sliding frame), so the
+    * frame aggregates are EXACT — decimal sum and sum-of-squares plus a
+    * count — and mean/var/z are derived from those three exact values by an
+    * identical double expression on both sides (sqrt is IEEE
+    * correctly-rounded), then snapped to the 1e-6 grid: the window-form
+    * moneySum discipline. Var is clamped at 0 before sqrt (the exact
+    * inputs make catastrophic cancellation identical on both sides, but
+    * not non-negative).
+    *
+    * Scale shape: one shuffle on event_type (at higher cardinality the
+    * partition key is the series id); three aggregates share one frame in
+    * one Window pass; no joins, no self-join band blow-up. */
+  val b2AnomalyZscore: QueryDef = QueryDef(
+    "b2_anomaly_zscore", "B2 C12",
+    """WITH t AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS es,
+      |         CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, event_id, es, CAST(v AS DOUBLE) AS value,
+      |    CAST(sum(v) OVER fr AS DOUBLE) AS s,
+      |    CAST(sum(v * v) OVER fr AS DOUBLE) AS q,
+      |    CAST(count(v) OVER fr AS BIGINT) AS n
+      |  FROM t
+      |  WINDOW fr AS (PARTITION BY event_type ORDER BY es
+      |                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT event_type, event_id, es, value, n,
+      |    CASE WHEN n > 1 THEN
+      |      sqrt(greatest((q - s * s / n) / (n - 1), 0.0)) END AS sd,
+      |    s / n AS mean
+      |  FROM w)
+      |SELECT event_type, event_id, es, value, n,
+      |  CASE WHEN sd > 0 THEN round((value - mean) / sd, 6) END AS zscore,
+      |  coalesce(CASE WHEN sd > 0
+      |    THEN round((value - mean) / sd, 6) END > 2.5, false) AS is_anomaly
+      |FROM z ORDER BY event_type, es, event_id""".stripMargin) { (s, d) =>
+    rollingZscore(events(s, d), 3600000000L, 2.5)
+  }
+
+  /** Rolling z-score core (see [[b2AnomalyZscore]]): each value scored
+    * against the trailing `windowUs`-microsecond frame of its event_type
+    * series; z > `threshold` (high-side) flags the anomaly. Exact decimal
+    * sum/sum-of-squares in the frame, stats derived in double identically
+    * on both engines. */
+  def rollingZscore(ev: DataFrame, windowUs: Long, threshold: Double): DataFrame = {
+    val fr = Window.partitionBy("event_type").orderBy("es")
+      .rangeBetween(-windowUs, 0)
+    ev.select(
+        col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("es"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .select(
+        col("event_type"), col("event_id"), col("es"),
+        col("v").cast(DoubleType).as("value"),
+        sum(col("v")).over(fr).cast(DoubleType).as("s"),
+        sum(col("v") * col("v")).over(fr).cast(DoubleType).as("q"),
+        count(col("v")).over(fr).as("n"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("sd",
+        when(col("n") > 1,
+          sqrt(greatest(
+            (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1),
+            lit(0.0)))))
+      .withColumn("zscore",
+        when(col("sd") > 0, round((col("value") - col("mean")) / col("sd"), 6)))
+      .select(
+        col("event_type"), col("event_id"), col("es"), col("value"), col("n"),
+        col("zscore"),
+        coalesce(col("zscore") > threshold, lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "es", "event_id")
+  }
+
   /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on
     * the ORDER BY value, not row offsets). Order key = integer day number so
     * the frame arithmetic is exact on both engines. */
@@ -1843,5 +1994,5 @@ object Relational {
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
-    b2TrendGapfill, b2TrendInterpolate, b3PerUser)
+    b2TrendGapfill, b2TrendInterpolate, b2Ewma, b2AnomalyZscore, b3PerUser)
 }

@@ -179,5 +179,42 @@ object Multimodal {
       .orderBy("asset_id", "chunk_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(binaryMeta, featureStub, decodeBatchQuery, chunkRows)
+  /** Frame sampling — the video-ingest primitive: treat the payload as a
+    * frame sequence (fixed 64-byte frames here; a real container swaps in
+    * the demuxer's frame index), emit every `stride`-th frame up to a
+    * per-asset cap, ONE ROW PER SAMPLED FRAME with its index, byte offset,
+    * and content checksum. This is the "sample 8 frames per video for the
+    * vision encoder" step of a multimodal training pipeline, done as a
+    * closed-form index explode + project: no shuffle, no decode, the frame
+    * count is arithmetic on metadata — embarrassingly parallel at any
+    * scale, and the sampled-frame table is ~cap/stride of the raw frame
+    * count before any heavy decode runs (sample-then-decode, never
+    * decode-then-sample). Character-addressed like [[chunkRows]] so
+    * DuckDB's `substr` is an exact oracle. */
+  val frameSample: QueryDef = QueryDef(
+    "mm_frame_sample", "C15 north_star-multimodal",
+    """SELECT doc_id AS asset_id, i AS frame_idx,
+      |  CAST(i * 16 AS INT) AS byte_off,
+      |  md5(substr(text, (i*16)+1, 16)) AS frame_md5
+      |FROM documents,
+      |  unnest(range(0, least(CAST(floor(length(text)/16.0) AS INT), 36), 5)) t(i)
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (s, d) =>
+    // full frames only (floor), stride 5, cap 8 samples/asset: indices
+    // {0,5,...,35} ∩ [0, n_frames). Same nFrames=0 guard as chunkRows:
+    // explode(NULL) emits no rows, matching the oracle's empty range().
+    val nFrames = floor(length(col("text")) / 16.0).cast(LongType)
+    val hi = least(nFrames, lit(36L)) - 1L
+    val idx = when(nFrames > 0, sequence(lit(0L), hi, lit(5L)))
+    Tables.documents(s, d)
+      .select(col("doc_id").as("asset_id"), col("text"),
+        explode(idx).as("frame_idx"))
+      .select(
+        col("asset_id"), col("frame_idx"),
+        (col("frame_idx") * 16L).cast(IntegerType).as("byte_off"),
+        md5(expr("substring(text, CAST(frame_idx*16 + 1 AS INT), 16)")).as("frame_md5"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(binaryMeta, featureStub, decodeBatchQuery, chunkRows, frameSample)
 }

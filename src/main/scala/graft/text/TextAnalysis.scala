@@ -482,7 +482,86 @@ object TextAnalysis {
         col("actual_lang"), (col("lang") === col("actual_lang")).as("correct"))
   }
 
+  /** DSIR-style importance weight per document (Data Selection via
+    * Importance Resampling, arXiv:2302.03169): log w(doc) = Σ_t tf_t ·
+    * [ln p_target(t) − ln p_raw(t)] over the document's unigram counts,
+    * with Laplace-smoothed distributions estimated IN-ENGINE from the same
+    * corpus — target = the `lang = 'en'` subset, raw = the whole corpus.
+    * Documents whose token mix looks like the target distribution get
+    * high weight; resampling by this weight is the DSIR selection step of
+    * an LLM data pipeline. (The paper hashes n-grams into buckets; the
+    * term-keyed formulation here is the oracle-checkable variant — a
+    * hashed-feature variant is the same plan with `pmod(xxhash64(term),B)`
+    * as the key, trading oracle-ability for a bounded feature space.)
+    *
+    * Scale shape — NO dictionary broadcast (same contract as
+    * [[tfidfTopTerms]] / [[nbClassifier]]): the (doc, lang, term) count
+    * table is materialized once and feeds BOTH the per-term distribution
+    * aggregate (target + raw counts in one conditional aggregate, one
+    * shuffle on `term`) and the scoring equi-join on `term`; only the
+    * 1-row (n_target, n_raw, |V|) scalar aggregate is broadcast. Per-doc
+    * log-sums are small (≲ distinct terms per doc), so the 1e-6 output
+    * grid dominates merge-order ulps — the [[wordEntropy]] parity
+    * contract. */
+  val dsirWeights: QueryDef = QueryDef(
+    "c19_dsir_weights", "C19",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(tf) AS BIGINT) AS cs
+      |  FROM tf GROUP BY term),
+      |scal AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns,
+      |    count(*) AS v
+      |  FROM stats),
+      |contrib AS (
+      |  SELECT f.doc_id, f.tf,
+      |    f.tf * (ln((s.ct + 1.0) / (c.nt + c.v)) - ln((s.cs + 1.0) / (c.ns + c.v))) AS contrib
+      |  FROM tf f JOIN stats s USING (term) CROSS JOIN scal c)
+      |SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+      |  round(SUM(contrib), 6) AS logw,
+      |  round(SUM(contrib) / SUM(tf), 6) AS logw_per_tok
+      |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    dsirWeight(Tables.documents(s, d), targetLang = "en").orderBy("doc_id")
+  }
+
+  /** documents(doc_id, text, lang) → (doc_id, n_tokens, logw,
+    * logw_per_tok). See [[dsirWeights]]. */
+  def dsirWeight(docs: DataFrame, targetLang: String): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    // lang is functionally dependent on doc_id, so carrying it through the
+    // per-doc term count costs nothing in group cardinality; materialize
+    // once — feeds the distribution aggregate AND the scoring join
+    val tf = toks.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val stats = tf.groupBy("term").agg(
+      sum(when(col("lang") === targetLang, col("tf")).otherwise(0L)).as("ct"),
+      sum(col("tf")).as("cs"))
+    val scal = stats.agg(
+      sum(col("ct")).as("nt"), sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+    tf.join(stats, Seq("term"))
+      .crossJoin(broadcast(scal))
+      .select(
+        col("doc_id"), col("tf"),
+        (col("tf").cast(DoubleType) *
+          (log((col("ct") + 1.0) / (col("nt") + col("v"))) -
+            log((col("cs") + 1.0) / (col("ns") + col("v"))))).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("l"), sum(col("contrib")).as("w"))
+      .select(
+        col("doc_id"),
+        col("l").cast(IntegerType).as("n_tokens"),
+        round(col("w"), 6).as("logw"),
+        round(col("w") / col("l"), 6).as("logw_per_tok"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
-      gopherRules, tfidfTopTerms, wordEntropy, nbClassifier)
+      gopherRules, tfidfTopTerms, wordEntropy, nbClassifier, dsirWeights)
 }

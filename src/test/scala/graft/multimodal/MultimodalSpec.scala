@@ -52,4 +52,22 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(1) === (r.getInt(0) + 255) / 256)
     }
   }
+
+  test("frame sampling emits stride-5 full-frame indices, capped at 8, none for empty text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // 100 chars → 6 full 16-byte frames → indices {0,5}; 800 chars → 50
+    // frames but cap bites → {0,5,...,35}; 10 chars → 0 full frames; empty → none
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 800), (3L, "z" * 10), (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("mm_frames").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.frameSample.fn(spark, tmp).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq.sorted }
+    assert(out(1L) === Seq(0L, 5L))
+    assert(out(2L) === Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }

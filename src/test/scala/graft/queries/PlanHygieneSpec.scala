@@ -29,6 +29,7 @@ class PlanHygieneSpec extends SparkSpec {
     "c7_range_join" -> "broadcast band table: band count fixed by the band definition",
     "c19_tfidf_topterms" -> "broadcast corpus-size scalar: 1-row count aggregate",
     "c19_nb_classifier" -> "broadcast class list + vocab/corpus scalars: |classes| and 1-row aggregates",
+    "c19_dsir_weights" -> "broadcast (n_target, n_raw, vocab) scalars: 1-row aggregate",
     "pipeline_mix_balance" -> "broadcast per-language keep-rate grid: |languages| rows"
   )
 

@@ -143,6 +143,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === (("en", "en", true)))
   }
 
+  test("dsir weights match hand-computed smoothed log-ratios and rank target-like docs higher") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b", "en"),   // the target distribution
+      (2L, "b c", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.dsirWeight(df, targetLang = "en").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    // target counts: a=2 b=1 (nt=3); raw: a=2 b=2 c=1 (ns=5); V=3
+    // p_t = (c+1)/(nt+V): a=1/2 b=1/3 c=1/6 ; p_s = (c+1)/(ns+V): a=3/8 b=3/8 c=1/4
+    // logw(1) = 2·ln(4/3) + ln(8/9)  = 0.457581
+    // logw(2) = ln(8/9) + ln(2/3)    = -0.523248
+    assert(out(1L)._1 === 3 && out(2L)._1 === 2)
+    assert(math.abs(out(1L)._2 - 0.457581) < 1e-6)
+    assert(math.abs(out(2L)._2 - (-0.523248)) < 1e-6)
+    assert(math.abs(out(1L)._3 - 0.152527) < 1e-6)
+    assert(out(1L)._2 > out(2L)._2)   // target-like doc weighs higher
+  }
+
   test("unigram entropy: uniform two-term doc = 1 bit, single-term doc = 0") {
     val df = docs(
       (1L, "a a b b"),     // uniform over 2 terms → exactly ln 2 nats = 1 bit

@@ -1311,6 +1311,35 @@ object Relational {
     rollingZscore(events(s, d), 3600000000L, 2.5)
   }
 
+  /** B2 platform idiom: QuestDB `SAMPLE BY 1h ALIGN TO CALENDAR WITH
+    * OFFSET '00:30'` (the remaining SAMPLE BY modifier family after the
+    * FILL modes) — bucket boundaries shifted off the clock hour, the shape
+    * ops teams use to align buckets with a maintenance window or a
+    * non-UTC business day. Re-expressed as pure timestamp arithmetic:
+    * shift by the offset, `date_trunc`, shift back — both engines stay in
+    * plain TIMESTAMP (no epoch round-trip, no TIMESTAMPTZ asymmetry), and
+    * the bucketing is a codegen'd projection feeding ONE partial+final
+    * hash aggregate, identical in shape to [[b2HourlyTrend]]. */
+  val b2TrendAlign: QueryDef = QueryDef(
+    "b2_trend_align", "B2 B1",
+    """SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE AS hr,
+      |  event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin) { (s, d) =>
+    alignedTrend(events(s, d), offsetMinutes = 30)
+  }
+
+  /** Offset-aligned hourly aggregate core (see [[b2TrendAlign]]): buckets
+    * are [H:offset, H+1:offset) — shift, truncate, shift back. */
+  def alignedTrend(ev: DataFrame, offsetMinutes: Int): DataFrame = {
+    val off = expr(s"INTERVAL $offsetMinutes MINUTES")
+    ev.groupBy(
+        (date_trunc("hour", col("ts") - off) + off).as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("value_sum"))
+      .orderBy("hr", "event_type")
+  }
+
   /** Rolling z-score core (see [[b2AnomalyZscore]]): each value scored
     * against the trailing `windowUs`-microsecond frame of its event_type
     * series; z > `threshold` (high-side) flags the anomaly. Exact decimal
@@ -1994,5 +2023,6 @@ object Relational {
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
-    b2TrendGapfill, b2TrendInterpolate, b2Ewma, b2AnomalyZscore, b3PerUser)
+    b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
+    b3PerUser)
 }

@@ -44,6 +44,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(last > 75.0 && last < 100.0) // α=0.3, 4 rows at 100: 1-0.7^4 ≈ 0.76
   }
 
+  test("aligned trend: offset-30 buckets split on the half hour, not the hour") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:20:00"), "click", 10.0),   // [07:30, 08:30)
+      (2L, ts("2024-01-01 08:29:59"), "click", 20.0),   // [07:30, 08:30)
+      (3L, ts("2024-01-01 08:30:00"), "click", 30.0),   // [08:30, 09:30)
+      (4L, ts("2024-01-01 09:29:00"), "click", 40.0))   // [08:30, 09:30)
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = Relational.alignedTrend(ev, offsetMinutes = 30).collect()
+    assert(out.length === 2)
+    assert(out(0).getTimestamp(0) === ts("2024-01-01 07:30:00") && out(0).getLong(2) === 2)
+    assert(out(1).getTimestamp(0) === ts("2024-01-01 08:30:00") && out(1).getLong(2) === 2)
+    assert(out(0).getDouble(3) === 30.0 && out(1).getDouble(3) === 70.0)
+  }
+
   test("zscore: constant series yields null z and no anomalies") {
     import spark.implicits._
     val ev = (1 to 10).map(i =>

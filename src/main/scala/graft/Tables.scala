@@ -26,17 +26,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as long and convert to the engine's
-    * native microsecond timestamp (exact: the data carries no sub-µs
-    * precision, and DuckDB's reader does the same µs conversion). */
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some testdata
+    * generations (rejected by Spark's reader unless read as long) and as
+    * TIMESTAMP(MICROS) in others — adapt to whichever the footer declares.
+    * The nanos path is exact: the data carries no sub-µs precision, and
+    * DuckDB's reader does the same µs conversion. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NTZ to match every other table (pyarrow writes isAdjustedToUTC=false)
     // and the DuckDB oracle's naive TIMESTAMP — session tz is UTC, so the
     // wall-clock value is unchanged.
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")) // nanos-as-long
+      case _        => col("ts")                             // already µs
+    }
+    raw.withColumn("ts", ts.cast(TimestampNTZType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -510,7 +510,135 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** C17/C18: edit-distance similarity join (ed ≤ 1) over an id-like string
+    * column — the fuzzy-key matching step of entity resolution and
+    * near-dup title/URL dedup. Candidate generation is the DELETION
+    * NEIGHBORHOOD (the SymSpell/FastSS scheme): every string emits its
+    * identity plus each single-character deletion (n+1 variants), and two
+    * strings within edit distance 1 provably share at least one variant
+    * (substitution → delete the differing position from both; insertion →
+    * the deletion of the inserted char equals the other string's identity)
+    * — so recall is exact and NOTHING is ever all-pairs. Variants ship as
+    * map-side `xxhash64` keys (8-byte shuffle, the span-dedup discipline;
+    * a hash collision can only ADD a candidate, which the verify filter
+    * removes). Candidates materialize from bounded postings
+    * ([[graft.functions.BoundedDistinct]], cap 64 — the skew guard for
+    * pathological variant buckets), are deduped once on the pair, and each
+    * surviving pair pays exactly one codegen `levenshtein` verify after
+    * the two name-fetch equi-joins. Scale: per-string work is O(n) variants,
+    * bucket fan-out is ≤ cap²/2, and the verify join keys are uniform ids.
+    *
+    * Names here are zero-padded (`Customer#%09d`), so id order and
+    * lexicographic name order agree — the `id_a < id_b` pair order matches
+    * the oracle's `name_a < name_b`. */
+  val editDistJoin: QueryDef = QueryDef(
+    "c17_editdist_join", "C17 C18",
+    """SELECT a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b ON a.c_name < b.c_name
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").cast(LongType).as("id"), col("c_name").as("name"))
+    // i = 0 → the string itself; i ≥ 1 → delete character i (1-based).
+    val variants = transform(
+      sequence(lit(0), length(col("name"))),
+      i => xxhash64(when(i === 0, col("name")).otherwise(concat(
+        col("name").substr(lit(1), i - 1),
+        col("name").substr(i + 1, length(col("name")))))))
+    val postings = udaf(new graft.functions.BoundedDistinct(65))
+    val pairs = cust
+      .select(col("id"), explode(array_distinct(variants)).as("v"))
+      .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
+      .where(size(col("ids")) <= 64) // full buffer = pathological bucket
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ids")).as(Seq("j", "b")))
+      .where(col("i") < col("j")) // sorted postings: i<j ⇒ id_a < id_b
+      .select(col("a._1").as("id_a"), col("b._1").as("id_b"))
+      .distinct() // one candidate per pair, however many shared variants
+    pairs
+      .join(cust.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(cust.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 1)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Token-block size for [[passageDedup]]. */
+  val passageTokens = 32
+
+  /** C17: corpus-wide exact passage dedup with document reassembly — the
+    * RefinedWeb/CCNet "remove duplicated passages, keep the document"
+    * step (arXiv:2306.01116 §G.2 lowered to fixed token blocks): the
+    * corpus is cut into [[passageTokens]]-token blocks, every block whose
+    * exact content appeared earlier (corpus-wide, first occurrence by
+    * (doc_id, block_idx) — a total order) is dropped, and each document
+    * re-emerges as its surviving blocks in original order (summarized as
+    * a checksum so the output stays narrow).
+    *
+    * Scale shape: the keep decision is aggregate + equi-join, NOT a
+    * row_number window — `min(position) GROUP BY block-hash` is a hash
+    * aggregate with map-side partials, immune to the boilerplate-block
+    * skew that would stall a per-hash window sort; blocks shuffle on
+    * map-side `xxhash64` keys (8 bytes, never the block text — the
+    * hashed-postings discipline; a collision can only merge two distinct
+    * blocks' first-occurrence classes, probability ≈ n²·2⁻⁶⁵, and the
+    * string-keyed DuckDB oracle checks exactly this equivalence). The
+    * reassembly is one hash aggregate on doc_id whose per-doc state is
+    * bounded by document length. */
+  val passageDedup: QueryDef = QueryDef(
+    "c17_passage_dedup", "C17",
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents
+      |), blocks AS (
+      |  SELECT doc_id, CAST(i AS INT) AS idx,
+      |    array_to_string(t[i*$passageTokens+1 : i*$passageTokens+$passageTokens], ' ') AS btxt,
+      |    doc_id * 100000 + i AS p
+      |  FROM toks, unnest(range(0, CAST(ceil(len(t)/$passageTokens.0) AS INT))) u(i)
+      |  WHERE len(t) > 0
+      |), firsts AS (SELECT btxt AS k, min(p) AS fp FROM blocks GROUP BY btxt
+      |), flagged AS (
+      |  SELECT b.doc_id, b.idx, b.btxt, b.p = f.fp AS kept
+      |  FROM blocks b JOIN firsts f ON b.btxt = f.k)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |  md5(coalesce(
+      |    array_to_string(list(btxt ORDER BY idx) FILTER (WHERE kept), ' '),
+      |    '')) AS kept_md5
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val k = passageTokens
+    val toks = filter(
+      split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+    val nBlocks = ceil(size(col("t")) / k.toDouble).cast(IntegerType)
+    val blockTexts = transform(
+      sequence(lit(0), nBlocks - 1),
+      i => concat_ws(" ", slice(col("t"), i * k + 1, lit(k))))
+    val blocks = Tables.documents(s, d)
+      .repartition(col("doc_id")) // tokenize is CPU-heavy; spread the scan
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(blockTexts).as(Seq("idx", "btxt")))
+      .select(col("doc_id"), col("idx"), col("btxt"),
+        xxhash64(col("btxt")).as("h"),
+        (col("doc_id") * 100000L + col("idx")).as("p"))
+    val firsts = blocks.groupBy("h").agg(min(col("p")).as("fp"))
+    blocks.join(firsts, Seq("h"))
+      .withColumn("kept", col("p") === col("fp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_blocks"),
+        sum(col("kept").cast(IntegerType)).cast(IntegerType).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("idx"), col("btxt"))))),
+          e => e("btxt")))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters,
-      spanDedup, textEmbedNearDup)
+      spanDedup, textEmbedNearDup, editDistJoin, passageDedup)
 }

@@ -1373,6 +1373,115 @@ object Relational {
       .orderBy("event_type", "es", "event_id")
   }
 
+  /** B2 platform idiom: OHLC downsampling — `SAMPLE BY 1h` with
+    * first/last/min/max per bucket, THE canonical QuestDB time-series
+    * query (candlestick charts over tick data; QuestDB ships `first()`/
+    * `last()` ordered-by-designated-timestamp aggregates for exactly this).
+    * Re-expressed Spark-first: open/close are `min_by`/`max_by` on a
+    * (ts, event_id) struct — a hash aggregate with map-side partials, NO
+    * per-bucket window sort (the same shape as [[b1LatestOn]]); high/low/
+    * volume ride in the same single aggregate, so the raw stream is
+    * touched exactly once and the plan is one partial+final
+    * HashAggregate at any scale. The (ts, event_id) tiebreak makes
+    * open/close total-order deterministic even with duplicate timestamps;
+    * open/close/high/low are raw double passthroughs (no arithmetic →
+    * bit-exact), volume uses the exact-decimal moneySum discipline. */
+  val b2Ohlc: QueryDef = QueryDef(
+    "b2_ohlc", "B2 B1 C9",
+    """SELECT event_type, date_trunc('hour', ts) AS hr,
+      |  first(value ORDER BY ts, event_id) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  last(value ORDER BY ts, event_id) AS close,
+      |  count(*) AS n_ticks,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val ord = struct(col("ts"), col("event_id"))
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        moneySum(col("value")).as("volume"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** C9: equi-width histogram with data-derived bounds and zero-filled
+    * empty buckets — the distribution-profiling aggregate (skew checks,
+    * length/price distributions) OLAP engines expose as `histogram()`/
+    * `width_bucket`. Two passes over the data: a 1-row min/max aggregate
+    * (broadcast back as literals via a tiny cross join), then one hash
+    * aggregate on the computed bucket index; the 16-row bucket grid is
+    * generated closed-form and LEFT-joined so empty buckets appear with
+    * cnt = 0 (broadcast — grid and agg output are both ≤ nBuckets rows).
+    * Bucket arithmetic `floor((x−lo)·n/(hi−lo))` is written identically
+    * on both engines (IEEE double ops are deterministic; floor is exact);
+    * the top edge clamps into the last bucket per the usual convention. */
+  val c9Histogram: QueryDef = QueryDef(
+    "c9_histogram", "C9 C15",
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+      |h AS (
+      |  SELECT CAST(least(floor((o_totalprice - lo) * 16.0 / (hi - lo)), 15) AS INT) AS bucket,
+      |         count(*) AS cnt
+      |  FROM orders, b GROUP BY 1),
+      |grid AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bucket)
+      |SELECT g.bucket,
+      |  round(lo + g.bucket * (hi - lo) / 16.0, 6) AS lo_edge,
+      |  round(lo + (g.bucket + 1) * (hi - lo) / 16.0, 6) AS hi_edge,
+      |  coalesce(h.cnt, 0) AS cnt
+      |FROM grid g CROSS JOIN b LEFT JOIN h ON g.bucket = h.bucket
+      |ORDER BY g.bucket""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    val hist = o.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("o_totalprice") - col("lo")) * 16.0 / (col("hi") - col("lo"))),
+        lit(15L)).cast(IntegerType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val grid = bounds.select(
+      explode(sequence(lit(0), lit(15))).as("bucket"), col("lo"), col("hi"))
+    grid.join(broadcast(hist), Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        round(col("lo") + col("bucket") * (col("hi") - col("lo")) / 16.0, 6).as("lo_edge"),
+        round(col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / 16.0, 6).as("hi_edge"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  /** C12/C15 + north_star-pipeline: per-user ordered event-sequence export —
+    * the "user behavior sequence" dataset a sequential recommender or
+    * behavioral LM trains on (one row per user: full-history length + the
+    * first-k event-type tokens in strict time order). One shuffle of the
+    * stream on user_id into a hash aggregate whose state is the collected
+    * per-user history; order is imposed AFTER collection by `array_sort` on
+    * a (ts, event_id, type) struct — no window sort, no secondary shuffle,
+    * and the (ts, event_id) tiebreak makes the sequence total-order
+    * deterministic under any partitioning. The export caps the emitted
+    * prefix at 16 tokens (`slice`), the standard max-sequence-length gate;
+    * per-user state is bounded by per-user activity (at 100 TB the same
+    * aggregate runs with a [[graft.functions.BoundedDistinct]]-style capped
+    * collector if user histories are unbounded). */
+  val c12EventSequences: QueryDef = QueryDef(
+    "c12_event_sequences", "C12 C15",
+    """SELECT user_id, CAST(count(*) AS INT) AS n_events,
+      |  array_to_string(list(event_type ORDER BY ts, event_id)[1:16], ',') AS seq_prefix
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).as("n_events"),
+        concat_ws(",",
+          slice(transform(col("evs"), e => e("event_type")), 1, 16)).as("seq_prefix"))
+      .orderBy("user_id")
+  }
+
   /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on
     * the ORDER BY value, not row offsets). Order key = integer day number so
     * the frame arithmetic is exact on both engines. */
@@ -2024,5 +2133,6 @@ object Relational {
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
+    b2Ohlc, c9Histogram, c12EventSequences,
     b3PerUser)
 }

@@ -27,6 +27,7 @@ class PlanHygieneSpec extends SparkSpec {
     "c18_knn_agg" -> "broadcast query set: |Q| fixed and small by contract",
     "c18_radius_search" -> "broadcast query set: |Q| fixed and small by contract",
     "c7_range_join" -> "broadcast band table: band count fixed by the band definition",
+    "c9_histogram" -> "broadcast min/max bounds: 1-row aggregate x fixed 16-bucket grid",
     "c19_tfidf_topterms" -> "broadcast corpus-size scalar: 1-row count aggregate",
     "c19_nb_classifier" -> "broadcast class list + vocab/corpus scalars: |classes| and 1-row aggregates",
     "c19_dsir_weights" -> "broadcast (n_target, n_raw, vocab) scalars: 1-row aggregate",

@@ -220,7 +220,18 @@ object Dedup {
     * SMALLEST doc ids (not first-seen) makes the hot/kept decision and the
     * kept lists pure functions of the input set — deterministic under any
     * partitioning. */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double, dfCap: Int): DataFrame =
+    gramIntersections(documents, dfCap)
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("source", "doc_a", "doc_b", "jaccard")
+
+  /** Shared candidate core of [[ngramJaccardPairs]] and [[containment]]:
+    * documents → (source, doc_a, na, doc_b, nb, inter) for every doc pair
+    * sharing at least one surviving (df ≤ dfCap) shingle, with exact
+    * shingle-set sizes attached. All the scale machinery lives here. */
+  def gramIntersections(documents: DataFrame, dfCap: Int): DataFrame = {
     // dfCap = Int.MaxValue means "uncapped" (spec-only exact mode) — keep
     // the sentinel instead of overflowing to a negative cap.
     val cap1 = if (dfCap >= Int.MaxValue) Int.MaxValue else dfCap + 1
@@ -255,10 +266,6 @@ object Dedup {
         col("b._1").as("doc_b"), col("b._2").as("nb"))
       .groupBy("source", "doc_a", "na", "doc_b", "nb") // na/nb: per-doc constants
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("source", "doc_a", "doc_b", "jaccard")
   }
 
   /** Exact n-gram Jaccard within a blocking key (`source`), computed the
@@ -538,8 +545,15 @@ object Dedup {
       |FROM customer a JOIN customer b ON a.c_name < b.c_name
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
-    val cust = Tables.customer(s, d)
-      .select(col("c_custkey").cast(LongType).as("id"), col("c_name").as("name"))
+    editDistPairs(Tables.customer(s, d)
+      .select(col("c_custkey").cast(LongType).as("id"), col("c_name").as("name")))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** (id, name) → (name_a, name_b, dist ≤ 1) via the deletion-neighborhood
+    * scheme of [[editDistJoin]] (all scale rationale there). Pair order is
+    * by id; callers wanting name order need id order ≡ name order. */
+  def editDistPairs(strings: DataFrame): DataFrame = {
     // i = 0 → the string itself; i ≥ 1 → delete character i (1-based).
     val variants = transform(
       sequence(lit(0), length(col("name"))),
@@ -547,7 +561,7 @@ object Dedup {
         col("name").substr(lit(1), i - 1),
         col("name").substr(i + 1, length(col("name")))))))
     val postings = udaf(new graft.functions.BoundedDistinct(65))
-    val pairs = cust
+    val pairs = strings
       .select(col("id"), explode(array_distinct(variants)).as("v"))
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
       .where(size(col("ids")) <= 64) // full buffer = pathological bucket
@@ -557,12 +571,58 @@ object Dedup {
       .select(col("a._1").as("id_a"), col("b._1").as("id_b"))
       .distinct() // one candidate per pair, however many shared variants
     pairs
-      .join(cust.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
-      .join(cust.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
+      .join(strings.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(strings.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= 1)
       .select("name_a", "name_b", "dist")
-      .orderBy("name_a", "name_b")
+  }
+
+  /** C17: containment (asymmetric-overlap) detection — flags a document
+    * whose shingle set is mostly INSIDE another's (quote-and-extend pages,
+    * a doc that is a subset of a longer one), which symmetric Jaccard
+    * misses whenever the two sizes differ a lot (|∩|/|∪| stays small while
+    * |∩|/min(|A|,|B|) is near 1). Same bounded-postings candidate core as
+    * [[ngramJaccardPairs]] ([[gramIntersections]] — one shingle scan, one
+    * hashed-gram shuffle, df-capped fan-out), different score: containment
+    * of the smaller side, `|∩| / min(|A|, |B|)`. Output keeps both sizes
+    * so the consumer can tell which side is the contained one. Oracle
+    * mirrors the construction — df cap included — by raw gram strings. */
+  val containment: QueryDef = QueryDef(
+    "c17_containment", "C17",
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), gr AS (SELECT source, doc_id, unnest(grams) AS g FROM sh
+      |), df AS (SELECT source, g, count(*) AS df FROM gr GROUP BY 1, 2
+      |), gp AS (
+      |  SELECT gr.source, gr.doc_id, gr.g
+      |  FROM gr JOIN df ON gr.source = df.source AND gr.g = df.g
+      |  WHERE df.df <= $ngramDfCap
+      |), inter AS (
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM gp a JOIN gp b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, doc_a, doc_b,
+      |  CAST(sa.n AS INT) AS na, CAST(sb.n AS INT) AS nb,
+      |  round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    gramIntersections(Tables.documents(s, d), dfCap = ngramDfCap)
+      .withColumn("containment",
+        round(col("inter").cast(DoubleType) / least(col("na"), col("nb")), 6))
+      .where(col("inter").cast(DoubleType) / least(col("na"), col("nb")) >= 0.5)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("na").cast(IntegerType).as("na"), col("nb").cast(IntegerType).as("nb"),
+        col("containment"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Token-block size for [[passageDedup]]. */
@@ -609,14 +669,21 @@ object Dedup {
       |    array_to_string(list(btxt ORDER BY idx) FILTER (WHERE kept), ' '),
       |    '')) AS kept_md5
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val k = passageTokens
+    passageDedupSummary(Tables.documents(s, d), passageTokens)
+      .orderBy("doc_id")
+  }
+
+  /** documents(doc_id, text) → (doc_id, n_blocks, n_kept, kept_md5) under
+    * the keep-first passage-dedup policy of [[passageDedup]] (all scale
+    * rationale there). */
+  def passageDedupSummary(documents: DataFrame, k: Int): DataFrame = {
     val toks = filter(
       split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
     val nBlocks = ceil(size(col("t")) / k.toDouble).cast(IntegerType)
     val blockTexts = transform(
       sequence(lit(0), nBlocks - 1),
       i => concat_ws(" ", slice(col("t"), i * k + 1, lit(k))))
-    val blocks = Tables.documents(s, d)
+    val blocks = documents
       .repartition(col("doc_id")) // tokenize is CPU-heavy; spread the scan
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) > 0)
@@ -635,10 +702,9 @@ object Dedup {
           array_sort(collect_list(when(col("kept"),
             struct(col("idx"), col("btxt"))))),
           e => e("btxt")))).as("kept_md5"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[QueryDef] =
     Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters,
-      spanDedup, textEmbedNearDup, editDistJoin, passageDedup)
+      spanDedup, textEmbedNearDup, editDistJoin, passageDedup, containment)
 }

@@ -427,6 +427,40 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** C8: as-of join with TOLERANCE (pandas `merge_asof(tolerance=...)`):
+    * the latest click at-or-before each purchase, but only if it is no
+    * older than 1 hour — stale matches are nulled, the attribution-window
+    * semantics real click-through models use. Same ONE-shuffle
+    * union+window operator; the right timestamp travels in the payload
+    * struct and a map-side post-filter nulls BOTH payload columns
+    * atomically when the match is out of window (the filter runs after
+    * the window pass, so the "latest at-or-before" row is unchanged — if
+    * it is stale, every earlier one is staler, matching the oracle's
+    * windowed aggregate). */
+  val c8AsofTolerance: QueryDef = QueryDef(
+    "c8_asof_tolerance", "C8",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+      |  max_by(c.event_id, c.ts) AS last_click_id, max(c.ts) AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |     AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val joined = graft.operators.ScaleOps.asofJoin(
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+      ev.where(col("event_type") === "click"),
+      key = "user_id", tsCol = "ts",
+      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
+    val inTol = col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+    joined.select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        when(inTol, col("last_click_id")).as("last_click_id"),
+        when(inTol, col("last_click_ts")).as("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** C8: SPLICE-style full-outer as-of (QuestDB `SPLICE JOIN`): every row
     * of BOTH streams, each matched with the latest OTHER-side row
     * at-or-before its timestamp. Two directed as-of passes — mutual
@@ -1482,6 +1516,86 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** C14/C9: weighted PageRank over the part co-purchase graph — iterative
+    * graph analytics beyond connected components ([[graft.dedup.Dedup
+    * .connectedComponents]]): edges join parts appearing in the same order
+    * (weight = co-occurrence count, symmetrized), and three damped
+    * power-iteration rounds (d = 0.85) rank parts by co-purchase
+    * centrality — the item-importance signal of a recommendation pipeline.
+    *
+    * Scale shape: edge generation is a self-equi-join on l_orderkey
+    * (co-partitioned shuffle; per-order pair fan-out is quadratic in order
+    * size, which is small and bounded by the order-line cap) aggregated to
+    * distinct weighted edges; edges/out-weights are materialized once
+    * (lazy `localCheckpoint`, the repo's standard build-once pattern) and
+    * each iteration is one equi-join + hash aggregate keyed on uniform
+    * part ids — no driver-side graph state, rounds fixed at 3.
+    *
+    * Parity contract: per-node contribution sums are double (order-
+    * dependent in the last ulps), so each iteration snaps ranks to a 1e-9
+    * grid — identical inputs to the next round on both engines, the
+    * word-entropy double-sum-under-grid contract. The damping constants
+    * and `(r·w)/W` association order are written identically in both
+    * engines. Isolated parts (never co-purchased) have no edges and are
+    * excluded by construction on both sides. */
+  val c14PageRank: QueryDef = QueryDef(
+    "c14_pagerank", "C14 C9",
+    """WITH e0 AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT src, dst, w FROM e0
+      |          UNION ALL SELECT dst, src, w FROM e0),
+      |outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |nn AS (SELECT count(*) AS cnt FROM nodes),
+      |r0 AS (SELECT id, round(1.0 / cnt, 9) AS r FROM nodes, nn),
+      |c1 AS (SELECT e.dst AS id, sum(r.r * e.w / o.tw) AS c
+      |       FROM edges e JOIN r0 r ON r.id = e.src JOIN outw o ON o.src = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c1.c, 0.0), 9) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
+      |c2 AS (SELECT e.dst AS id, sum(r.r * e.w / o.tw) AS c
+      |       FROM edges e JOIN r1 r ON r.id = e.src JOIN outw o ON o.src = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c2.c, 0.0), 9) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
+      |c3 AS (SELECT e.dst AS id, sum(r.r * e.w / o.tw) AS c
+      |       FROM edges e JOIN r2 r ON r.id = e.src JOIN outw o ON o.src = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c3.c, 0.0), 9) AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
+      |SELECT id AS part_id, r AS rank FROM r3 ORDER BY part_id""".stripMargin) { (s, d) =>
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    val e0 = a.join(b, Seq("l_orderkey")).where(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val edges = e0.union(e0.select(col("dst"), col("src"), col("w")))
+      .localCheckpoint(false)
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+      .localCheckpoint(false)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(false)
+    val nn = nodes.agg(count(lit(1)).as("cnt"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
+        .join(outw, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") * col("w") / col("tw")).as("c"))
+      r = nodes.crossJoin(broadcast(nn))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")
+  }
+
   /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on
     * the ORDER BY value, not row offsets). Order key = integer day number so
     * the frame arithmetic is exact on both engines. */
@@ -2119,7 +2233,7 @@ object Relational {
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c7IntervalOverlap, c7IntervalBinJoin,
-    c8AsofJoin, c8AsofForward, c8AsofStrict, c8SpliceJoin,
+    c8AsofJoin, c8AsofForward, c8AsofStrict, c8AsofTolerance, c8SpliceJoin,
     c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
     c9QuantilesApprox, c9ExactMoments, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,
@@ -2133,6 +2247,6 @@ object Relational {
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
-    b2Ohlc, c9Histogram, c12EventSequences,
+    b2Ohlc, c9Histogram, c12EventSequences, c14PageRank,
     b3PerUser)
 }

@@ -47,6 +47,29 @@ object StreamingJobs {
         col("window.start").as("hr"), col("event_type"),
         col("cnt"), col("value_sum"))
 
+  /** B2/C16: streaming OHLC candles — the streaming twin of the registered
+    * `b2_ohlc` batch query: tumbling 1-hour event-time windows with a
+    * watermark, open/close as `min_by`/`max_by` on a (ts, event_id) struct.
+    * Same single-aggregate shape as the batch plan; per-window state is one
+    * (open, high, low, close, count) tuple per (window, type), and the
+    * watermark bounds how many windows stay open — state cannot grow with
+    * stream length. */
+  def ohlcStream(events: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(
+        col("window.start").as("hr"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+  }
+
   /** C16: sliding windows — 1-hour span advancing every 15 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

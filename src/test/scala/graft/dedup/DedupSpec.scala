@@ -204,4 +204,55 @@ class DedupSpec extends SparkSpec {
     // with a cap above the df, all 70·69/2 pairs appear
     assert(Dedup.spanDedupPairs(docs, k = 16, dfCap = 128).count() === 70L * 69 / 2)
   }
+
+  test("edit-distance join finds substitution AND insertion pairs, never ed>1") {
+    import spark.implicits._
+    // ids assigned in lexicographic name order (the function's pair-order contract)
+    val strings = Seq(
+      (1L, "abc"),   // ed("abc","abd")=1 substitution; ed("abc","abxc")=1 insertion
+      (2L, "abd"),
+      (3L, "abxc"),  // ed("abd","abxc")=2 — candidate via shared variants, must be verified away
+      (4L, "zzz")
+    ).toDF("id", "name")
+    val pairs = Dedup.editDistPairs(strings)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("abc", "abd"), ("abc", "abxc")))
+  }
+
+  test("passage dedup drops repeated blocks corpus-wide and keeps first occurrences") {
+    import spark.implicits._
+    val blockA = (1 to 32).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 32).map(i => s"b$i").mkString(" ")
+    val blockC = (1 to 32).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$blockA $blockB"), // first occurrence of A and B: all kept
+      (2L, s"$blockA $blockC"), // A is a repeat, C is fresh
+      (3L, s"$blockA $blockB")  // exact dup of doc 1: nothing kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedupSummary(docs, k = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2, 2, out(1L)._3)))
+    assert(out(2L)._1 === 2 && out(2L)._2 === 1)
+    assert(out(3L) === ((2, 0, java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString)))
+  }
+
+  test("containment flags a prefix-subset doc that symmetric jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"s$i").mkString(" ")
+    val big = small + " " + (1 to 80).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", small), (2L, "web", big),
+      (3L, "web", (1 to 40).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val inter = Dedup.gramIntersections(docs, dfCap = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(3)) ->
+        ((r.getInt(2), r.getInt(4), r.getLong(5)))).toMap
+    val ((na, nb, i)) = inter((1L, 2L))
+    // every trigram of the prefix doc is inside the long doc: containment 1
+    assert(i === na)
+    // while symmetric jaccard is far below any dedup threshold
+    assert(i.toDouble / (na + nb - i) < 0.2)
+    assert(!inter.contains((1L, 3L)) && !inter.contains((2L, 3L)))
+  }
 }

@@ -47,6 +47,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("B2/C16 streaming OHLC emits one candle per finalized hour window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "event_id", "event_type", "value")
+    in.addData(
+      (ts("2024-01-01 10:05:00"), 1L, "trade", 5.0),
+      (ts("2024-01-01 10:10:00"), 2L, "trade", 1.0),
+      (ts("2024-01-01 10:50:00"), 3L, "trade", 9.0))
+    in.addData((ts("2024-01-01 13:00:00"), 4L, "trade", 7.0)) // watermark pusher
+    runToMemory(StreamingJobs.ohlcStream(events), "ohlc", OutputMode.Append())
+    val rows = spark.table("ohlc")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.contains(
+      ("2024-01-01 10:00:00.0", "trade", 5.0, 9.0, 1.0, 9.0, 3L)))
+  }
+
   test("C16 sliding windows emit one row per covering window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

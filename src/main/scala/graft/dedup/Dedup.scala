@@ -537,15 +537,21 @@ object Dedup {
     *
     * Names here are zero-padded (`Customer#%09d`), so id order and
     * lexicographic name order agree — the `id_a < id_b` pair order matches
-    * the oracle's `name_a < name_b`. */
+    * the oracle's `name_a < name_b`. The matched table is capped at 10k
+    * names (entity resolution fuzz-matches against a reference dimension,
+    * not the fact stream) — the cap bounds the BRUTE-FORCE ORACLE, which
+    * is quadratic; the deletion-neighborhood plan itself needs no cap. */
   val editDistJoin: QueryDef = QueryDef(
     "c17_editdist_join", "C17 C18",
     """SELECT a.c_name AS name_a, b.c_name AS name_b,
       |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-      |FROM customer a JOIN customer b ON a.c_name < b.c_name
+      |FROM (SELECT * FROM customer WHERE c_custkey < 10000) a
+      |JOIN (SELECT * FROM customer WHERE c_custkey < 10000) b
+      |  ON a.c_name < b.c_name
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
     editDistPairs(Tables.customer(s, d)
+      .where(col("c_custkey") < 10000)
       .select(col("c_custkey").cast(LongType).as("id"), col("c_name").as("name")))
       .orderBy("name_a", "name_b")
   }

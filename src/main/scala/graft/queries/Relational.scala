@@ -1442,6 +1442,54 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** B2/C12 platform idiom: per-bucket TWAP (time-weighted average) — the
+    * tick-data companion of [[b2Ohlc]]: within each (series, hour) bucket
+    * every tick's value is weighted by how long it was the current value
+    * (until the next tick, or the bucket end for the last tick; coverage
+    * starts at the first tick). Plan: one shuffle on (series, bucket), a
+    * single `lead` window pass to get each tick's holding interval, then
+    * one hash aggregate — no joins, no grid.
+    *
+    * Parity: holding intervals are exact µs longs, value is 2-decimal, so
+    * Σ v·w is an exact DECIMAL sum (order-independent — the moneySum
+    * discipline extended to weighted sums); TWAP is ONE double division of
+    * two exactly-computed operands, bit-identical on both engines before
+    * the conventional 1e-6 snap. DuckDB's SUM(BIGINT) → HUGEINT is cast
+    * back to BIGINT/DOUBLE explicitly. */
+  val b2Twap: QueryDef = QueryDef(
+    "b2_twap", "B2 B1 C12",
+    """WITH t AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+      |         CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, hr, v,
+      |    epoch_us(coalesce(
+      |        lead(ts) OVER (PARTITION BY event_type, hr ORDER BY ts, event_id),
+      |        hr + INTERVAL 1 HOUR)) - epoch_us(ts) AS w_us
+      |  FROM t)
+      |SELECT event_type, hr,
+      |  round(CAST(sum(v * w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE), 6) AS twap,
+      |  CAST(sum(w_us) AS BIGINT) AS covered_us, count(*) AS n_ticks
+      |FROM w GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("ts"), col("event_id"), dec2(col("value")).as("v"))
+      .withColumn("w_us",
+        unix_micros(coalesce(lead(col("ts"), 1).over(win),
+          col("hr") + expr("INTERVAL 1 HOUR")).cast(TimestampType)) -
+          unix_micros(col("ts").cast(TimestampType)))
+      .groupBy("event_type", "hr")
+      .agg(
+        round(sum(col("v") * col("w_us")).cast(DoubleType) /
+          sum(col("w_us")).cast(DoubleType), 6).as("twap"),
+        sum(col("w_us")).as("covered_us"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("event_type", "hr")
+  }
+
   /** C9: equi-width histogram with data-derived bounds and zero-filled
     * empty buckets — the distribution-profiling aggregate (skew checks,
     * length/price distributions) OLAP engines expose as `histogram()`/
@@ -2247,6 +2295,6 @@ object Relational {
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
-    b2Ohlc, c9Histogram, c12EventSequences, c14PageRank,
+    b2Ohlc, b2Twap, c9Histogram, c12EventSequences, c14PageRank,
     b3PerUser)
 }

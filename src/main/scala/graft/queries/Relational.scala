@@ -513,7 +513,7 @@ object Relational {
     """SELECT l_returnflag, n,
       |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
       |  round((n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag,
       |    CAST(count(*) AS DOUBLE) AS n,
@@ -543,9 +543,12 @@ object Relational {
         col("l_returnflag"), col("n"),
         round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
           (col("n") * (col("n") - 1.0))), 6).as("stddev_qty"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // + 0.0: -0.0 normalizer (a tiny-negative corr rounds to -0.0 in
+        // DuckDB but +0.0 in Spark — the dsir sf1-gate finding)
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6) + 0.0)
+          .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
@@ -1338,9 +1341,9 @@ object Relational {
       |    s / n AS mean
       |  FROM w)
       |SELECT event_type, event_id, es, value, n,
-      |  CASE WHEN sd > 0 THEN round((value - mean) / sd, 6) END AS zscore,
+      |  CASE WHEN sd > 0 THEN round((value - mean) / sd, 6) + 0.0 END AS zscore,
       |  coalesce(CASE WHEN sd > 0
-      |    THEN round((value - mean) / sd, 6) END > 2.5, false) AS is_anomaly
+      |    THEN round((value - mean) / sd, 6) + 0.0 END > 2.5, false) AS is_anomaly
       |FROM z ORDER BY event_type, es, event_id""".stripMargin) { (s, d) =>
     rollingZscore(events(s, d), 3600000000L, 2.5)
   }
@@ -1398,8 +1401,9 @@ object Relational {
           sqrt(greatest(
             (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1),
             lit(0.0)))))
-      .withColumn("zscore",
-        when(col("sd") > 0, round((col("value") - col("mean")) / col("sd"), 6)))
+      .withColumn("zscore", // + 0.0: -0.0 normalizer (dsir sf1-gate finding)
+        when(col("sd") > 0,
+          round((col("value") - col("mean")) / col("sd"), 6) + 0.0))
       .select(
         col("event_type"), col("event_id"), col("es"), col("value"), col("n"),
         col("zscore"),
@@ -1412,11 +1416,13 @@ object Relational {
     * query (candlestick charts over tick data; QuestDB ships `first()`/
     * `last()` ordered-by-designated-timestamp aggregates for exactly this).
     * Re-expressed Spark-first: open/close are `min_by`/`max_by` on a
-    * (ts, event_id) struct — a hash aggregate with map-side partials, NO
-    * per-bucket window sort (the same shape as [[b1LatestOn]]); high/low/
-    * volume ride in the same single aggregate, so the raw stream is
-    * touched exactly once and the plan is one partial+final
-    * HashAggregate at any scale. The (ts, event_id) tiebreak makes
+    * (ts, event_id) struct; high/low/volume ride in the same single
+    * aggregate, so the raw stream is touched exactly once in one
+    * partial+final aggregate pass. (Struct-ordered min_by forces
+    * SortAggregate rather than HashAggregate — the partials sort by the
+    * tiny (type, hour) grouping key map-side, which is NOT a per-bucket
+    * window sort over raw ticks and keeps the one-pass shape at any
+    * scale.) The (ts, event_id) tiebreak makes
     * open/close total-order deterministic even with duplicate timestamps;
     * open/close/high/low are raw double passthroughs (no arithmetic →
     * bit-exact), volume uses the exact-decimal moneySum discipline. */

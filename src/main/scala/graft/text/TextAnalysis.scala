@@ -523,8 +523,8 @@ object TextAnalysis {
       |    f.tf * (ln((s.ct + 1.0) / (c.nt + c.v)) - ln((s.cs + 1.0) / (c.ns + c.v))) AS contrib
       |  FROM tf f JOIN stats s USING (term) CROSS JOIN scal c)
       |SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
-      |  round(SUM(contrib), 6) AS logw,
-      |  round(SUM(contrib) / SUM(tf), 6) AS logw_per_tok
+      |  round(SUM(contrib), 6) + 0.0 AS logw,
+      |  round(SUM(contrib) / SUM(tf), 6) + 0.0 AS logw_per_tok
       |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     dsirWeight(Tables.documents(s, d), targetLang = "en").orderBy("doc_id")
   }
@@ -557,8 +557,12 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("l").cast(IntegerType).as("n_tokens"),
-        round(col("w"), 6).as("logw"),
-        round(col("w") / col("l"), 6).as("logw_per_tok"))
+        // + 0.0 collapses IEEE -0.0 to +0.0: a weight whose exact sum is a
+        // tiny negative rounds to -0.0 in DuckDB (C round keeps the sign)
+        // but +0.0 in Spark (BigDecimal setScale) — observed at the sf1
+        // gate; the normalizer makes both engines emit +0.0.
+        (round(col("w"), 6) + 0.0).as("logw"),
+        (round(col("w") / col("l"), 6) + 0.0).as("logw_per_tok"))
   }
 
   val all: Seq[QueryDef] =

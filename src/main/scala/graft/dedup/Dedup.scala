@@ -252,7 +252,9 @@ object Dedup {
         explode(transform(col("sh"), g => xxhash64(g))).as("g"))
       .groupBy("source", "g")
       .agg(postings(col("doc_id"), col("n")).as("docs"))
-      .where(size(col("docs")) <= dfCap) // full (dfCap+1) buffer = hot gram
+      // singleton postings (most grams) cannot pair — skip their Generate
+      // passes; a full (dfCap+1) buffer proves df > dfCap (hot gram, drop)
+      .where(size(col("docs")) >= 2 && size(col("docs")) <= dfCap)
       // ≤ dfCap²/2 candidate pairs per gram are generated map-side by the
       // two Generate operators and collapse in the partial aggregation
       // before the (doc_a, doc_b) shuffle. Sorted postings make positional
@@ -470,7 +472,9 @@ object Dedup {
       .select(col("doc_id"), explode(windows).as("g"))
       .groupBy("g")
       .agg(postings(col("doc_id"), lit(0)).as("docs"))
-      .where(size(col("docs")) <= dfCap) // full (dfCap+1) buffer = boilerplate span
+      // singleton postings cannot pair — skip their Generate passes; a full
+      // (dfCap+1) buffer proves df > dfCap (boilerplate span, drop)
+      .where(size(col("docs")) >= 2 && size(col("docs")) <= dfCap)
       .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
       .select(col("a"), col("i"), posexplode(col("docs")).as(Seq("j", "b")))
       .where(col("i") < col("j")) // sorted postings: i<j ⇒ doc_a < doc_b
@@ -570,7 +574,9 @@ object Dedup {
     val pairs = strings
       .select(col("id"), explode(array_distinct(variants)).as("v"))
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
-      .where(size(col("ids")) <= 64) // full buffer = pathological bucket
+      // singleton buckets (the vast majority) can't pair — drop them BEFORE
+      // the two Generate passes instead of after the i<j filter
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= 64)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), col("i"), posexplode(col("ids")).as(Seq("j", "b")))
       .where(col("i") < col("j")) // sorted postings: i<j ⇒ id_a < id_b

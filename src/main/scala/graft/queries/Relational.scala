@@ -1577,21 +1577,26 @@ object Relational {
     * power-iteration rounds (d = 0.85) rank parts by co-purchase
     * centrality — the item-importance signal of a recommendation pipeline.
     *
-    * Scale shape: edge generation is a self-equi-join on l_orderkey
-    * (co-partitioned shuffle; per-order pair fan-out is quadratic in order
-    * size, which is small and bounded by the order-line cap) aggregated to
-    * distinct weighted edges; edges/out-weights are materialized once
-    * (lazy `localCheckpoint`, the repo's standard build-once pattern) and
-    * each iteration is one equi-join + hash aggregate keyed on uniform
-    * part ids — no driver-side graph state, rounds fixed at 3.
+    * Scale shape: edge generation is ONE shuffle of lineitem on
+    * l_orderkey into a per-order part list, pairs exploded map-side from
+    * the list (per-order fan-out is quadratic in order size, which is
+    * small and bounded by the order-line cap) — deliberately kept as
+    * MULTI-edges: Σ over k parallel unit edges equals the weighted
+    * w·(r/W) contribution exactly, so the (src, dst) weight aggregation
+    * (measured as THE dominant shuffle of the first formulation, ~34 MB
+    * per run at sf0.1) is skipped entirely. Multi-edges and out-degrees
+    * are materialized once (lazy `localCheckpoint`); each iteration is a
+    * broadcast of the 1-row-per-node rank frame against the static edge
+    * list + one partial-aggregated hash aggregate on dst — no
+    * driver-side graph state, rounds fixed at 3.
     *
-    * Parity contract: per-node contribution sums are double (order-
-    * dependent in the last ulps), so each iteration snaps ranks to a 1e-9
-    * grid — identical inputs to the next round on both engines, the
-    * word-entropy double-sum-under-grid contract. The damping constants
-    * and `(r·w)/W` association order are written identically in both
-    * engines. Isolated parts (never co-purchased) have no edges and are
-    * excluded by construction on both sides. */
+    * Parity contract: per-node contribution sums are double (order- and
+    * grouping-dependent in the last ulps — the oracle sums w·(r/W) where
+    * the engine sums k unit terms), so each iteration snaps ranks to a
+    * 1e-9 grid — identical inputs to the next round on both engines, the
+    * word-entropy double-sum-under-grid contract. Isolated parts (never
+    * co-purchased) have no edges and are excluded by construction on
+    * both sides. */
   val c14PageRank: QueryDef = QueryDef(
     "c14_pagerank", "C14 C9",
     """WITH e0 AS (
@@ -1622,25 +1627,31 @@ object Relational {
       |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
       |SELECT id AS part_id, r AS rank FROM r3 ORDER BY part_id""".stripMargin) { (s, d) =>
     val li = lineitem(s, d).select("l_orderkey", "l_partkey")
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    val e0 = a.join(b, Seq("l_orderkey")).where(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val edges = e0.union(e0.select(col("dst"), col("src"), col("w")))
+    // one shuffle on l_orderkey; both pair directions explode map-side,
+    // kept as multi-edges (each lineitem-row pair = one unit edge)
+    val edges = li.groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      .select(col("src"), col("i"), posexplode(col("ps")).as(Seq("j", "dst")))
+      .where(col("i") =!= col("j") && col("src") =!= col("dst"))
+      .select("src", "dst")
       .localCheckpoint(false)
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+    // out-degree doubles as the node list (every node has edges)
+    val outw = edges.groupBy("src").agg(count(lit(1)).as("tw"))
       .localCheckpoint(false)
-    val nodes = edges.select(col("src").as("id")).distinct()
-      .localCheckpoint(false)
-    val nn = nodes.agg(count(lit(1)).as("cnt"))
+    val nodes = outw.select(col("src").as("id"))
+    val nn = outw.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
     for (_ <- 1 to 3) {
+      // per-node outgoing rate r/W computed once on the tiny rank frame,
+      // broadcast against the static multi-edge list
+      val rate = r.join(outw, col("id") === col("src"))
+        .select(col("src"), (col("r") / col("tw")).as("rw"))
       val contrib = edges
-        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
-        .join(outw, Seq("src"))
+        .join(broadcast(rate), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("r") * col("w") / col("tw")).as("c"))
+        .agg(sum(col("rw")).as("c"))
       r = nodes.crossJoin(broadcast(nn))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),

@@ -1635,7 +1635,16 @@ object Relational {
       .select(col("src"), col("i"), posexplode(col("ps")).as(Seq("j", "dst")))
       .where(col("i") =!= col("j") && col("src") =!= col("dst"))
       .select("src", "dst")
-      .localCheckpoint(false)
+    pageRankRanks(edges, iters = 3)
+      .select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")
+  }
+
+  /** Damped (d = 0.85) power iteration over a directed MULTI-edge list
+    * (src, dst) — each row one unit edge; see [[c14PageRank]] for the
+    * scale and parity rationale. Returns (id, r) for every node with at
+    * least one out-edge. */
+  def pageRankRanks(edgeList: DataFrame, iters: Int): DataFrame = {
+    val edges = edgeList.localCheckpoint(false)
     // out-degree doubles as the node list (every node has edges)
     val outw = edges.groupBy("src").agg(count(lit(1)).as("tw"))
       .localCheckpoint(false)
@@ -1643,7 +1652,7 @@ object Relational {
     val nn = outw.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       // per-node outgoing rate r/W computed once on the tiny rank frame,
       // broadcast against the static multi-edge list
       val rate = r.join(outw, col("id") === col("src"))
@@ -1658,7 +1667,7 @@ object Relational {
           round(lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
         .localCheckpoint(false)
     }
-    r.select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")
+    r
   }
 
   /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on

@@ -237,6 +237,32 @@ class DedupSpec extends SparkSpec {
       .digest("".getBytes).map("%02x".format(_)).mkString)))
   }
 
+  test("edit-distance join recall is exact vs brute-force levenshtein on random strings") {
+    import spark.implicits._
+    // random lowercase strings over a 3-letter alphabet, length 4-7: small
+    // alphabet + short strings force dense ed<=1 neighborhoods, exercising
+    // substitution, insertion AND deletion pairs in one corpus
+    val rnd = new scala.util.Random(20260813)
+    val strings = (1 to 120).map(_ =>
+      (1 to (4 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct.sorted.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strings.toDF("id", "name")
+    val got = Dedup.editDistPairs(df)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = strings.map(_._2)
+    val want = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === want) // exact recall AND no false positives
+  }
+
   test("containment flags a prefix-subset doc that symmetric jaccard misses") {
     import spark.implicits._
     val small = (1 to 12).map(i => s"s$i").mkString(" ")

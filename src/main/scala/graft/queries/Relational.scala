@@ -1570,6 +1570,69 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** C10/C9: exact distinct-audience overlap between every event-type pair
+    * (|users(A) ∩ users(B)|) — the audience-intersection query sketch
+    * engines estimate with theta sketches, computed exactly the scale-safe
+    * way: ONE shuffle of the deduped (user, type) pairs on user_id, the
+    * per-user type set collected into a bounded array (≤ |types|, a small
+    * constant), every type pair exploded map-side from the sorted set
+    * (≤ |types|²/2 per user), then one count aggregate per pair — the
+    * stream is never self-joined, and no all-pairs structure exists
+    * anywhere. Sorted sets make positional i<j equal lexicographic
+    * type_a < type_b, matching the oracle's join predicate. */
+  val c10TypeOverlap: QueryDef = QueryDef(
+    "c10_type_overlap", "C10 C9",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+      |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .select(col("ts"), posexplode(col("ts")).as(Seq("i", "type_a")))
+      .select(col("type_a"), col("i"), posexplode(col("ts")).as(Seq("j", "type_b")))
+      .where(col("i") < col("j"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** B2/B1: gap detection — the inverse of [[b2TrendGapfill]]: report the
+    * (series, hour) buckets with NO data (monitoring's "which feeds went
+    * dark when"). Same bounded grid construction (hour range × series set,
+    * both tiny next to the stream), the heavy table aggregated ONCE to its
+    * present buckets, then one broadcast LEFT ANTI join grid-minus-present.
+    * Purely additive to the gap-fill family: FILL(0)/FILL(PREV)/
+    * FILL(LINEAR) patch the holes, this one lists them. */
+  val b2GapDetect: QueryDef = QueryDef(
+    "b2_gap_detect", "B2 B1",
+    """WITH agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+      |                  max(date_trunc('hour', ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |              FROM bounds) g)
+      |SELECT grid.event_type, grid.h FROM grid
+      |ANTI JOIN agg ON grid.event_type = agg.event_type AND grid.h = agg.h
+      |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val agg = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("event_type", "h")
+    val hours = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    ev.select("event_type").distinct().crossJoin(hours)
+      .join(broadcast(agg), Seq("event_type", "h"), "left_anti")
+      .orderBy("event_type", "h")
+  }
+
   /** C14/C9: weighted PageRank over the part co-purchase graph — iterative
     * graph analytics beyond connected components ([[graft.dedup.Dedup
     * .connectedComponents]]): edges join parts appearing in the same order
@@ -2321,6 +2384,7 @@ object Relational {
     c15Collect, c15Math, c15Null,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
-    b2Ohlc, b2Twap, c9Histogram, c12EventSequences, c14PageRank,
+    b2Ohlc, b2Twap, b2GapDetect, c9Histogram, c10TypeOverlap,
+    c12EventSequences, c14PageRank,
     b3PerUser)
 }

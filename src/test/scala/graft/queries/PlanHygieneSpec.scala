@@ -22,6 +22,7 @@ class PlanHygieneSpec extends SparkSpec {
     * whitelist below is derived from those tags. */
   private val boundedBroadcast: Map[String, String] = Map(
     "b2_trend_gapfill" -> "hour grid x series keys: |hours| x |series| rows, both bounded",
+    "b2_gap_detect" -> "hour grid x series keys: |hours| x |series| rows, both bounded",
     "b2_trend_interpolate" -> "hour grid x series keys: |hours| x |series| rows, both bounded",
     "c10_heavy_hitters" -> "Misra-Gries candidate list: at most k entries by sketch bound",
     "c18_knn_agg" -> "broadcast query set: |Q| fixed and small by contract",

@@ -572,6 +572,9 @@ object Dedup {
         col("name").substr(i + 1, length(col("name")))))))
     val postings = udaf(new graft.functions.BoundedDistinct(65))
     val pairs = strings
+      // variant generation is CPU-heavy and the dimension fits one parquet
+      // row group — spread it before the explode (single-task-scan fix)
+      .repartition(col("id"))
       .select(col("id"), explode(array_distinct(variants)).as("v"))
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
       // singleton buckets (the vast majority) can't pair — drop them BEFORE

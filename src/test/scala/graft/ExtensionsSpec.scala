@@ -10,14 +10,21 @@ class ExtensionsSpec extends AnyFunSuite {
   // master must match SparkSpec's: if this suite runs first, getOrCreate
   // creates the JVM-wide SparkContext every other suite reuses, and the
   // sink retry test needs maxTaskFailures = 2.
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4, 2]")
-    .appName("ext-spec")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4, 2]")
+      .appName("ext-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // Suite order in the shared JVM is nondeterministic: if another suite
+    // built the singleton first, withExtensions above never ran — register
+    // into the existing session instead (idempotent either way).
+    GraftExtensions.registerInto(s)
+    s
+  }
 
   test("cosine_sim / minhash_sig / simhash_sig / shingle_array resolve in SQL") {
     val row = spark.sql(

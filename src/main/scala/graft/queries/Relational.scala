@@ -1062,6 +1062,36 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** C15: MAP-typed column construction and lookup — per-user activity
+    * profile built as a map<event_type, count> (`map_from_entries` over the
+    * per-(user, type) counts), then consumed in-plan with `size` /
+    * `element_at`. The map column exercises Spark's map functions; the
+    * OUTPUT is plain integers, so the oracle states the same semantics
+    * directly (engines disagree on map binary layout, so a map column
+    * itself is not hash-comparable — the repo's usual serialize-or-extract
+    * rule for engine-specific containers). Per-user map size is bounded by
+    * |event types|, a small constant, so the collect is scale-safe. */
+  val c15Map: QueryDef = QueryDef(
+    "c15_map_funcs", "C15",
+    """SELECT user_id,
+      |  CAST(count(DISTINCT event_type) AS INT) AS n_types,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS INT) AS clicks,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS INT) AS purchases
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).cast(IntegerType).as("clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).cast(IntegerType).as("purchases"))
+      .orderBy("user_id")
+  }
+
   /** B2: time-bucketed trend aggregation (the reference's console chart,
     * README.md:369–371, QuestDB `SAMPLE BY 1h` idiom). */
   val b2Trend: QueryDef = QueryDef(
@@ -2381,7 +2411,7 @@ object Relational {
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c14IntersectAll, c14ExceptAll, c14RecursiveCte, c5LateralTopk,
     c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
-    c15Collect, c15Math, c15Null,
+    c15Collect, c15Math, c15Null, c15Map,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
     b2Ohlc, b2Twap, b2GapDetect, c9Histogram, c10TypeOverlap,

@@ -706,6 +706,9 @@ object Dedup {
       .select(col("doc_id"), col("idx"), col("btxt"),
         xxhash64(col("btxt")).as("h"),
         (col("doc_id") * 100000L + col("idx")).as("p"))
+      // consumed twice (first-occurrence aggregate AND the keep join) —
+      // materialize once so the tokenize+explode scan isn't re-run
+      .localCheckpoint(false)
     val firsts = blocks.groupBy("h").agg(min(col("p")).as("fp"))
     blocks.join(firsts, Seq("h"))
       .withColumn("kept", col("p") === col("fp"))

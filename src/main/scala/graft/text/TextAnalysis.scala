@@ -271,6 +271,87 @@ object TextAnalysis {
           col("alpha_word_ratio") > 0.6)
   }
 
+  /** Bigram language-model perplexity per document, model trained
+    * IN-ENGINE over the corpus itself — the CCNet/KenLM-style quality
+    * filter (Wenzek et al. 2020, arXiv:1911.00359) lowered to a bigram LM
+    * with add-one smoothing: P(cur|prev) = (c(prev·cur)+1) / (c(prev·)+V),
+    * perplexity = exp(−mean ln P). High-perplexity documents are the
+    * atypical/garbled ones a curation pipeline drops or down-weights;
+    * unlike [[corpusTypicality]]'s unigram dictionary this scores word
+    * ORDER, so shuffled text ranks worse than fluent text over the same
+    * vocabulary.
+    *
+    * Scale shape — the NB/DSIR no-vocabulary-broadcast contract: bigrams
+    * explode map-side (`zip_with` of the two token-array slices — no
+    * position window, no self-join), the (doc, bigram) count table is
+    * materialized ONCE and feeds the bigram-count aggregate, the
+    * context-count aggregate AND the scoring join; both model joins are
+    * plain equi-joins on the bigram/context string, and only the 1-row
+    * vocabulary-size scalar broadcasts. Mean log-likelihood is a
+    * double-sum under the 1e-6 grid (the word-entropy contract);
+    * perplexity applies `exp` to the already-snapped mean on both
+    * engines, so the last-ulp libm residual is bounded by the documented
+    * grid tolerance. Documents with < 2 tokens have no bigrams and are
+    * absent on both sides. */
+  val bigramPpl: QueryDef = QueryDef(
+    "c19_bigram_ppl", "C19",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS pg
+      |  FROM toks WHERE len(t) >= 2
+      |), bgc AS (SELECT pg, count(*) AS c2 FROM bg GROUP BY pg),
+      |ctx AS (SELECT string_split(pg, ' ')[1] AS prev, count(*) AS c1
+      |        FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT u) AS v
+      |      FROM (SELECT unnest(t) AS u FROM toks) q),
+      |ll AS (
+      |  SELECT bg.doc_id,
+      |    ln((bgc.c2 + 1.0) / (ctx.c1 + v.v)) AS ll
+      |  FROM bg JOIN bgc USING (pg)
+      |  JOIN ctx ON ctx.prev = string_split(bg.pg, ' ')[1]
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+      |  round(sum(ll) / count(*), 6) AS mean_ll,
+      |  round(exp(-round(sum(ll) / count(*), 6)), 6) AS ppl
+      |FROM ll GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** documents(doc_id, text) → (doc_id, n_bigrams, mean_ll, ppl) under the
+    * corpus-trained add-one bigram LM. See [[bigramPpl]]. */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val toks = docs.select(col("doc_id"), t.as("t"))
+    // bigram strings map-side: zip of the array against its own tail
+    val bg = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pg"))
+      .localCheckpoint(false) // feeds both model aggregates AND the scoring join
+    val bgc = bg.groupBy("pg").agg(count(lit(1)).as("c2"))
+    val ctx = bg.groupBy(split(col("pg"), " ").getItem(0).as("prev"))
+      .agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("t")).as("u"))
+      .agg(countDistinct(col("u")).as("v"))
+    bg.join(bgc, Seq("pg"))
+      .withColumn("prev", split(col("pg"), " ").getItem(0))
+      .join(ctx, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c2") + 1.0) / (col("c1") + col("v"))).as("ll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("ll")).as("s"))
+      .select(
+        col("doc_id"),
+        col("n").cast(IntegerType).as("n_bigrams"),
+        round(col("s") / col("n"), 6).as("mean_ll"),
+        round(exp(-round(col("s") / col("n"), 6)), 6).as("ppl"))
+  }
+
   /** TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
     * the scikit-learn formulation): the keyword-extraction / relevance
     * signal a curation pipeline uses for topic balancing.
@@ -567,5 +648,6 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] =
     Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
-      gopherRules, tfidfTopTerms, wordEntropy, nbClassifier, dsirWeights)
+      gopherRules, tfidfTopTerms, wordEntropy, nbClassifier, dsirWeights,
+      bigramPpl)
 }

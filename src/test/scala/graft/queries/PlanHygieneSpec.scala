@@ -32,6 +32,7 @@ class PlanHygieneSpec extends SparkSpec {
     "c19_tfidf_topterms" -> "broadcast corpus-size scalar: 1-row count aggregate",
     "c19_nb_classifier" -> "broadcast class list + vocab/corpus scalars: |classes| and 1-row aggregates",
     "c19_dsir_weights" -> "broadcast (n_target, n_raw, vocab) scalars: 1-row aggregate",
+    "c19_bigram_ppl" -> "broadcast vocabulary-size scalar: 1-row aggregate",
     "pipeline_mix_balance" -> "broadcast per-language keep-rate grid: |languages| rows"
   )
 

@@ -164,6 +164,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2)   // target-like doc weighs higher
   }
 
+  test("bigram perplexity ranks word order: repeated fluent text beats shuffled text") {
+    // corpus: many fluent copies establish the bigram statistics; one doc
+    // uses the same vocabulary in scrambled order → unseen bigrams → lower
+    // likelihood → higher perplexity. Unigram scores cannot separate these.
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val shuffled = "dog the over quick lazy fox brown jumps the"
+    val df = docs(
+      (1L to 8L).map(i => (i, fluent)) :+ (9L, shuffled): _*)
+    val out = TextAnalysis.bigramPerplexity(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(9L) > out(1L)) // scrambled order is more perplexing
+    assert(out(1L) === out(8L)) // identical docs score identically
+  }
+
+  test("bigram perplexity: sub-2-token docs are absent; model counts include them nowhere") {
+    val df = docs((1L, "a b a b"), (2L, "solo"), (3L, ""))
+    val out = TextAnalysis.bigramPerplexity(df).collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))
+  }
+
   test("unigram entropy: uniform two-term doc = 1 bit, single-term doc = 0") {
     val df = docs(
       (1L, "a a b b"),     // uniform over 2 terms → exactly ln 2 nats = 1 bit

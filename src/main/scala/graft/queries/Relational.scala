@@ -1737,30 +1737,50 @@ object Relational {
     * scale and parity rationale. Returns (id, r) for every node with at
     * least one out-edge. */
   def pageRankRanks(edgeList: DataFrame, iters: Int): DataFrame = {
-    val edges = edgeList.localCheckpoint(false)
-    // out-degree doubles as the node list (every node has edges)
-    val outw = edges.groupBy("src").agg(count(lit(1)).as("tw"))
-      .localCheckpoint(false)
+    // The edge list is the data-scaled frame: hash-partition it by the join
+    // key ONCE at materialization. localCheckpoint pins that partitioning in
+    // the LogicalRDD, so every per-iteration join shuffles only the rank
+    // side. The rank vector is O(#nodes) — also data-scaled — so it is NEVER
+    // broadcast: shuffle_hash hints pin the shuffled plan even where AQE
+    // would auto-broadcast the small side at test scale. The only broadcast
+    // left is `nn`, a single-row count — bounded at any scale.
+    // explicit partition count (AQE never coalesces a user-numbered
+    // repartition) + persist, NOT checkpoint: InMemoryRelation preserves
+    // HashPartitioning(src, np) so the per-iteration join requirement is
+    // already satisfied on the edge side (a lazy localCheckpoint under AQE
+    // reports unknown partitioning and would re-exchange every iteration)
+    val np = edgeList.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = edgeList.repartition(np, col("src")).persist()
+    // out-degree doubles as the node list (every node has edges); the
+    // aggregate rides the pinned src partitioning — no extra shuffle
+    val outw = edges.groupBy("src").agg(count(lit(1)).as("tw")).persist()
     val nodes = outw.select(col("src").as("id"))
     val nn = outw.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
-    for (_ <- 1 to iters) {
-      // per-node outgoing rate r/W computed once on the tiny rank frame,
-      // broadcast against the static multi-edge list
-      val rate = r.join(outw, col("id") === col("src"))
-        .select(col("src"), (col("r") / col("tw")).as("rw"))
-      val contrib = edges
-        .join(broadcast(rate), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rw")).as("c"))
-      r = nodes.crossJoin(broadcast(nn))
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          round(lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
-        .localCheckpoint(false)
-    }
+    for (_ <- 1 to iters) // eager checkpoint: truncate lineage per iteration
+      r = pageRankStep(edges, outw, nodes, nn, r).localCheckpoint(true)
+    edges.unpersist(false); outw.unpersist(false) // r is materialized
     r
+  }
+
+  /** One damped power-iteration step (exposed so plan specs can pin its
+    * shape: the only BroadcastExchange allowed is the 1-row `nn` grid). */
+  private[queries] def pageRankStep(edges: DataFrame, outw: DataFrame,
+      nodes: DataFrame, nn: DataFrame, r: DataFrame): DataFrame = {
+    // per-node outgoing rate r/W: rank and outw are both hash-partitioned
+    // on the key already, so this join is shuffle-free
+    val rate = r.join(outw.hint("shuffle_hash"), col("id") === col("src"))
+      .select(col("src"), (col("r") / col("tw")).as("rw"))
+    val contrib = edges
+      .join(rate.hint("shuffle_hash"), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("rw")).as("c"))
+    nodes
+      .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("id"),
+        round(lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
   }
 
   /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on

@@ -22,6 +22,39 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
 
+  test("pagerank iteration never broadcasts the rank vector: shuffled joins only") {
+    import spark.implicits._
+    val np = spark.sessionState.conf.numShufflePartitions
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").repartition(np, col("src")).persist()
+    try {
+      val outw = edges.groupBy("src").agg(count(lit(1)).as("tw")).persist()
+      try {
+        val nodes = outw.select(col("src").as("id"))
+        val nn = outw.agg(count(lit(1)).as("cnt"))
+        val r0 = nodes.crossJoin(broadcast(nn))
+          .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
+          .localCheckpoint(true) // as in the loop: iterations start from a checkpoint
+        val plan = Relational.pageRankStep(edges, outw, nodes, nn, r0)
+          .queryExecution.executedPlan.toString
+        // rank and edges are both data-scaled: neither may be broadcast. The
+        // single allowed BroadcastExchange is the 1-row nn count grid, and
+        // the persisted pre-partitioned edge/outw scans must not re-exchange
+        // (only the freshly-checkpointed rank side shuffles).
+        assert(!plan.contains("BroadcastHashJoin"), s"rank frame broadcast:\n$plan")
+        assert(plan.contains("ShuffledHashJoin"), s"expected shuffled joins:\n$plan")
+        assert("BroadcastExchange".r.findAllIn(plan).size <= 1,
+          s"more than the 1-row nn broadcast:\n$plan")
+        val cacheScansExchanged = plan.linesIterator.sliding(2).count { w =>
+          w.head.contains("Exchange hashpartitioning") &&
+            w.last.contains("InMemoryTableScan")
+        }
+        assert(cacheScansExchanged == 0,
+          s"pre-partitioned cached frame re-shuffled per iteration:\n$plan")
+      } finally outw.unpersist(false)
+    } finally edges.unpersist(false)
+  }
+
   test("registered pagerank: mass conserved, every rank at least the teleport floor") {
     val rows = Relational.c14PageRank.fn(spark, sf).collect()
     val n = rows.length

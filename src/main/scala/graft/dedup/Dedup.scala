@@ -564,18 +564,16 @@ object Dedup {
     * scheme of [[editDistJoin]] (all scale rationale there). Pair order is
     * by id; callers wanting name order need id order ≡ name order. */
   def editDistPairs(strings: DataFrame): DataFrame = {
-    // i = 0 → the string itself; i ≥ 1 → delete character i (1-based).
-    val variants = transform(
-      sequence(lit(0), length(col("name"))),
-      i => xxhash64(when(i === 0, col("name")).otherwise(concat(
-        col("name").substr(lit(1), i - 1),
-        col("name").substr(i + 1, length(col("name")))))))
+    // fused codegen kernel: identity hash + every single-deletion hash in
+    // one pass, already distinct (graft.functions.DeletionVariantHashes) —
+    // replaces the interpreted per-position substr/concat/xxhash64 chain
+    val variants = graft.functions.HashExprs.deletionVariantHashes(col("name"))
     val postings = udaf(new graft.functions.BoundedDistinct(65))
     val pairs = strings
       // variant generation is CPU-heavy and the dimension fits one parquet
       // row group — spread it before the explode (single-task-scan fix)
       .repartition(col("id"))
-      .select(col("id"), explode(array_distinct(variants)).as("v"))
+      .select(col("id"), explode(variants).as("v"))
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
       // singleton buckets (the vast majority) can't pair — drop them BEFORE
       // the two Generate passes instead of after the i<j filter

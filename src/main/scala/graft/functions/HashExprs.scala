@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -302,10 +304,77 @@ case class MinHashBands(child: Expression, n: Int, k: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** All single-character-deletion xxhash64 keys of a string, fused: element
+  * 0 hashes the string itself, followed by the distinct hashes of the
+  * string with character i removed (UTF-8 boundary aware — a character's
+  * whole byte run is dropped). Replaces the interpreted
+  * `transform(sequence(0,n), i -> xxhash64(substr‖substr))` composition in
+  * the edit-distance ≤ 1 join: no per-variant UTF8String materialization —
+  * each variant is two arraycopies into a reused buffer and one XXH64 pass
+  * (seed 42, byte-identical to Spark's `xxhash64` of the variant string,
+  * so the join keys are unchanged). Input: string. Output: array<long> of
+  * distinct variant hashes (identity first).
+  */
+case class DeletionVariantHashes(child: Expression)
+    extends ComputeRefCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "deletion_variant_hashes"
+
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val nb = s.numBytes
+    // one pass to index character start offsets (+ sentinel at the end)
+    val starts = new Array[Int](nb + 1)
+    var numChars = 0
+    var p = 0
+    while (p < nb) {
+      starts(numChars) = p
+      numChars += 1
+      p += UTF8String.numBytesForFirstByte(s.getByte(p))
+    }
+    starts(numChars) = nb
+    val buf = new Array[Byte](nb)
+    s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET)
+    val out = new Array[Long](numChars + 1)
+    out(0) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, nb, 42L)
+    var m = 1
+    val work = new Array[Byte](nb)
+    var i = 0
+    while (i < numChars) {
+      val st = starts(i)
+      val en = starts(i + 1)
+      System.arraycopy(buf, 0, work, 0, st)
+      System.arraycopy(buf, en, work, st, nb - en)
+      val h = XXH64.hashUnsafeBytes(work, Platform.BYTE_ARRAY_OFFSET, nb - (en - st), 42L)
+      // deleting either of a doubled character yields the same variant:
+      // de-dup by linear scan (the array is one entry per character — tiny)
+      var j = 0
+      var dup = false
+      while (j < m && !dup) { dup = out(j) == h; j += 1 }
+      if (!dup) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionVariantHashes =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Distinct word n-gram shingles of a token array. */
   def shingleArray(tokens: Column, n: Int): Column =
     GraftBridge.column(ShingleArray(GraftBridge.expression(tokens), n))
+
+  /** Distinct single-deletion xxhash64 keys of a string (identity hash
+    * first) — the edit-distance ≤ 1 candidate keys. */
+  def deletionVariantHashes(s: Column): Column =
+    GraftBridge.column(DeletionVariantHashes(GraftBridge.expression(s)))
 
   /** Fused MinHash-LSH band hashes of word n-grams over a token array. */
   def minhashBands(tokens: Column, n: Int, k: Int, bands: Int): Column =

@@ -237,6 +237,25 @@ class DedupSpec extends SparkSpec {
       .digest("".getBytes).map("%02x".format(_)).mkString)))
   }
 
+  test("fused deletion-variant hashes equal the substr/concat/xxhash64 composition") {
+    import spark.implicits._
+    // doubled chars (de-dup), 1-char, empty, and multibyte (é is 2 UTF-8
+    // bytes — character deletion must drop the whole byte run)
+    val df = Seq("abc", "aabb", "x", "", "café", "ééé").toDF("name")
+    val legacy = array_distinct(transform(
+      sequence(lit(0), length(col("name"))),
+      i => xxhash64(when(i === 0, col("name")).otherwise(concat(
+        col("name").substr(lit(1), i - 1),
+        col("name").substr(i + 1, length(col("name"))))))))
+    val rows = df.select(
+      col("name"),
+      graft.functions.HashExprs.deletionVariantHashes(col("name")).as("fused"),
+      legacy.as("legacy")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"for '${r.getString(0)}'")
+    }
+  }
+
   test("edit-distance join recall is exact vs brute-force levenshtein on random strings") {
     import spark.implicits._
     // random lowercase strings over a 3-letter alphabet, length 4-7: small

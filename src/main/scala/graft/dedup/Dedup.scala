@@ -534,7 +534,9 @@ object Dedup {
     * a hash collision can only ADD a candidate, which the verify filter
     * removes). Candidates materialize from bounded postings
     * ([[graft.functions.BoundedDistinct]], cap 64 — the skew guard for
-    * pathological variant buckets), are deduped once on the pair, and each
+    * pathological variant buckets; an overflowed bucket RAISES by default
+    * so the exact-recall claim can never silently break), are deduped once
+    * on the pair, and each
     * surviving pair pays exactly one codegen `levenshtein` verify after
     * the two name-fetch equi-joins. Scale: per-string work is O(n) variants,
     * bucket fan-out is ≤ cap²/2, and the verify join keys are uniform ids.
@@ -562,14 +564,24 @@ object Dedup {
 
   /** (id, name) → (name_a, name_b, dist ≤ 1) via the deletion-neighborhood
     * scheme of [[editDistJoin]] (all scale rationale there). Pair order is
-    * by id; callers wanting name order need id order ≡ name order. */
-  def editDistPairs(strings: DataFrame): DataFrame = {
+    * by id; callers wanting name order need id order ≡ name order.
+    *
+    * Recall contract: exact ONLY while no variant bucket exceeds
+    * `bucketCap` distinct ids. By default an overflowed bucket raises at
+    * execution time (truncation fails loudly); pass
+    * `failOnOverflow = false` to instead DROP overflowed buckets — a
+    * documented recall bound for adversarial corpora where a hot variant
+    * (e.g. a boilerplate prefix) would otherwise go quadratic. */
+  def editDistPairs(strings: DataFrame, bucketCap: Int = 64,
+      failOnOverflow: Boolean = true): DataFrame = {
     // fused codegen kernel: identity hash + every single-deletion hash in
     // one pass, already distinct (graft.functions.DeletionVariantHashes) —
     // replaces the interpreted per-position substr/concat/xxhash64 chain
     val variants = graft.functions.HashExprs.deletionVariantHashes(col("name"))
-    val postings = udaf(new graft.functions.BoundedDistinct(65))
-    val pairs = strings
+    // cap+1 postings so an overflow is DETECTABLE: size == cap+1 means the
+    // bounded aggregate dropped at least one id
+    val postings = udaf(new graft.functions.BoundedDistinct(bucketCap + 1))
+    val buckets = strings
       // variant generation is CPU-heavy and the dimension fits one parquet
       // row group — spread it before the explode (single-task-scan fix)
       .repartition(col("id"))
@@ -577,7 +589,16 @@ object Dedup {
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
       // singleton buckets (the vast majority) can't pair — drop them BEFORE
       // the two Generate passes instead of after the i<j filter
-      .where(size(col("ids")) >= 2 && size(col("ids")) <= 64)
+      .where(size(col("ids")) >= 2)
+    val capped =
+      if (failOnOverflow) buckets.select(
+        when(size(col("ids")) <= bucketCap, col("ids"))
+          .otherwise(raise_error(concat(
+            lit(s"editDistPairs: variant bucket overflowed cap=$bucketCap (variant hash "),
+            col("v").cast(StringType), lit(") — pairs would be lost; raise bucketCap " +
+              "or pass failOnOverflow=false to accept the recall bound")))).as("ids"))
+      else buckets.where(size(col("ids")) <= bucketCap)
+    val pairs = capped
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), col("i"), posexplode(col("ids")).as(Seq("j", "b")))
       .where(col("i") < col("j")) // sorted postings: i<j ⇒ id_a < id_b
@@ -668,13 +689,12 @@ object Dedup {
       |  FROM documents
       |), blocks AS (
       |  SELECT doc_id, CAST(i AS INT) AS idx,
-      |    array_to_string(t[i*$passageTokens+1 : i*$passageTokens+$passageTokens], ' ') AS btxt,
-      |    doc_id * 100000 + i AS p
+      |    array_to_string(t[i*$passageTokens+1 : i*$passageTokens+$passageTokens], ' ') AS btxt
       |  FROM toks, unnest(range(0, CAST(ceil(len(t)/$passageTokens.0) AS INT))) u(i)
       |  WHERE len(t) > 0
-      |), firsts AS (SELECT btxt AS k, min(p) AS fp FROM blocks GROUP BY btxt
+      |), firsts AS (SELECT btxt AS k, min((doc_id, idx)) AS fp FROM blocks GROUP BY btxt
       |), flagged AS (
-      |  SELECT b.doc_id, b.idx, b.btxt, b.p = f.fp AS kept
+      |  SELECT b.doc_id, b.idx, b.btxt, (b.doc_id, b.idx) = f.fp AS kept
       |  FROM blocks b JOIN firsts f ON b.btxt = f.k)
       |SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
@@ -702,14 +722,17 @@ object Dedup {
       .where(size(col("t")) > 0)
       .select(col("doc_id"), posexplode(blockTexts).as(Seq("idx", "btxt")))
       .select(col("doc_id"), col("idx"), col("btxt"),
-        xxhash64(col("btxt")).as("h"),
-        (col("doc_id") * 100000L + col("idx")).as("p"))
+        xxhash64(col("btxt")).as("h"))
       // consumed twice (first-occurrence aggregate AND the keep join) —
       // materialize once so the tokenize+explode scan isn't re-run
       .localCheckpoint(false)
-    val firsts = blocks.groupBy("h").agg(min(col("p")).as("fp"))
+    // min over struct(doc_id, idx) IS the documented (doc_id, idx) total
+    // order — unlike a doc_id*K+idx scalar key, it cannot overflow into a
+    // neighboring document however many blocks a document has
+    val firsts = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("fp"))
     blocks.join(firsts, Seq("h"))
-      .withColumn("kept", col("p") === col("fp"))
+      .withColumn("kept", struct(col("doc_id"), col("idx")) === col("fp"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast(IntegerType).as("n_blocks"),

@@ -35,12 +35,16 @@ object ScaleOps {
     * (ts, kind) — right rows sort before left rows at equal ts (after, in
     * strict mode) — then `last(payload, ignoreNulls)` carries the most
     * recent right payload forward. ONE shuffle on `key`; at 100 TB this is
-    * the scale-safe shape. Deterministic iff (key, tsCol) is unique on the
-    * right side (ties would make "the latest right row" ill-defined in any
-    * engine).
+    * the scale-safe shape. With duplicate right-side (key, tsCol) rows "the
+    * latest right row" is ill-defined — pass `tie` (a right-side column,
+    * e.g. an event id; highest value wins among equal-ts rows) to make the
+    * pick total-order deterministic instead of partition-order dependent.
     *
     * @param payload right-side columns to carry, as (sourceCol → outCol);
     *                outCol names must not collide with left's columns
+    * @param tie     optional right-side tiebreak expression: among right
+    *                rows tied on (key, tsCol) the row with the HIGHEST tie
+    *                value is "the latest" (negate it to prefer the lowest)
     * @return left's columns plus the payload outCols
     */
   def asofJoin(
@@ -49,7 +53,8 @@ object ScaleOps {
       key: String,
       tsCol: String,
       payload: Seq[(String, String)],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      tie: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the payload travels as ONE struct so all columns come atomically
     // from the SAME right row even if individual payload values are null
@@ -58,15 +63,20 @@ object ScaleOps {
     val leftExtra = left.columns.toSeq.filterNot(c => c == key || c == tsCol)
     val lSide = left.select(
       Seq(col(key), col(tsCol), lit(1).as("_kind"),
+        lit(null).as("_tie"),
         lit(null).cast(pType).as("_p")) ++ leftExtra.map(col): _*)
     // kind ordering at equal ts decides visibility: 0 sorts before the
     // left's 1 (inclusive <=), 2 sorts after it (strict <)
     val rKind = if (strict) 2 else 0
     val rSide = right.select(
       Seq(col(key), col(tsCol), lit(rKind).as("_kind"),
+        tie.getOrElse(lit(null)).as("_tie"),
         struct(payload.map { case (s, o) => col(s).as(o) }: _*).as("_p")) ++
         leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_kind"))
+    // _tie only orders rows WITHIN the right kind (left rows carry null and
+    // a distinct kind), so `last` picks the highest-tie row among equal-ts
+    // right rows; with tie = None the column is constant-null and inert
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_kind"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))

@@ -351,7 +351,8 @@ object Relational {
   val c8AsofJoin: QueryDef = QueryDef(
     "c8_asof_join", "C8",
     """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
-      |  max_by(c.event_id, c.ts) AS last_click_id, max(c.ts) AS last_click_ts
+      |  max_by(c.event_id, printf('%020d%020d', epoch_us(c.ts), c.event_id)) AS last_click_id,
+      |  max(c.ts) AS last_click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
@@ -362,7 +363,8 @@ object Relational {
         .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
       ev.where(col("event_type") === "click"),
       key = "user_id", tsCol = "ts",
-      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
+      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"),
+      tie = Some(col("event_id")))
       .select(
         col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
         col("last_click_id"), col("last_click_ts"))
@@ -380,7 +382,8 @@ object Relational {
   val c8AsofForward: QueryDef = QueryDef(
     "c8_asof_forward", "C8",
     """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
-      |  min_by(c.event_id, c.ts) AS next_click_id, min(c.ts) AS next_click_ts
+      |  min_by(c.event_id, printf('%020d%020d', epoch_us(c.ts), c.event_id)) AS next_click_id,
+      |  min(c.ts) AS next_click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -394,7 +397,11 @@ object Relational {
         col("event_id"), col("ts"))
     graft.operators.ScaleOps.asofJoin(
       purchases, clicks, key = "user_id", tsCol = "ts_neg",
-      payload = Seq("event_id" -> "next_click_id", "ts" -> "next_click_ts"))
+      // ascending order on the NEGATED ts ranks later-real-time first, so
+      // the tiebreak is negated too: highest -event_id = LOWEST event_id,
+      // matching the oracle's min_by at the tied earliest click
+      payload = Seq("event_id" -> "next_click_id", "ts" -> "next_click_ts"),
+      tie = Some(-col("event_id")))
       .select(
         col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("next_click_id"), col("next_click_ts"))
@@ -408,7 +415,8 @@ object Relational {
   val c8AsofStrict: QueryDef = QueryDef(
     "c8_asof_strict", "C8",
     """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
-      |  max_by(c.event_id, c.ts) AS last_click_id, max(c.ts) AS last_click_ts
+      |  max_by(c.event_id, printf('%020d%020d', epoch_us(c.ts), c.event_id)) AS last_click_id,
+      |  max(c.ts) AS last_click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON c.user_id = p.user_id AND c.ts < p.ts
@@ -420,7 +428,7 @@ object Relational {
       ev.where(col("event_type") === "click"),
       key = "user_id", tsCol = "ts",
       payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"),
-      strict = true)
+      strict = true, tie = Some(col("event_id")))
       .select(
         col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
         col("last_click_id"), col("last_click_ts"))
@@ -440,7 +448,8 @@ object Relational {
   val c8AsofTolerance: QueryDef = QueryDef(
     "c8_asof_tolerance", "C8",
     """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
-      |  max_by(c.event_id, c.ts) AS last_click_id, max(c.ts) AS last_click_ts
+      |  max_by(c.event_id, printf('%020d%020d', epoch_us(c.ts), c.event_id)) AS last_click_id,
+      |  max(c.ts) AS last_click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
@@ -452,7 +461,8 @@ object Relational {
         .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
       ev.where(col("event_type") === "click"),
       key = "user_id", tsCol = "ts",
-      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
+      payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"),
+      tie = Some(col("event_id")))
     val inTol = col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
     joined.select(
         col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
@@ -471,14 +481,16 @@ object Relational {
   val c8SpliceJoin: QueryDef = QueryDef(
     "c8_splice_join", "C8",
     """SELECT p.user_id, p.ts, 'purchase' AS src, p.event_id AS own_id,
-      |  max_by(c.event_id, c.ts) AS other_id, max(c.ts) AS other_ts
+      |  max_by(c.event_id, printf('%020d%020d', epoch_us(c.ts), c.event_id)) AS other_id,
+      |  max(c.ts) AS other_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
       |GROUP BY 1, 2, 4
       |UNION ALL
       |SELECT c.user_id, c.ts, 'click' AS src, c.event_id AS own_id,
-      |  max_by(p.event_id, p.ts) AS other_id, max(p.ts) AS other_ts
+      |  max_by(p.event_id, printf('%020d%020d', epoch_us(p.ts), p.event_id)) AS other_id,
+      |  max(p.ts) AS other_ts
       |FROM (SELECT * FROM events WHERE event_type = 'click') c
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON p.user_id = c.user_id AND p.ts <= c.ts
@@ -491,7 +503,8 @@ object Relational {
           .select(col("user_id"), col("ts"), col("event_id").as("own_id")),
         ev.where(col("event_type") === otherType),
         key = "user_id", tsCol = "ts",
-        payload = Seq("event_id" -> "other_id", "ts" -> "other_ts"))
+        payload = Seq("event_id" -> "other_id", "ts" -> "other_ts"),
+        tie = Some(col("event_id")))
         .select(col("user_id"), col("ts"), lit(srcName).as("src"),
           col("own_id"), col("other_id"), col("other_ts"))
     side("purchase", "click", "purchase")
@@ -1536,12 +1549,16 @@ object Relational {
     * cnt = 0 (broadcast — grid and agg output are both ≤ nBuckets rows).
     * Bucket arithmetic `floor((x−lo)·n/(hi−lo))` is written identically
     * on both engines (IEEE double ops are deterministic; floor is exact);
-    * the top edge clamps into the last bucket per the usual convention. */
+    * the top edge clamps into the last bucket per the usual convention; a
+    * degenerate corpus (hi = lo, where the formula is 0/0) maps every row
+    * to bucket 0 on both engines. */
   val c9Histogram: QueryDef = QueryDef(
     "c9_histogram", "C9 C15",
     """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
       |h AS (
-      |  SELECT CAST(least(floor((o_totalprice - lo) * 16.0 / (hi - lo)), 15) AS INT) AS bucket,
+      |  SELECT CAST(CASE WHEN hi > lo
+      |           THEN least(floor((o_totalprice - lo) * 16.0 / (hi - lo)), 15)
+      |           ELSE 0 END AS INT) AS bucket,
       |         count(*) AS cnt
       |  FROM orders, b GROUP BY 1),
       |grid AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bucket)
@@ -1555,9 +1572,12 @@ object Relational {
     val bounds = o.agg(min(col("o_totalprice")).as("lo"),
       max(col("o_totalprice")).as("hi"))
     val hist = o.crossJoin(broadcast(bounds))
-      .select(least(
-        floor((col("o_totalprice") - col("lo")) * 16.0 / (col("hi") - col("lo"))),
-        lit(15L)).cast(IntegerType).as("bucket"))
+      // hi == lo (degenerate single-value corpus) makes the bucket
+      // expression 0/0 = NaN; map that case to bucket 0 on both engines
+      .select(when(col("hi") > col("lo"), least(
+          floor((col("o_totalprice") - col("lo")) * 16.0 / (col("hi") - col("lo"))),
+          lit(15L)))
+        .otherwise(lit(0L)).cast(IntegerType).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val grid = bounds.select(
       explode(sequence(lit(0), lit(15))).as("bucket"), col("lo"), col("hi"))

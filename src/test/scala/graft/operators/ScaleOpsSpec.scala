@@ -164,6 +164,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(run(strict = true) === 7L)  // <  : falls back to the earlier row
   }
 
+  test("asofJoin tie: duplicate (key, ts) right rows pick the highest tie value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L)).toDF("k", "t", "lid")
+    // two right rows TIED on (k, t): without a tiebreak "the latest" is
+    // partition-order dependent; with tie=rid the highest rid must win —
+    // shuffle-partition count is forced over the 2-row frame so any
+    // order-dependence would surface across the spread of partitionings
+    (1 to 4).foreach { n =>
+      val right = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "lo"),
+        (1L, ts("2024-01-01 10:00:00"), 8L, "hi")
+      ).toDF("k", "t", "rid", "tag").repartition(n)
+      val row = graft.operators.ScaleOps
+        .asofJoin(left, right, "k", "t", Seq("rid" -> "a_rid", "tag" -> "a_tag"),
+          tie = Some(col("rid")))
+        .collect().head
+      assert(row.getAs[Long]("a_rid") === 8L)
+      assert(row.getAs[String]("a_tag") === "hi") // payload rides atomically
+    }
+  }
+
   test("intervalBinJoin equals the overlap theta join, exactly once per pair") {
     import spark.implicits._
     // intervals chosen to exercise: multi-bin overlap (must NOT duplicate),

@@ -97,55 +97,100 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
-  /** Decoded-asset record produced by the batch decode path. */
-  final case class DecodedAsset(
-      asset_id: Long, n_bytes: Int, feature: Array[Double])
+  /** PGM-planted asset table: each payload is a REAL (if minimal) binary
+    * media file — netpbm binary-PGM, `P5\n<w> <h>\n<maxval>\n<pixels>`
+    * (public format; the simplest raster container in production use) —
+    * built deterministically from the documents table: width from the doc
+    * id (1..16), height from the text length (≤ 8 rows), the text's first
+    * w·h bytes as the pixel raster. The decode path below parses these
+    * BYTES with a strict header parser, and because the planting is
+    * closed-form, DuckDB can recompute every decoded field from the same
+    * source rows — a full oracle over an actual binary decode. */
+  def pgmAssets(spark: SparkSession, dir: String): DataFrame = {
+    val w = (lit(1) + pmod(col("doc_id"), lit(16))).cast(IntegerType)
+    val h = least(floor(length(col("text")) / w).cast(IntegerType), lit(8))
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      concat(
+        format_string("P5\n%d %d\n255\n", w, h).cast(BinaryType),
+        col("text").substr(lit(1), w * h).cast(BinaryType)).as("payload"))
+  }
+
+  /** Decoded-PGM record produced by the batch decode path. */
+  final case class DecodedPgm(
+      asset_id: Long, width: Int, height: Int, maxval: Int,
+      n_pix: Int, pix_sum: Long, pix_md5: String)
 
   /** The mapPartitions batch-decode shape — the Scala analogue of a pandas
     * mapInPandas decode: the partition iterator is consumed in order, the
-    * (fake) codec is invoked once per payload inside the executor, and the
-    * output is a typed Dataset. A real deployment replaces ONLY the body of
-    * `decodeOne` with the codec call; partitioning, batch shape and schema
-    * stay exactly as tested. */
-  def decodeBatch(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[DecodedAsset] = {
+    * codec (here a REAL byte-level P5 parser, [[decodeOne]]) is invoked
+    * once per payload inside the executor, and the output is a typed
+    * Dataset. A heavier deployment replaces ONLY the body of `decodeOne`
+    * with its codec call; partitioning, batch shape and schema stay exactly
+    * as tested. No shuffle: decode is embarrassingly parallel. */
+  def decodeBatch(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[DecodedPgm] = {
     import spark.implicits._
-    assets(spark, dir)
-      .select("asset_id", "payload")
+    pgmAssets(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) => decodeOne(id, payload) }
       }
   }
 
-  /** >>> FAKE DECODE (driver for decodeBatch) — deterministic stand-in. <<<
-    * Derives an 8-dim feature from payload bytes via an FNV-1a rolling
-    * hash; a real system calls the media codec here. */
-  private def decodeOne(id: Long, payload: Array[Byte]): DecodedAsset = {
-    val feats = new Array[Double](8)
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < payload.length) {
-      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
-      feats(i % 8) += (h & 0xffff).toDouble / 65536.0
-      i += 1
+  /** Strict binary-P5 parser: magic `P5\n`, three decimal header fields
+    * (`w<space>h\n<maxval>\n`), then the raw pixel raster to end-of-buffer.
+    * Malformed headers throw (fail-fast like FAILFAST CSV mode) — decode
+    * errors must surface, not silently zero. */
+  private def decodeOne(id: Long, b: Array[Byte]): DecodedPgm = {
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"asset $id: $msg at byte $p")
+    if (b.length < 3 || b(0) != 'P' || b(1) != '5' || b(2) != '\n') fail("bad magic")
+    p = 3
+    def int(delim: Char): Int = {
+      var v = 0
+      var any = false
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+        v = v * 10 + (b(p) - '0'); any = true; p += 1
+      }
+      if (!any || p >= b.length || b(p) != delim) fail("bad header int")
+      p += 1
+      v
     }
-    DecodedAsset(id, payload.length, feats.map(_ / math.max(1, payload.length / 8)))
+    val w = int(' ')
+    val h = int('\n')
+    val mv = int('\n')
+    var sum = 0L
+    var i = p
+    while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(b, p, b.length))
+      .map("%02x".format(_)).mkString
+    DecodedPgm(id, w, h, mv, b.length - p, sum, md5)
   }
 
-  /** Registered rows-only view of [[decodeBatch]] — covers the
-    * mapPartitions batch-decode shape in the driver's correctness gate
-    * (previously spec-only). noOracle: the FNV-derived fake features are
-    * engine-specific; determinism and shape are asserted in MultimodalSpec.
-    * Arrays render as fixed-precision strings because the driver's
-    * rows-only comparator sorts every output column. */
-  val decodeBatchQuery: QueryDef = QueryDef.noOracle(
-    "mm_decode_batch", "north_star-multimodal") { (s, d) =>
-    decodeBatch(s, d).toDF().select(
-      col("asset_id"),
-      col("n_bytes"),
-      concat_ws(",", transform(col("feature"),
-        v => format_string("%.6f", v))).as("feature_str"))
-      .orderBy("asset_id")
+  /** Registered FULL-ORACLE view of [[decodeBatch]]: the mapPartitions
+    * parser must recover exactly the width/height the planting chose, a
+    * pixel count of w·h, and the byte-sum/md5 of the planted raster —
+    * DuckDB recomputes all of them from the documents rows (text is pure
+    * ASCII in this corpus, so char functions equal byte functions). A
+    * parser bug of any kind (offset, digit handling, raster slicing)
+    * breaks the hash compare. */
+  val decodeBatchQuery: QueryDef = QueryDef(
+    "mm_decode_batch", "C15 north_star-multimodal",
+    """WITH pgm AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(1 + (doc_id % 16) AS INT) AS w,
+      |    least(CAST(floor(strlen(text) / (1 + (doc_id % 16))) AS INT), 8) AS h,
+      |    text
+      |  FROM documents)
+      |SELECT asset_id, w AS width, CAST(h AS INT) AS height, 255 AS maxval,
+      |  CAST(w * h AS INT) AS n_pix,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    string_split(substr(text, 1, w*h), ''), c -> ascii(c))), 0) AS BIGINT) AS pix_sum,
+      |  md5(substr(text, 1, w*h)) AS pix_md5
+      |FROM pgm ORDER BY asset_id""".stripMargin) { (s, d) =>
+    decodeBatch(s, d).toDF().orderBy("asset_id")
   }
 
   /** Chunk-row emission — the asset is split into fixed-size chunks, ONE

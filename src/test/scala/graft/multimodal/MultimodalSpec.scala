@@ -37,12 +37,38 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("frame_offsets_str").split(",").length === 4)
   }
 
-  test("mapPartitions batch decode yields one typed record per asset, deterministically") {
+  test("mapPartitions PGM decode recovers the planted header and raster exactly") {
     val d1 = Multimodal.decodeBatch(spark, sf).collect().sortBy(_.asset_id)
     val d2 = Multimodal.decodeBatch(spark, sf).collect().sortBy(_.asset_id)
     assert(d1.length === Multimodal.assets(spark, sf).count())
-    assert(d1.map(_.feature.toSeq).toSeq === d2.map(_.feature.toSeq).toSeq)
-    d1.foreach(r => assert(r.feature.length === 8 && r.n_bytes > 0))
+    assert(d1.toSeq === d2.toSeq) // deterministic
+    d1.foreach { r =>
+      assert(r.width === 1 + (r.asset_id % 16).toInt) // planted geometry
+      assert(r.maxval === 255)
+      assert(r.n_pix === r.width * r.height) // raster is exactly w*h bytes
+      assert(r.pix_md5.length === 32)
+      assert(r.height <= 8 && r.height >= 0)
+    }
+  }
+
+  test("PGM parser fails fast on malformed headers instead of zeroing") {
+    def parse(bytes: Array[Byte]) = {
+      import spark.implicits._
+      Multimodal // route through the same private parser via the public path
+      val m = classOf[Multimodal.type].getDeclaredMethods
+        .find(_.getName == "decodeOne").get
+      m.setAccessible(true)
+      m.invoke(Multimodal, Long.box(1L), bytes)
+    }
+    // good: P5\n2 1\n255\nAB
+    val good = "P5\n2 1\n255\nAB".getBytes("US-ASCII")
+    val r = parse(good).asInstanceOf[Multimodal.DecodedPgm]
+    assert(r.width === 2 && r.height === 1 && r.n_pix === 2
+      && r.pix_sum === 'A'.toLong + 'B'.toLong)
+    for (bad <- Seq("P6\n2 1\n255\nAB", "P5\n2x1\n255\nAB", "P5\n", ""))
+      intercept[java.lang.reflect.InvocationTargetException] {
+        parse(bad.getBytes("US-ASCII"))
+      }
   }
 
   test("chunk count matches ceil(bytes/256)") {

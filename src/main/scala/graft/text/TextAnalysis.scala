@@ -384,18 +384,41 @@ object TextAnalysis {
       |      ORDER BY round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) DESC, tf.term) AS INT) AS rnk
       |  FROM tf JOIN df USING (term) CROSS JOIN n) t
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    tfidfTop(Tables.documents(s, d), topK = 3).orderBy("doc_id", "rnk")
+    tfidfTop(Tables.documents(s, d), topK = 3,
+      counts = Some(sharedTermCounts(s, d))).orderBy("doc_id", "rnk")
   }
 
+  /** Shared unigram count table (doc_id, lang, term, tf): ONE corpus scan
+    * and one shuffle on the (doc, term) key, feeding the whole unigram-C19
+    * family — tfidf (projects lang away), entropy (per-doc aggregate), NB
+    * (per-(term,class) model + the scoring grid), DSIR (distribution
+    * aggregate + scoring join). `lang` is functionally dependent on
+    * `doc_id`, so carrying it adds nothing to the group cardinality. */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+
+  private val tcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Session-cached materialization of [[termCounts]] over the documents
+    * table at `dir`: in pipeline use the four unigram consumers run in the
+    * same session, so the cache collapses four tokenize+count corpus scans
+    * into one (lazy localCheckpoint — built at first use, reused after). */
+  def sharedTermCounts(s: SparkSession, d: String): DataFrame =
+    tcCache.getOrElseUpdate((s, d),
+      termCounts(Tables.documents(s, d)).localCheckpoint(false))
+
   /** documents(doc_id, text) → top-`topK` TF-IDF terms per document
-    * (doc_id, rnk, term, tf, score). See [[tfidfTopTerms]]. */
-  def tfidfTop(docs: DataFrame, topK: Int): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    * (doc_id, rnk, term, tf, score). See [[tfidfTopTerms]]. `counts`
+    * optionally supplies a pre-materialized [[termCounts]] table. */
+  def tfidfTop(docs: DataFrame, topK: Int,
+      counts: Option[DataFrame] = None): DataFrame = {
     // materialize once: feeds both the df aggregate and the scoring join
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = counts.getOrElse(termCounts(docs).localCheckpoint(false))
+      .select(col("doc_id"), col("term"), col("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -437,16 +460,17 @@ object TextAnalysis {
       |  round(ln(l) - s / l, 6) AS entropy,
       |  round((ln(l) - s / l) / ln(2.0), 6) AS entropy_bits
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-    unigramEntropy(Tables.documents(s, d)).orderBy("doc_id")
+    unigramEntropy(Tables.documents(s, d),
+      counts = Some(sharedTermCounts(s, d))).orderBy("doc_id")
   }
 
   /** documents(doc_id, text) → (doc_id, n_tokens, n_distinct, entropy,
-    * entropy_bits). See [[wordEntropy]]. */
-  def unigramEntropy(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    * entropy_bits). See [[wordEntropy]]. `counts` optionally supplies a
+    * pre-materialized [[termCounts]] table. */
+  def unigramEntropy(docs: DataFrame,
+      counts: Option[DataFrame] = None): DataFrame = {
+    // single consumer: without a shared table the counts need no checkpoint
+    val tf = counts.getOrElse(termCounts(docs))
     val hNats = log(col("l")) - col("s") / col("l")
     tf.groupBy("doc_id")
       .agg(
@@ -469,8 +493,9 @@ object TextAnalysis {
     * those counts and a per-(doc,class) log-likelihood sum, argmax by
     * window. Laplace-smoothed: ln((c(t,l)+1)/(n_l+|V|)), prior ln(d_l/N).
     *
-    * Scale shape: the candidate grid is |token occurrences| × |classes|
-    * (classes are a broadcast handful); the occurrence⋈counts join is a
+    * Scale shape: the candidate grid is |distinct (doc, term)| × |classes|
+    * (classes are a broadcast handful; per-occurrence log-likelihoods
+    * collapse into a tf multiplier); the grid⋈counts join is a
     * plain equi-join on (term, class) — like [[tfidfTopTerms]], the
     * vocabulary-sized model table is NEVER broadcast or collected (it is
     * materialized once and its three consumers read the materialization;
@@ -487,18 +512,19 @@ object TextAnalysis {
     """WITH toks AS (
       |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
       |  FROM documents
-      |), counts AS (SELECT term, lang, count(*) AS c FROM toks GROUP BY term, lang),
+      |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |counts AS (SELECT term, lang, count(*) AS c FROM toks GROUP BY term, lang),
       |totals AS (SELECT lang, count(*) AS n_l FROM toks GROUP BY lang),
       |vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
       |priors AS (SELECT lang, count(*) AS d_l FROM documents GROUP BY lang),
       |ndocs AS (SELECT count(*) AS n_docs FROM documents),
       |grid AS (
-      |  SELECT t.doc_id, t.term, cl.lang AS cls
-      |  FROM (SELECT doc_id, term FROM toks) t
+      |  SELECT t.doc_id, t.term, t.tf, cl.lang AS cls
+      |  FROM tf t
       |  CROSS JOIN (SELECT lang FROM totals) cl),
       |ll AS (
       |  SELECT g.doc_id, g.cls,
-      |    ln((coalesce(c.c, 0) + 1.0) / (tt.n_l + v.v)) AS ll
+      |    g.tf * ln((coalesce(c.c, 0) + 1.0) / (tt.n_l + v.v)) AS ll
       |  FROM grid g
       |  LEFT JOIN counts c ON c.term = g.term AND c.lang = g.cls
       |  JOIN totals tt ON tt.lang = g.cls
@@ -516,36 +542,41 @@ object TextAnalysis {
       |JOIN documents dd USING (doc_id)
       |WHERE s.rnk = 1
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    nbClassify(Tables.documents(s, d)).orderBy("doc_id")
+    nbClassify(Tables.documents(s, d),
+      counts = Some(sharedTermCounts(s, d))).orderBy("doc_id")
   }
 
   /** documents(doc_id, text, lang) → (doc_id, pred_lang, score,
-    * actual_lang, correct). See [[nbClassifier]]. */
-  def nbClassify(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), col("lang"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    * actual_lang, correct). See [[nbClassifier]]. `counts` optionally
+    * supplies a pre-materialized [[termCounts]] table. */
+  def nbClassify(docs: DataFrame,
+      counts: Option[DataFrame] = None): DataFrame = {
+    val tf = counts.getOrElse(termCounts(docs).localCheckpoint(false))
     // The model table is materialized ONCE (lazy localCheckpoint) and its
     // three consumers — per-class token mass, vocabulary size, and the
     // scoring join — all read the materialization instead of re-running
-    // the corpus explode+count per branch. Deriving totals/vocab FROM the
-    // counts table (Σc per class ≡ class token mass; distinct terms in
-    // counts ≡ corpus vocabulary) is what makes them one-aggregate cheap.
-    val counts = toks.groupBy("term", "lang").agg(count(lit(1)).as("c"))
+    // the aggregate per branch. Deriving totals/vocab FROM the model
+    // (Σc per class ≡ class token mass; distinct terms ≡ corpus
+    // vocabulary) is what makes them one-aggregate cheap.
+    val model = tf.groupBy("term", "lang").agg(sum(col("tf")).as("c"))
       .localCheckpoint(false)
-    val totals = counts.groupBy("lang").agg(sum(col("c")).as("n_l"))
-    val vocab = counts.agg(countDistinct(col("term")).as("v"))
+    val totals = model.groupBy("lang").agg(sum(col("c")).as("n_l"))
+    val vocab = model.agg(countDistinct(col("term")).as("v"))
     val priors = docs.groupBy("lang").agg(count(lit(1)).as("d_l"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // candidate grid: one row per (token occurrence, candidate class)
-    val grid = toks.select("doc_id", "term")
+    // candidate grid: one row per (DISTINCT (doc, term), candidate class) —
+    // the per-occurrence explode of earlier rounds collapsed into the tf
+    // multiplier (Σ_occurrences ln p ≡ Σ_terms tf·ln p), halving the grid
+    // on a corpus with repeated terms
+    val grid = tf.select("doc_id", "term", "tf")
       .crossJoin(broadcast(totals.select(col("lang"), col("n_l"))))
     val ll = grid
-      .join(counts, Seq("term", "lang"), "left")
+      .join(model, Seq("term", "lang"), "left")
       .crossJoin(broadcast(vocab))
       .select(
         col("doc_id"), col("lang"),
-        log((coalesce(col("c"), lit(0L)) + 1.0) / (col("n_l") + col("v"))).as("ll"))
+        (col("tf").cast(DoubleType) *
+          log((coalesce(col("c"), lit(0L)) + 1.0) / (col("n_l") + col("v")))).as("ll"))
     val docScores = ll.groupBy("doc_id", "lang").agg(sum(col("ll")).as("s_ll"))
     val scored = docScores
       .join(broadcast(priors), Seq("lang"))
@@ -607,20 +638,18 @@ object TextAnalysis {
       |  round(SUM(contrib), 6) + 0.0 AS logw,
       |  round(SUM(contrib) / SUM(tf), 6) + 0.0 AS logw_per_tok
       |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    dsirWeight(Tables.documents(s, d), targetLang = "en").orderBy("doc_id")
+    dsirWeight(Tables.documents(s, d), targetLang = "en",
+      counts = Some(sharedTermCounts(s, d))).orderBy("doc_id")
   }
 
   /** documents(doc_id, text, lang) → (doc_id, n_tokens, logw,
-    * logw_per_tok). See [[dsirWeights]]. */
-  def dsirWeight(docs: DataFrame, targetLang: String): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), col("lang"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-    // lang is functionally dependent on doc_id, so carrying it through the
-    // per-doc term count costs nothing in group cardinality; materialize
-    // once — feeds the distribution aggregate AND the scoring join
-    val tf = toks.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    * logw_per_tok). See [[dsirWeights]]. `counts` optionally supplies a
+    * pre-materialized [[termCounts]] table. */
+  def dsirWeight(docs: DataFrame, targetLang: String,
+      counts: Option[DataFrame] = None): DataFrame = {
+    // materialized once — feeds the distribution aggregate AND the
+    // scoring join
+    val tf = counts.getOrElse(termCounts(docs).localCheckpoint(false))
     val stats = tf.groupBy("term").agg(
       sum(when(col("lang") === targetLang, col("tf")).otherwise(0L)).as("ct"),
       sum(col("tf")).as("cs"))

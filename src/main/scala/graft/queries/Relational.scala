@@ -1360,9 +1360,14 @@ object Relational {
     * inputs make catastrophic cancellation identical on both sides, but
     * not non-negative).
     *
-    * Scale shape: one shuffle on event_type (at higher cardinality the
-    * partition key is the series id); three aggregates share one frame in
-    * one Window pass; no joins, no self-join band blow-up. */
+    * Scale shape: ONE shuffle on event_type (at higher cardinality the
+    * partition key is the series id) and one WindowExec. The frame triple
+    * rides two CUMULATIVE prefixes — [unbounded, current] minus
+    * [unbounded, frame start − 1] — both growing frames Spark evaluates
+    * with O(1) incremental adds, instead of the bounded sliding frame it
+    * re-aggregates from scratch per row (O(rows · window) on dense
+    * series); exact decimals make the prefix difference bit-equal to the
+    * direct frame sum. */
   val b2AnomalyZscore: QueryDef = QueryDef(
     "b2_anomaly_zscore", "B2 C12",
     """WITH t AS (
@@ -1426,8 +1431,23 @@ object Relational {
     * sum/sum-of-squares in the frame, stats derived in double identically
     * on both engines. */
   def rollingZscore(ev: DataFrame, windowUs: Long, threshold: Double): DataFrame = {
-    val fr = Window.partitionBy("event_type").orderBy("es")
-      .rangeBetween(-windowUs, 0)
+    // Spark re-aggregates a bounded RANGE frame from scratch at every row
+    // (no retraction), making the direct frame sums O(rows · rows-per-
+    // window) — formerly the suite's hottest window CPU, and quadratic on
+    // a dense series. The sums here are EXACT decimals, so the trailing
+    // window is instead the DIFFERENCE of two cumulative prefixes:
+    // [unbounded, current] minus [unbounded, es − window − 1]. Both are
+    // GROWING frames (monotone upper bound), which Spark evaluates with
+    // incremental adds — O(1) per row — and both share this one window
+    // spec's partitioning and sort, so the whole triple rides a single
+    // WindowExec with one shuffle and no join. Decimal subtraction is
+    // exact: the result equals the direct frame sum bit-for-bit, and the
+    // oracle's segment-tree RANGE frame is unchanged.
+    val frCum = Window.partitionBy("event_type").orderBy("es")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val frBnd = Window.partitionBy("event_type").orderBy("es")
+      .rangeBetween(Window.unboundedPreceding, -(windowUs + 1))
+    def dec0 = lit(0).cast(DecimalType(12, 2))
     ev.select(
         col("event_type"), col("event_id"),
         unix_micros(col("ts").cast(TimestampType)).as("es"),
@@ -1435,9 +1455,13 @@ object Relational {
       .select(
         col("event_type"), col("event_id"), col("es"),
         col("v").cast(DoubleType).as("value"),
-        sum(col("v")).over(fr).cast(DoubleType).as("s"),
-        sum(col("v") * col("v")).over(fr).cast(DoubleType).as("q"),
-        count(col("v")).over(fr).as("n"))
+        (sum(col("v")).over(frCum) -
+          coalesce(sum(col("v")).over(frBnd), dec0))
+          .cast(DoubleType).as("s"),
+        (sum(col("v") * col("v")).over(frCum) -
+          coalesce(sum(col("v") * col("v")).over(frBnd), dec0))
+          .cast(DoubleType).as("q"),
+        (count(col("v")).over(frCum) - count(col("v")).over(frBnd)).as("n"))
       .withColumn("mean", col("s") / col("n"))
       .withColumn("sd",
         when(col("n") > 1,

@@ -12,6 +12,17 @@ import duckdb
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+
+# sha1-oracle probe (round-10 directive): a13_purchases_ordered and
+# b3_buyer_spend output sha1 digests; DuckDB grew core sha1() in 1.1. Print
+# the capability on every run so the version pin that keeps those two rows
+# golden-digest-only (EtlSpec) is machine-visible evidence, not folklore.
+try:
+    con.sql("SELECT sha1('probe')")
+    _sha1 = "available - the sha1 queries could be promoted to full oracle"
+except Exception:
+    _sha1 = "UNAVAILABLE - sha1 rows stay golden-digest-pinned (EtlQueries.scala)"
+print(f"  oracle: duckdb {duckdb.__version__}, sha1() {_sha1}")
 for t in ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

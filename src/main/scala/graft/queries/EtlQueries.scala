@@ -14,6 +14,14 @@ import graft.etl.Purchases
   * sha1 parity is asserted against hardcoded golden digests in EtlSpec;
   * the typed scan below carries the full oracle for everything else
   * (scan, casts, timestamp parse, global order).
+  *
+  * Version pin (probed round 10, surfaced by scripts/check.py on every
+  * run): the sandbox oracle is DuckDB 1.0.0 — core ships md5/sha256 but
+  * NOT sha1 (added to core in 1.1), and the crypto extension cannot
+  * install (zero egress). Switching the pipeline to sha256 would break A5
+  * reference parity (cloud_function.py:70 hashes with sha1), so these two
+  * rows stay golden-digest-pinned until the oracle image moves to ≥ 1.1 —
+  * at which point `SELECT sha1(email)...` oracles drop in unchanged.
   */
 object EtlQueries {
 

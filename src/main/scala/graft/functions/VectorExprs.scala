@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.GraftBridge
 
 /** Fused cosine similarity as a native Catalyst expression with whole-stage
@@ -473,6 +473,46 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-slice byte sums of a binary payload: the payload is cut into `dims`
+  * contiguous slices with boundaries floor(len·i/dims), and slice i's output
+  * is the sum of its unsigned byte values — the trivial-but-real "mean
+  * brightness per region" feature a raster pipeline extracts, computed in
+  * one fused pass over the bytes (no per-byte substring/ascii churn, no
+  * HOF lambda boxing). Output: array<long> of length `dims`; empty slices
+  * (payload shorter than `dims`) sum to 0. Exactly reproducible by any
+  * engine with substring+byte-sum, so queries built on it are oracle-able.
+  */
+case class ByteSliceSums(child: Expression, dims: Int)
+    extends ComputeRefCodegen {
+  require(dims > 0, "dims must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_slice_sums"
+
+  override def compute(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    val out = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      var p = n.toLong * i / dims
+      val end = n.toLong * (i + 1) / dims
+      var s = 0L
+      while (p < end) { s += (b(p.toInt) & 0xff); p += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSliceSums =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: fused codegen cosine similarity of two float arrays. */
   def cosineSim(a: Column, b: Column): Column =
@@ -508,4 +548,8 @@ object VectorExprs {
       emb: Column, model: Seq[(Long, Seq[Float])], keep: Int): Column =
     GraftBridge.column(NearestCentroids(
       GraftBridge.expression(emb), model.map(_._1), model.map(_._2), keep))
+
+  /** Per-slice byte sums (`dims` slices) of a binary payload. */
+  def byteSliceSums(payload: Column, dims: Int): Column =
+    GraftBridge.column(ByteSliceSums(GraftBridge.expression(payload), dims))
 }

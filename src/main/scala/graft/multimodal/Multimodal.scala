@@ -10,13 +10,15 @@ import graft.{QueryDef, Tables}
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature-extract expressed as ordinary distributed transforms.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (clearly marked below): features are derived from the
-  * payload bytes via hashes. Everything around it — the binary column
-  * representation, metadata schema, chunking, batch shape, partitioning —
-  * is real Spark plumbing and is what this module actually exercises. A real
-  * deployment swaps `fakeDecodeFeature` for a codec call inside the same
-  * `transform(...)`/`mapPartitions` shape.
+  * The container has no image/audio codecs, so the decode/feature steps use
+  * the simplest REAL formats and statistics that exercise the same plumbing:
+  * [[decodeBatch]] parses an actual binary PGM container byte-by-byte inside
+  * `mapPartitions`, and [[sliceBrightness]] extracts per-region mean byte
+  * value through a fused codegen expression. Both are exactly reproducible
+  * by the DuckDB oracle, so every registered query here is full-oracle. A
+  * heavier deployment swaps the parser/statistic body for its codec call
+  * inside the same `transform(...)`/`mapPartitions` shape — schema,
+  * partitioning, batch shape, and shuffle profile (none) stay as tested.
   */
 object Multimodal {
 
@@ -56,44 +58,62 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
-  /** >>> FAKE DECODE — deterministic stand-in for a media codec. <<<
-    * Maps payload bytes to an 8-dim pseudo-feature vector via murmur3 of
-    * (checksum, i). Real systems replace this lambda body with the codec
-    * call; the surrounding plumbing (per-row array column, codegen'd
-    * projection, no shuffle) is exactly what production uses. */
-  def fakeDecodeFeature(payload: Column, dims: Int): Column = {
-    val ck = md5(payload)
+  /** Per-slice brightness feature — the payload is cut into `dims`
+    * contiguous byte slices (boundaries floor(len·i/dims)) and dim i is the
+    * slice's mean unsigned byte value normalized to [0, 1): the trivial
+    * image feature (mean brightness per region) computed for real, in one
+    * fused [[graft.functions.ByteSliceSums]] codegen pass over the bytes.
+    * A heavier deployment replaces the slice statistic with a codec+encoder
+    * call in the same per-row projection shape (no shuffle, embarrassingly
+    * parallel). Empty slices map to 0. */
+  def sliceBrightness(payload: Column, nBytes: Column, dims: Int): Column =
     transform(
-      sequence(lit(0), lit(dims - 1)),
-      i => pmod(hash(ck, i), lit(1000)).cast(DoubleType) / 1000.0)
-  }
+      graft.functions.VectorExprs.byteSliceSums(payload, dims),
+      (s, i) => s.cast(DoubleType) / (lit(255.0) * greatest(
+        floor(nBytes * (i + 1) / lit(dims)) - floor(nBytes * i / lit(dims)),
+        lit(1))))
 
-  /** Feature extraction over the asset table: fake-decoded feature vector +
-    * frame-sample offsets for a 4-frame sampling of the payload. noOracle
-    * (murmur-based fake features are engine-specific); shape and
-    * determinism asserted in MultimodalSpec.
-    *
-    * The registered query renders both array columns as stable strings
-    * (fixed-precision for the doubles) — the driver's rows-only comparator
-    * sorts every output column, and raw arrays aren't sortable there. The
-    * array-typed variant stays available to library users via
-    * [[featureFrame]]. */
+  /** Feature extraction over the asset table: per-slice brightness vector +
+    * frame-sample offsets for a 4-frame sampling of the payload. Library
+    * surface (array-typed); the registered query below renders the exact
+    * integer slice sums instead so the driver's sorted-column hash compare
+    * applies and no float formatting can diverge between engines. */
   def featureFrame(s: SparkSession, d: String): DataFrame =
     assets(s, d).select(
       col("asset_id"),
       col("media_type"),
-      fakeDecodeFeature(col("payload"), 8).as("feature"),
+      sliceBrightness(col("payload"), col("n_bytes"), 8).as("feature"),
       transform(sequence(lit(0), lit(3)),
         i => floor(col("n_bytes") * i / lit(4)).cast(IntegerType)).as("frame_offsets"))
 
-  val featureStub: QueryDef = QueryDef.noOracle(
-    "mm_feature_stub", "north_star-multimodal") { (s, d) =>
-    featureFrame(s, d).select(
+  /** FULL-ORACLE feature extraction: the 8 per-slice byte sums (exact
+    * integers — the un-normalized numerators of [[sliceBrightness]]) and
+    * the 4 frame offsets, comma-joined. DuckDB recomputes every slice sum
+    * from the same document text via substr + per-char ascii (text is pure
+    * ASCII in this corpus, so char functions equal byte functions); any
+    * slice-boundary or summing bug in the codegen expression breaks the
+    * hash compare. */
+  val featureVec: QueryDef = QueryDef(
+    "mm_feature_vec", "C15 north_star-multimodal",
+    """SELECT doc_id AS asset_id,
+      |  'application/octet-stream' AS media_type,
+      |  array_to_string(list_transform(range(0, 8), i ->
+      |    coalesce(list_sum(list_transform(
+      |      string_split(substr(text, CAST((strlen(text)*i)//8 AS INT)+1,
+      |        CAST((strlen(text)*(i+1))//8 - (strlen(text)*i)//8 AS INT)), ''),
+      |      c -> ascii(c))), 0)), ',') AS feature_str,
+      |  array_to_string(list_transform(range(0, 4), i ->
+      |    CAST((strlen(text)*i)//4 AS INT)), ',') AS frame_offsets_str
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+    assets(s, d).select(
       col("asset_id"),
       col("media_type"),
-      concat_ws(",", transform(col("feature"),
-        v => format_string("%.6f", v))).as("feature_str"),
-      concat_ws(",", col("frame_offsets")).as("frame_offsets_str"))
+      concat_ws(",", transform(
+        graft.functions.VectorExprs.byteSliceSums(col("payload"), 8),
+        v => v.cast(StringType))).as("feature_str"),
+      concat_ws(",", transform(sequence(lit(0), lit(3)),
+        i => floor(col("n_bytes") * i / lit(4)).cast(IntegerType))
+      ).as("frame_offsets_str"))
       .orderBy("asset_id")
   }
 
@@ -261,5 +281,5 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] =
-    Seq(binaryMeta, featureStub, decodeBatchQuery, chunkRows, frameSample)
+    Seq(binaryMeta, featureVec, decodeBatchQuery, chunkRows, frameSample)
 }

@@ -14,7 +14,7 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]]("payload").length === row.getInt(row.fieldIndex("n_bytes")))
   }
 
-  test("fake decode is deterministic and batch-shaped (8 dims in [0,1))") {
+  test("slice-brightness features are deterministic, batch-shaped, in [0,1)") {
     val f1 = Multimodal.featureFrame(spark, sf).orderBy("asset_id").collect()
     val f2 = Multimodal.featureFrame(spark, sf).orderBy("asset_id").collect()
     assert(f1.map(_.toString).toSeq === f2.map(_.toString).toSeq)
@@ -28,8 +28,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("slice-brightness equals the brute per-byte slice mean") {
+    val rows = Multimodal.assets(spark, sf)
+      .select(col("asset_id"), col("payload"))
+      .join(Multimodal.featureFrame(spark, sf).select(col("asset_id"), col("feature")), "asset_id")
+      .orderBy("asset_id").limit(64).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      val feats = r.getSeq[Double](r.fieldIndex("feature"))
+      val n = b.length
+      val exp = (0 until 8).map { i =>
+        val lo = n.toLong * i / 8
+        val hi = n.toLong * (i + 1) / 8
+        val s = (lo until hi).map(p => (b(p.toInt) & 0xff).toLong).sum
+        s.toDouble / (255.0 * math.max(hi - lo, 1L))
+      }
+      assert(feats === exp)
+    }
+  }
+
   test("registered feature query emits only sortable scalar columns") {
-    val df = Multimodal.featureStub.fn(spark, sf)
+    val df = Multimodal.featureVec.fn(spark, sf)
     assert(df.schema.fields.forall(f =>
       !f.dataType.typeName.startsWith("array")))
     val row = df.first()

@@ -1717,21 +1717,24 @@ object Relational {
     * Scale shape: edge generation is ONE shuffle of lineitem on
     * l_orderkey into a per-order part list, pairs exploded map-side from
     * the list (per-order fan-out is quadratic in order size, which is
-    * small and bounded by the order-line cap) — deliberately kept as
-    * MULTI-edges: Σ over k parallel unit edges equals the weighted
-    * w·(r/W) contribution exactly, so the (src, dst) weight aggregation
-    * (measured as THE dominant shuffle of the first formulation, ~34 MB
-    * per run at sf0.1) is skipped entirely. Multi-edges and out-degrees
-    * are materialized once (lazy `localCheckpoint`); each iteration is a
-    * broadcast of the 1-row-per-node rank frame against the static edge
+    * small and bounded by the order-line cap). The multi-edge stream is
+    * then hash-partitioned by src ONCE and weight-aggregated ON that
+    * partitioning (HashPartitioning(src) satisfies the (src, dst)
+    * clustering requirement, so the aggregate is partition-local — no
+    * second shuffle): the per-iteration frame is the WEIGHTED edge list,
+    * which is bounded by the co-purchase pair space while raw multi-edges
+    * grow linearly with order volume. Weighted edges and out-degrees are
+    * materialized once; each iteration is a shuffle join of the
+    * 1-row-per-node rank frame against the static src-partitioned edge
     * list + one partial-aggregated hash aggregate on dst — no
     * driver-side graph state, rounds fixed at 3.
     *
     * Parity contract: per-node contribution sums are double (order- and
-    * grouping-dependent in the last ulps — the oracle sums w·(r/W) where
-    * the engine sums k unit terms), so each iteration snaps ranks to a
-    * 1e-9 grid — identical inputs to the next round on both engines, the
-    * word-entropy double-sum-under-grid contract. Isolated parts (never
+    * grouping-dependent in the last ulps — both engines now sum weighted
+    * w·(r/W) terms, but in different orders and associativity), so each
+    * iteration snaps ranks to a 1e-9 grid — identical inputs to the next
+    * round on both engines, the word-entropy double-sum-under-grid
+    * contract. Isolated parts (never
     * co-purchased) have no edges and are excluded by construction on
     * both sides. */
   val c14PageRank: QueryDef = QueryDef(
@@ -1782,22 +1785,30 @@ object Relational {
     * least one out-edge. */
   def pageRankRanks(edgeList: DataFrame, iters: Int): DataFrame = {
     // The edge list is the data-scaled frame: hash-partition it by the join
-    // key ONCE at materialization. localCheckpoint pins that partitioning in
-    // the LogicalRDD, so every per-iteration join shuffles only the rank
-    // side. The rank vector is O(#nodes) — also data-scaled — so it is NEVER
-    // broadcast: shuffle_hash hints pin the shuffled plan even where AQE
-    // would auto-broadcast the small side at test scale. The only broadcast
-    // left is `nn`, a single-row count — bounded at any scale.
-    // explicit partition count (AQE never coalesces a user-numbered
-    // repartition) + persist, NOT checkpoint: InMemoryRelation preserves
-    // HashPartitioning(src, np) so the per-iteration join requirement is
-    // already satisfied on the edge side (a lazy localCheckpoint under AQE
-    // reports unknown partitioning and would re-exchange every iteration)
+    // key ONCE at materialization, and AGGREGATE the unit edges to weights
+    // riding that same partitioning — HashPartitioning(src) satisfies the
+    // (src, dst) clustering requirement, so the groupBy is partition-local
+    // (one shuffle total) and the frame every iteration scans is the
+    // weighted pair list, not the raw multi-edge stream (verified
+    // bit-identical: Σ over k unit r/W terms = k·(r/W) in double, and both
+    // land inside the 1e-9 snap). The rank vector is O(#nodes) — also
+    // data-scaled — so it is NEVER broadcast: shuffle_hash hints pin the
+    // shuffled plan even where AQE would auto-broadcast the small side at
+    // test scale. The only broadcast left is `nn`, a single-row count —
+    // bounded at any scale. Explicit partition count (AQE never coalesces
+    // a user-numbered repartition) + persist, NOT checkpoint:
+    // InMemoryRelation preserves HashPartitioning(src, np) so the
+    // per-iteration join requirement is already satisfied on the edge side
+    // (a lazy localCheckpoint under AQE reports unknown partitioning and
+    // would re-exchange every iteration)
     val np = edgeList.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = edgeList.repartition(np, col("src")).persist()
+    val edges = edgeList.repartition(np, col("src"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast(DoubleType).as("w"))
+      .persist()
     // out-degree doubles as the node list (every node has edges); the
-    // aggregate rides the pinned src partitioning — no extra shuffle
-    val outw = edges.groupBy("src").agg(count(lit(1)).as("tw")).persist()
+    // aggregate rides the pinned src partitioning — no extra shuffle.
+    // sum(w) over doubles holding small integers is exact, = the unit count
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("tw")).persist()
     val nodes = outw.select(col("src").as("id"))
     val nn = outw.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nn))
@@ -1819,7 +1830,7 @@ object Relational {
     val contrib = edges
       .join(rate.hint("shuffle_hash"), Seq("src"))
       .groupBy(col("dst").as("id"))
-      .agg(sum(col("rw")).as("c"))
+      .agg(sum(col("w") * col("rw")).as("c"))
     nodes
       .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
       .crossJoin(broadcast(nn))

@@ -26,9 +26,11 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     val np = spark.sessionState.conf.numShufflePartitions
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
-      .toDF("src", "dst").repartition(np, col("src")).persist()
+      .toDF("src", "dst").repartition(np, col("src"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      .persist()
     try {
-      val outw = edges.groupBy("src").agg(count(lit(1)).as("tw")).persist()
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("tw")).persist()
       try {
         val nodes = outw.select(col("src").as("id"))
         val nn = outw.agg(count(lit(1)).as("cnt"))

@@ -346,9 +346,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nbr_label").as("nbr_min"))
-      labels = labels.join(nbrMin, "id")
+      val next = labels.join(nbrMin, "id")
         .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
         .localCheckpoint()
+      // the superseded label checkpoint is dead once `next` materialized;
+      // free its blocks now instead of waiting for a driver GC cycle
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+      labels = next
       val nextSum = labels.agg(sum("label")).head().getLong(0)
       converged = nextSum == labelSum
       labelSum = nextSum

@@ -1813,8 +1813,15 @@ object Relational {
     val nn = outw.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
-    for (_ <- 1 to iters) // eager checkpoint: truncate lineage per iteration
-      r = pageRankStep(edges, outw, nodes, nn, r).localCheckpoint(true)
+    for (_ <- 1 to iters) { // eager checkpoint: truncate lineage per iteration
+      val next = pageRankStep(edges, outw, nodes, nn, r).localCheckpoint(true)
+      // `next` is fully materialized, so the superseded checkpoint's blocks
+      // can be dropped NOW instead of lingering until a driver GC cycle
+      // lets the ContextCleaner find them (iterative loops otherwise leak
+      // one checkpoint per iteration per run into the block manager).
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(r)
+      r = next
+    }
     edges.unpersist(false); outw.unpersist(false) // r is materialized
     r
   }

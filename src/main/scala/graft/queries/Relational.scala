@@ -1870,6 +1870,35 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** C12: rolling MEDIAN over a bounded ROWS frame — per-customer median
+    * spend across the trailing 5 orders, the robust-statistics window
+    * (median smoothing) that mean-based frames can't express. Spark has no
+    * dedicated windowed-median, but exact `percentile` evaluates per frame;
+    * with a BOUNDED frame (w = 5) that is O(w log w) per row — linear
+    * overall, one hash shuffle on the partition key, no per-group
+    * materialization, so the shape survives any row count (an UNBOUNDED
+    * frame would not — that path belongs to the approx-sketch twin
+    * discipline of c9_quantiles_approx). Deterministic ORDER BY
+    * (day, orderkey) pins frame contents under same-day orders; output
+    * snaps to the 1e-6 grid (Spark a + f·(b−a) vs DuckDB (1−f)·a + f·b
+    * interpolation, the c9_quantiles contract). */
+  val c12RollingMedian: QueryDef = QueryDef(
+    "c12_rolling_median", "C12 C9",
+    """SELECT o_custkey, o_orderkey,
+      |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med_5
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(percentile(col("o_totalprice").cast(DoubleType), lit(0.5)).over(w), 6)
+        .as("med_5"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** C12: ntile + first/last value over an explicit full frame. */
   val c12Ntile: QueryDef = QueryDef(
     "c12_ntile_first_last", "C12",
@@ -2488,7 +2517,8 @@ object Relational {
     c9QuantilesApprox, c9ExactMoments, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,
     c20TypedMapGroups,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets, c11Unpivot,
-    c12Window, c12RangeFrame, c12Ntile, c12Dist, c12GapsIslands, b1LatestOn,
+    c12Window, c12RangeFrame, c12RollingMedian, c12Ntile, c12Dist,
+    c12GapsIslands, b1LatestOn,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c14IntersectAll, c14ExceptAll, c14RecursiveCte, c5LateralTopk,

@@ -288,6 +288,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Importance resampling by Bernoulli thinning — the DoReMi/DSIR-style
+    * "sample documents proportional to weight" step, Poissonized: each doc
+    * is kept independently with probability wt/max(wt), so the kept corpus
+    * is distributed ∝ weight without fixed-k coordination. The uniform
+    * draw is a deterministic 48-bit hash of the doc id (md5 prefix), so
+    * the sample is reproducible across re-shards and engines.
+    *
+    * Portability contract: the keep test uses ONLY IEEE-exact operations
+    * (hash-integer → double is exact below 2⁵³, division and comparison
+    * are bit-specified) — deliberately NOT the ln(u)/w exponential-key
+    * reservoir form, whose transcendental differs in the last ulp across
+    * libm implementations and could flip a selection at the cutoff. Scale
+    * shape: one scan + a 1-row max broadcast + a stateless filter — no
+    * shuffle, embarrassingly parallel at any corpus size. */
+  val importanceThin: QueryDef = QueryDef(
+    "pipeline_importance_thin", "C2 C9 north_star-pipeline",
+    """WITH w AS (
+      |  SELECT doc_id, least(n_chars, 2000) AS wt,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
+      |      / 281474976710656.0 AS u
+      |  FROM documents),
+      |mx AS (SELECT CAST(max(wt) AS DOUBLE) AS maxw FROM w)
+      |SELECT doc_id, wt FROM w, mx
+      |WHERE u < CAST(wt AS DOUBLE) / maxw
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      least(col("n_chars"), lit(2000)).as("wt"),
+      (conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+        .cast(LongType).cast(DoubleType) / 281474976710656.0).as("u"))
+    val mx = base.agg(max(col("wt")).cast(DoubleType).as("maxw"))
+    base.crossJoin(broadcast(mx))
+      .where(col("u") < col("wt").cast(DoubleType) / col("maxw"))
+      .select("doc_id", "wt")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing — the concat-and-split layout LLM training uses:
     * documents are laid end-to-end in a deterministic order and cut into
     * fixed token-budget sequences, so each doc gets the pack it starts in,
@@ -696,7 +733,8 @@ object Curation {
 
   val all: Seq[QueryDef] = Seq(
     curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
-    trainValSplit, repetitionScore, stratifiedSample, sequencePack, chunkDocs,
+    trainValSplit, repetitionScore, stratifiedSample, importanceThin,
+    sequencePack, chunkDocs,
     dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply, winsorize,
     tokenBudget)
 }

@@ -176,6 +176,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("importance thinning keeps docs proportionally to weight, deterministically") {
+    val q = graft.Registry.queries("pipeline_importance_thin")
+    val kept1 = q(spark, sf).collect().map(_.getLong(0)).toSet
+    val kept2 = q(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(kept1 === kept2) // hash-deterministic, no RNG state
+    assert(kept1.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), least(col("n_chars"), lit(2000)).as("wt")).collect()
+    assert(kept1.size < docs.length, "thinning must actually drop rows")
+    // empirical keep rate must grow with weight: split at the median weight
+    val wts = docs.map(_.getLong(1)).sorted
+    val medw = wts(wts.length / 2)
+    val (hi, lo) = docs.partition(_.getLong(1) > medw)
+    def rate(rows: Array[org.apache.spark.sql.Row]) =
+      if (rows.isEmpty) 0.0
+      else rows.count(r => kept1(r.getLong(0))).toDouble / rows.length
+    assert(rate(hi) > rate(lo),
+      s"high-weight keep rate ${rate(hi)} must exceed low-weight ${rate(lo)}")
+  }
+
   test("pipeline and dedup helpers tolerate empty input (empty partitions are routine at scale)") {
     val empty = graft.Tables.documents(spark, sf).limit(0)
     assert(Curation.curate(empty, 20, 5000, 0.8).count() === 0L)

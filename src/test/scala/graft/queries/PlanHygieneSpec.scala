@@ -33,7 +33,8 @@ class PlanHygieneSpec extends SparkSpec {
     "c19_nb_classifier" -> "broadcast class list + vocab/corpus scalars: |classes| and 1-row aggregates",
     "c19_dsir_weights" -> "broadcast (n_target, n_raw, vocab) scalars: 1-row aggregate",
     "c19_bigram_ppl" -> "broadcast vocabulary-size scalar: 1-row aggregate",
-    "pipeline_mix_balance" -> "broadcast per-language keep-rate grid: |languages| rows"
+    "pipeline_mix_balance" -> "broadcast per-language keep-rate grid: |languages| rows",
+    "pipeline_importance_thin" -> "broadcast max-weight scalar: 1-row aggregate"
   )
 
   private def bnljWhitelist: Set[String] =

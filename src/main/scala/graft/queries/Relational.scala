@@ -1707,6 +1707,42 @@ object Relational {
       .orderBy("event_type", "h")
   }
 
+  /** B2/C9: incremental rollup maintenance — the production pattern for
+    * keeping an hourly aggregate table fresh without rescanning history:
+    * the stored rollup (here, events before a cutoff) and the new-arrivals
+    * delta are each reduced to MERGEABLE partials (count + exact DECIMAL
+    * sum), unioned, and re-aggregated; derived statistics (the average)
+    * are computed only from the merged partials, never stored. Because the
+    * partials are associative and the sums decimal-exact, the incremental
+    * result is bit-identical to a full recompute — which is exactly what
+    * the oracle does (DuckDB computes the straight one-pass aggregate), so
+    * the green row IS the merge-correctness proof. At 100 TB the "old"
+    * branch is a stored aggregate table (O(groups), not O(events)) and
+    * only the delta touches raw data; the merge shuffles O(groups) rows. */
+  val b2IncrementalRollup: QueryDef = QueryDef(
+    "b2_incremental_rollup", "B2 C9",
+    """SELECT event_type, date_trunc('hour', ts) AS h,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS avg_v
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin) { (s, d) =>
+    val ev = events(s, d).select(
+      col("event_type"), date_trunc("hour", col("ts")).as("h"),
+      col("ts"), col("value"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"))
+    val cutoff = lit("2024-01-15 00:00:00").cast(TimestampNTZType)
+    partial(ev.where(col("ts") < cutoff))            // the stored rollup
+      .unionAll(partial(ev.where(col("ts") >= cutoff))) // the delta
+      .groupBy("event_type", "h")                    // merge partials
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+      .select(col("event_type"), col("h"), col("n"),
+        col("tot").cast(DoubleType).as("total"),
+        round(col("tot").cast(DoubleType) / col("n"), 6).as("avg_v"))
+      .orderBy("event_type", "h")
+  }
+
   /** C14/C9: weighted PageRank over the part co-purchase graph — iterative
     * graph analytics beyond connected components ([[graft.dedup.Dedup
     * .connectedComponents]]): edges join parts appearing in the same order
@@ -2526,7 +2562,8 @@ object Relational {
     c15Collect, c15Math, c15Null, c15Map,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
-    b2Ohlc, b2Twap, b2GapDetect, c9Histogram, c10TypeOverlap,
+    b2Ohlc, b2Twap, b2GapDetect, b2IncrementalRollup, c9Histogram,
+    c10TypeOverlap,
     c12EventSequences, c14PageRank,
     b3PerUser)
 }

@@ -5,7 +5,9 @@
 #
 # Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
 # Committed baseline: seeds 42/7/1337/2026 × 150 — 600/600 green at
-# sf0.01 (2026-08-12) over the eight-table surface (orders/lineitem/
+# sf0.01 (re-swept 2026-08-14 with the windowed-quantile draw: random
+# bounded ROWS frames, percentile vs quantile_cont OVER, 1e-6 snap)
+# over the eight-table surface (orders/lineitem/
 # customer/part/supplier/nation/events/documents), covering projection
 # (mixed-direction
 # ORDER BY) / DISTINCT / aggregate / HAVING / DECIMAL discounted sums /

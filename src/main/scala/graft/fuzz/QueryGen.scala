@@ -703,6 +703,51 @@ object QueryGen {
     }
   }
 
+  /** Windowed interpolated quantile over a bounded ROWS frame (the
+    * c12_rolling_median shape under random geometry): random numeric
+    * column, random frame depth, random f ∈ {0.25, 0.5, 0.75}, snapped to
+    * the 1e-6 grid on both engines (percentile's a + f·(b−a) vs
+    * quantile_cont's (1−f)·a + f·b, one ulp apart). Frame contents are
+    * deterministic because the ORDER BY covers the source's key tuple AND
+    * the measured value: any residual ties are value-identical, so every
+    * frame sees the same multiset and the output multiset is pinned. */
+  private def windowMedianQuery(r: Random, name: String): FuzzQuery = {
+    val src = pick(r, sources)
+    val pred = genPred(r, src)
+    val where = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val numeric = src.cols.filter(c =>
+      c.kind == KLong || c.kind == KInt || c.kind == KMoney || c.kind == KIntDouble)
+    groupKeyRaw(r, src) match {
+      case Some((gRaw, gSql)) if numeric.nonEmpty =>
+        val v = pick(r, numeric)
+        val k = 2 + r.nextInt(5)
+        val f = pick(r, Seq("0.25", "0.5", "0.75"))
+        val oks = src.orderKeys.zipWithIndex.map { case (c, i) => (s"ok$i", c) }
+        val selSql = (oks.map { case (a, c) => s"$c AS $a" } :+
+          s"CAST(${v.name} AS DOUBLE) AS v").mkString(", ")
+        val orderSql = (oks.map(_._1) :+ "v").map(a => s"$a NULLS FIRST").mkString(", ")
+        val sql =
+          s"SELECT k0, ${oks.map(_._1).mkString(", ")}, v, " +
+            s"round(quantile_cont(v, $f) OVER (PARTITION BY k0 ORDER BY $orderSql " +
+            s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW), 6) AS med " +
+            s"FROM (SELECT $gSql AS k0, $selSql FROM ${src.sqlFrom}$where) t"
+        FuzzQuery(name, sql, (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val df0 = src.build(s, d)
+          val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
+          val proj = df1.select(gRaw.as("k0") +:
+            (oks.map { case (a, c) => col(c).as(a) } :+
+              col(v.name).cast("double").as("v")): _*)
+          val w = Window.partitionBy(col("k0"))
+            .orderBy((oks.map(_._1) :+ "v").map(a => col(a).asc_nulls_first): _*)
+            .rowsBetween(-k, Window.currentRow)
+          proj.select(col("k0") +: (oks.map(a => col(a._1)) :+ col("v") :+
+            round(percentile(col("v"), lit(f.toDouble)).over(w), 6).as("med")): _*)
+        })
+      case _ => fallbackCount(name, src, pred, where)
+    }
+  }
+
   /** As-of join over the events table: for each left-type event, the
     * latest right-type event of the same user at-or-before its timestamp.
     * Exercises the library's ScaleOps.asofJoin operator (union + window)
@@ -905,6 +950,7 @@ object QueryGen {
         case s if s >= 21 => saltQuery(r, name)
         case s if s >= 19 => rangeQuery(r, name)
         case s if s >= 16 => asofQuery(r, name)
+        case s if s >= 15 => windowMedianQuery(r, name)
         case s if s >= 14 => windowQuery(r, name)
         case s if s >= 12 => setOpQuery(r, name)
         case s if s >= 10 => semiAntiQuery(r, name)

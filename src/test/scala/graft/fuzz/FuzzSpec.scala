@@ -23,6 +23,9 @@ import graft.SparkSpec
   * column, so the fuzzer groups on raw exprs and renames positionally),
   * exact interpolated quantiles (percentile vs quantile_cont),
   * UNION/INTERSECT/EXCEPT (set and bag ALL semantics), windowed top-k,
+  * windowed interpolated quantiles over random bounded ROWS frames
+  * (the c12_rolling_median shape: random column/frame-depth/f, value
+  * included in the ORDER BY so residual ties are value-identical),
   * as-of joins in all four
   * semantics — backward/forward × inclusive/strict
   * (the ScaleOps.asofJoin operator vs DuckDB's inequality-join +
@@ -51,7 +54,7 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    assert(hex === "1ee2da9dc28c9be0e65a534d4610e60e7afc41bf")
+    assert(hex === "a7da9a5e351b342db36d62330ebf0643af9b5dfa")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

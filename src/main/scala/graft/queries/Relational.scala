@@ -1803,13 +1803,17 @@ object Relational {
       |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
       |SELECT id AS part_id, r AS rank FROM r3 ORDER BY part_id""".stripMargin) { (s, d) =>
     val li = lineitem(s, d).select("l_orderkey", "l_partkey")
-    // one shuffle on l_orderkey; both pair directions explode map-side,
-    // kept as multi-edges (each lineitem-row pair = one unit edge)
-    val edges = li.groupBy("l_orderkey")
-      .agg(collect_list(col("l_partkey")).as("ps"))
-      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
-      .select(col("src"), col("i"), posexplode(col("ps")).as(Seq("j", "dst")))
-      .where(col("i") =!= col("j") && col("src") =!= col("dst"))
+    // pair generation as a same-key self-join — the oracle's own e0 shape:
+    // one exchange on l_orderkey that AQE reuses for both sides
+    // (ReusedExchange), per-order pairs emitted by a fully-codegen'd
+    // shuffled hash join. This replaced a collect_list + double-posexplode
+    // formulation whose ObjectHashAggregate ran object-at-a-time outside
+    // whole-stage codegen and carried the per-order array through every
+    // intermediate pair row. Same multiset: row pairs with equal parts
+    // (including a row paired with itself) are excluded by src ≠ dst.
+    val edges = li.toDF("k", "src")
+      .join(li.toDF("k", "dst").hint("shuffle_hash"), "k")
+      .where(col("src") =!= col("dst"))
       .select("src", "dst")
     pageRankRanks(edges, iters = 3)
       .select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")

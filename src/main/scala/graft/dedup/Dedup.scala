@@ -141,6 +141,72 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental-ingestion dedup — flag each NEW document that near-dups a
+    * document already in the corpus, without ever pairing historical docs
+    * with each other. This is the production shape for continuous
+    * ingestion: at 100 TB the historical side's banded signatures are a
+    * STORED index (computed once at ingest time, bucketed by
+    * (band, band_hash)); each arriving batch computes bands only for its
+    * own documents and probes the index, so per-batch cost is
+    * O(batch · k) + collisions — full-corpus re-dedup never happens, and
+    * the old×old quadrant (the overwhelming bulk of pair space) is never
+    * generated. Here the split is simulated by doc_id % 5 (new = multiples
+    * of 5); candidates are exact-verified like [[minhashLsh]], whose
+    * recall-1-on-this-corpus premise covers this cross-split subset of the
+    * same pair space (same signature parameters). */
+  val incrementalDedup: QueryDef = QueryDef(
+    "c17_incremental_dedup", "C17 C16",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS grams
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, len(grams) AS n FROM sh
+      |), gr AS (SELECT doc_id, unnest(grams) AS g FROM sh
+      |), inter AS (
+      |  SELECT n.doc_id AS new_doc, o.doc_id AS old_doc, count(*) AS i
+      |  FROM gr n JOIN gr o ON n.g = o.g
+      |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT new_doc, old_doc, CAST(i AS DOUBLE) / (sn.n + so.n - i) AS jaccard
+      |FROM inter JOIN sizes sn ON sn.doc_id = new_doc JOIN sizes so ON so.doc_id = old_doc
+      |WHERE CAST(i AS DOUBLE) / (sn.n + so.n - i) >= 0.7
+      |ORDER BY new_doc, old_doc""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 5 === 0
+    incrementalNearDups(docs.where(!isNew), docs.where(isNew),
+      k = 64, bands = 16, threshold = 0.7)
+      .orderBy("new_doc", "old_doc")
+  }
+
+  /** (oldDocs, newDocs) → verified cross-split near-dup pairs
+    * (new_doc, old_doc, jaccard ≥ threshold). The banded-probe half of
+    * [[minhashPairs]]: only the new side joins against the old side's
+    * band buckets, so historical pairs are never candidates. */
+  def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    def banded(df: DataFrame, idAlias: String) = df.select(
+      col("doc_id").as(idAlias),
+      posexplode(graft.functions.HashExprs.minhashBands(tokens(col("text")), 3, k, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cand = banded(newDocs, "new_doc")
+      .join(banded(oldDocs, "old_doc"), Seq("band", "band_hash"))
+      .select("new_doc", "old_doc")
+      .dropDuplicates("new_doc", "old_doc")
+    val shNew = newDocs.select(col("doc_id").as("new_doc"), shingles(col("text")).as("sh_n"))
+    val shOld = oldDocs.select(col("doc_id").as("old_doc"), shingles(col("text")).as("sh_o"))
+    cand.join(shNew, Seq("new_doc")).join(shOld, Seq("old_doc"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_o"))).cast(DoubleType) /
+          size(array_union(col("sh_n"), col("sh_o"))))
+      .where(col("jaccard") >= threshold)
+      .select("new_doc", "old_doc", "jaccard")
+  }
+
   /** 64-bit SimHash per document from distinct word tokens (one murmur per
     * token, single pass — [[graft.functions.SimHashSig]]). */
   def simhash(text: Column): Column =
@@ -748,6 +814,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, keepFirst, minhashLsh, simhashPairs, ngramJaccard, dedupClusters,
+    Seq(exact, keepFirst, minhashLsh, incrementalDedup, simhashPairs,
+      ngramJaccard, dedupClusters,
       spanDedup, textEmbedNearDup, editDistJoin, passageDedup, containment)
 }

@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpec {
         "c17_minhash_lsh oracle against the regenerated testdata")
   }
 
+  test("incremental dedup finds exactly the cross-split subset of the full pair set") {
+    val inc = Dedup.incrementalDedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.nonEmpty)
+    // flags only new-vs-old pairs, never within-split
+    inc.foreach { case (n, o) =>
+      assert(n % 5 == 0 && o % 5 != 0, s"($n, $o) is not a new-vs-old pair")
+    }
+    // equals the full corpus-wide pair set restricted to cross-split pairs
+    val full = Dedup.minhashPairs(graft.Tables.documents(spark, sf), 64, 16, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFull = full.filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+    val incCanon = inc.map { case (n, o) => if (n < o) (n, o) else (o, n) }.toSet
+    assert(incCanon === crossFull,
+      "incremental probe diverged from the full pair set's cross-split slice")
+  }
+
   test("hot-gram df cap keeps boilerplate shingles from going quadratic") {
     import spark.implicits._
     // 30 docs sharing a boilerplate opening, each with unique tail content,

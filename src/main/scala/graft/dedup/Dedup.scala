@@ -651,14 +651,22 @@ object Dedup {
     // cap+1 postings so an overflow is DETECTABLE: size == cap+1 means the
     // bounded aggregate dropped at least one id
     val postings = udaf(new graft.functions.BoundedDistinct(bucketCap + 1))
+    // Cost profile (measured at sf0.1, round 10): this operator's wall time
+    // is OUTPUT-BOUND on the bench corpus — zero-padded `Customer#%09d`
+    // names form dense digit neighborhoods (~13 true ed≤1 pairs per name),
+    // so the candidate/verify/sort stages process O(true pairs) rows and a
+    // singleton-bucket pre-filter (tried: codegen window count before the
+    // object aggregate) measured neutral. On real name data, buckets are
+    // singleton-dominated and the BoundedDistinct aggregate only ever sees
+    // small groups either way.
     val buckets = strings
       // variant generation is CPU-heavy and the dimension fits one parquet
       // row group — spread it before the explode (single-task-scan fix)
       .repartition(col("id"))
       .select(col("id"), explode(variants).as("v"))
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
-      // singleton buckets (the vast majority) can't pair — drop them BEFORE
-      // the two Generate passes instead of after the i<j filter
+      // singleton buckets can't pair — drop them BEFORE the two Generate
+      // passes instead of after the i<j filter
       .where(size(col("ids")) >= 2)
     val capped =
       if (failOnOverflow) buckets.select(

@@ -1724,7 +1724,7 @@ object Relational {
     """SELECT event_type, date_trunc('hour', ts) AS h,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
-      |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS avg_v
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_v
       |FROM events GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin) { (s, d) =>
     val ev = events(s, d).select(
       col("event_type"), date_trunc("hour", col("ts")).as("h"),
@@ -1739,7 +1739,12 @@ object Relational {
       .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
       .select(col("event_type"), col("h"), col("n"),
         col("tot").cast(DoubleType).as("total"),
-        round(col("tot").cast(DoubleType) / col("n"), 6).as("avg_v"))
+        // NOT rounded: both operands are exact (decimal sum below 2⁵³,
+        // integer count), so the IEEE quotient is bit-identical on both
+        // engines — while round(·, 6) would DIVERGE near grid midpoints
+        // (Spark rounds the exact binary value, DuckDB the shortest
+        // decimal repr; the sf1 gate caught exactly that on one row)
+        (col("tot").cast(DoubleType) / col("n")).as("avg_v"))
       .orderBy("event_type", "h")
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -226,6 +227,51 @@ object StreamingJobs {
       dim: DataFrame,
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Streaming twin of the batch `b2_incremental_rollup` query: a
+    * `foreachBatch` sink that maintains a STORED hourly rollup by merging
+    * each micro-batch's mergeable partials (count + exact DECIMAL sum)
+    * into the previous state — the aggregate-table-maintenance pattern
+    * where history is never rescanned: per batch the work is
+    * O(batch) + O(groups), whatever the table's age. State generations
+    * are versioned by batchId (`v=<id>` directories), so the write is a
+    * pure function of (previous state, batch, batchId) and a failure
+    * replay rewrites the SAME generation byte-identically instead of
+    * double-counting — the [[writeBatchIdempotent]] recipe applied to
+    * stateful maintenance. The partial schema is pinned (n: long,
+    * tot: DECIMAL(30,2)) so every generation is union-compatible with the
+    * next batch's partials; decimal re-aggregation is exact and
+    * associative, so after any number of batches the state equals the
+    * one-pass aggregate over all rows seen (asserted in StreamingSpec). */
+  def mergeRollupBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    def pinned(df: DataFrame): DataFrame = df.select(
+      col("event_type"), col("h"), col("n").cast("long").as("n"),
+      col("tot").cast(DecimalType(30, 2)).as("tot"))
+    val partial = pinned(batch.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(14, 2))).as("tot")))
+    val prevDir = s"$stateDir/v=${batchId - 1}"
+    val prev =
+      if (new java.io.File(prevDir).exists()) spark.read.parquet(prevDir)
+      else partial.limit(0)
+    val merged = pinned(prev.unionByName(partial)
+      .groupBy("event_type", "h")
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot")))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
+  /** Wire [[mergeRollupBatch]] into a streaming query over
+    * (event_type, h, value) rows. */
+  def rollupMaintenanceSink(
+      df: DataFrame,
+      stateDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeRollupBatch(batch, batchId, stateDir)
+      }
+      .start()
 
   /** Exactly-once to a non-transactional sink: the idempotent-replay
     * `foreachBatch` recipe. Structured Streaming guarantees a micro-batch

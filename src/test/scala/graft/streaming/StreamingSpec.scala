@@ -271,6 +271,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Map(1L -> "gold", 2L -> "basic", 3L -> "<null>"))
   }
 
+  test("foreachBatch rollup maintenance: state equals the one-pass aggregate, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("roll_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("roll_ckpt").toString
+    val in = MemoryStream[(String, Int, Double)]
+    val q = StreamingJobs.rollupMaintenanceSink(
+      in.toDF().toDF("event_type", "h", "value"), state, ckpt)
+    def latestState(): org.apache.spark.sql.DataFrame = {
+      val vs = new java.io.File(state).listFiles().map(_.getName)
+        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+      spark.read.parquet(s"$state/v=${vs.max}")
+    }
+    def assertEqualsFull(rows: Seq[(String, Int, Double)]): Unit = {
+      val full = rows.toDF("event_type", "h", "value")
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).as("tot"))
+        .select(col("event_type"), col("h"), col("n"),
+          col("tot").cast("decimal(30,2)").as("tot"))
+      val st = latestState()
+      // parquet roundtrips drop nullability info — compare names + types
+      assert(st.schema.map(f => (f.name, f.dataType)) ===
+        full.schema.map(f => (f.name, f.dataType)))
+      assert(st.exceptAll(full).count() === 0L && full.exceptAll(st).count() === 0L,
+        "merged state diverged from the one-pass aggregate")
+    }
+    val b1 = Seq(("click", 1, 1.25), ("click", 1, 2.50), ("buy", 2, 10.00))
+    in.addData(b1: _*); q.processAllAvailable()
+    assertEqualsFull(b1)
+    val b2 = Seq(("click", 1, 4.00), ("buy", 3, 7.75))
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assertEqualsFull(b1 ++ b2)
+    // failure replay: re-delivering the LAST batch with the same batchId
+    // must rewrite its state generation byte-identically, not double-count
+    val before = latestState().collect().map(_.toString).sorted.toSeq
+    StreamingJobs.mergeRollupBatch(
+      b2.toDF("event_type", "h", "value"), batchId = 1L, stateDir = state)
+    val after = latestState().collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
   test("idempotent foreachBatch sink: batch replay rewrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

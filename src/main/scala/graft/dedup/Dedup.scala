@@ -118,27 +118,36 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // One row per (doc, band) — band hashes come fused out of the signature
-    // expression (one pass per doc, no intermediate signature array).
-    val banded = docs.select(
-      col("doc_id"),
-      posexplode(graft.functions.HashExprs.minhashBands(tokens(col("text")), 3, k, bands)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val banded = bandedSignatures(docs, "doc_id", k, bands)
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("band", "band_hash"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // candidates colliding in >1 band
-    // exact verification only on candidates
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    verifyJaccard(cand, docs, docs, "doc_a", "doc_b", threshold)
+  }
+
+  /** One row per (doc, band) with the band's slice hash — the fused
+    * signature+banding stage shared by [[minhashPairs]] and
+    * [[incrementalNearDups]] (same parameters ⇒ same pair space). */
+  private def bandedSignatures(docs: DataFrame, idAlias: String,
+      k: Int, bands: Int): DataFrame = docs.select(
+    col("doc_id").as(idAlias),
+    posexplode(graft.functions.HashExprs.minhashBands(tokens(col("text")), 3, k, bands)))
+    .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+  /** Exact shingle-set Jaccard verification of candidate pairs
+    * (`aCol`, `bCol`) — computed ONLY for candidates, never all-pairs. */
+  private def verifyJaccard(cand: DataFrame, aDocs: DataFrame, bDocs: DataFrame,
+      aCol: String, bCol: String, threshold: Double): DataFrame = {
+    val shA = aDocs.select(col("doc_id").as(aCol), shingles(col("text")).as("sh_a"))
+    val shB = bDocs.select(col("doc_id").as(bCol), shingles(col("text")).as("sh_b"))
+    cand.join(shA, Seq(aCol)).join(shB, Seq(bCol))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(aCol, bCol, "jaccard")
   }
 
   /** Incremental-ingestion dedup — flag each NEW document that near-dups a
@@ -189,22 +198,14 @@ object Dedup {
   def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
       k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    def banded(df: DataFrame, idAlias: String) = df.select(
-      col("doc_id").as(idAlias),
-      posexplode(graft.functions.HashExprs.minhashBands(tokens(col("text")), 3, k, bands)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val cand = banded(newDocs, "new_doc")
-      .join(banded(oldDocs, "old_doc"), Seq("band", "band_hash"))
+    // same bandedSignatures/verifyJaccard stages as minhashPairs — only the
+    // candidate join shape differs (probe-only, never old×old), so the
+    // recall premise cannot drift between the full and incremental paths
+    val cand = bandedSignatures(newDocs, "new_doc", k, bands)
+      .join(bandedSignatures(oldDocs, "old_doc", k, bands), Seq("band", "band_hash"))
       .select("new_doc", "old_doc")
       .dropDuplicates("new_doc", "old_doc")
-    val shNew = newDocs.select(col("doc_id").as("new_doc"), shingles(col("text")).as("sh_n"))
-    val shOld = oldDocs.select(col("doc_id").as("old_doc"), shingles(col("text")).as("sh_o"))
-    cand.join(shNew, Seq("new_doc")).join(shOld, Seq("old_doc"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_n"), col("sh_o"))).cast(DoubleType) /
-          size(array_union(col("sh_n"), col("sh_o"))))
-      .where(col("jaccard") >= threshold)
-      .select("new_doc", "old_doc", "jaccard")
+    verifyJaccard(cand, newDocs, oldDocs, "new_doc", "old_doc", threshold)
   }
 
   /** 64-bit SimHash per document from distinct word tokens (one murmur per

@@ -73,6 +73,13 @@ object Multimodal {
         floor(nBytes * (i + 1) / lit(dims)) - floor(nBytes * i / lit(dims)),
         lit(1))))
 
+  /** Byte offsets of an `n`-frame even sampling of a payload —
+    * floor(len·i/n) for i in [0, n). Shared by the library frame and the
+    * registered oracle query so the sampling geometry cannot drift. */
+  def frameOffsets(nBytes: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => floor(nBytes * i / lit(n)).cast(IntegerType))
+
   /** Feature extraction over the asset table: per-slice brightness vector +
     * frame-sample offsets for a 4-frame sampling of the payload. Library
     * surface (array-typed); the registered query below renders the exact
@@ -83,8 +90,7 @@ object Multimodal {
       col("asset_id"),
       col("media_type"),
       sliceBrightness(col("payload"), col("n_bytes"), 8).as("feature"),
-      transform(sequence(lit(0), lit(3)),
-        i => floor(col("n_bytes") * i / lit(4)).cast(IntegerType)).as("frame_offsets"))
+      frameOffsets(col("n_bytes"), 4).as("frame_offsets"))
 
   /** FULL-ORACLE feature extraction: the 8 per-slice byte sums (exact
     * integers — the un-normalized numerators of [[sliceBrightness]]) and
@@ -111,9 +117,7 @@ object Multimodal {
       concat_ws(",", transform(
         graft.functions.VectorExprs.byteSliceSums(col("payload"), 8),
         v => v.cast(StringType))).as("feature_str"),
-      concat_ws(",", transform(sequence(lit(0), lit(3)),
-        i => floor(col("n_bytes") * i / lit(4)).cast(IntegerType))
-      ).as("frame_offsets_str"))
+      concat_ws(",", frameOffsets(col("n_bytes"), 4)).as("frame_offsets_str"))
       .orderBy("asset_id")
   }
 

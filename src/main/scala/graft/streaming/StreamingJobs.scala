@@ -245,19 +245,34 @@ object StreamingJobs {
     * one-pass aggregate over all rows seen (asserted in StreamingSpec). */
   def mergeRollupBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
     val spark = batch.sparkSession
+    // Resolve paths through the session's Hadoop FileSystem, NOT java.io:
+    // the state lives wherever the deployment points it (HDFS/S3/local),
+    // and a java.io existence probe on a remote URI is always false —
+    // which would silently reset the rollup to the current batch.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(hconf)
+    def gen(id: Long) = new org.apache.hadoop.fs.Path(statePath, s"v=$id")
     def pinned(df: DataFrame): DataFrame = df.select(
       col("event_type"), col("h"), col("n").cast("long").as("n"),
       col("tot").cast(DecimalType(30, 2)).as("tot"))
     val partial = pinned(batch.groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(14, 2))).as("tot")))
-    val prevDir = s"$stateDir/v=${batchId - 1}"
     val prev =
-      if (new java.io.File(prevDir).exists()) spark.read.parquet(prevDir)
+      if (fs.exists(gen(batchId - 1))) spark.read.parquet(gen(batchId - 1).toString)
       else partial.limit(0)
     val merged = pinned(prev.unionByName(partial)
       .groupBy("event_type", "h")
       .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot")))
-    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    merged.write.mode("overwrite").parquet(gen(batchId).toString)
+    // Prune dead generations: a failure replay can only re-deliver THIS
+    // batch (needing v=batchId-1); anything older is unreachable, and
+    // keeping it would grow state storage as O(batches × groups).
+    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(statePath, "v=*"))
+    if (stale != null) stale.map(_.getPath).foreach { p =>
+      val id = p.getName.stripPrefix("v=").toLongOption
+      if (id.exists(_ < batchId - 1)) fs.delete(p, true)
+    }
   }
 
   /** Wire [[mergeRollupBatch]] into a streaming query over

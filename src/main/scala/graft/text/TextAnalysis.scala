@@ -400,16 +400,43 @@ object TextAnalysis {
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
 
-  private val tcCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val tcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, DataFrame)]
+
+  /** Latest modification timestamp under the documents table at `dir` —
+    * the cache-staleness fingerprint (resolved through the session's
+    * Hadoop FileSystem so remote stores fingerprint too). */
+  private def docsFingerprint(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listed = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*"))
+    val stats = if (listed != null && listed.nonEmpty) listed
+                else fs.globStatus(p)
+    if (stats == null || stats.isEmpty) 0L
+    else stats.map(_.getModificationTime).max
+  }
 
   /** Session-cached materialization of [[termCounts]] over the documents
     * table at `dir`: in pipeline use the four unigram consumers run in the
     * same session, so the cache collapses four tokenize+count corpus scans
-    * into one (lazy localCheckpoint — built at first use, reused after). */
-  def sharedTermCounts(s: SparkSession, d: String): DataFrame =
-    tcCache.getOrElseUpdate((s, d),
-      termCounts(Tables.documents(s, d)).localCheckpoint(false))
+    * into one (lazy localCheckpoint — built at first use, reused after).
+    * The entry is fingerprinted by the table's latest modification time:
+    * if the corpus at `dir` is rewritten mid-session, the stale
+    * checkpoint's blocks are freed and the counts rebuilt instead of
+    * silently serving the old data. */
+  def sharedTermCounts(s: SparkSession, d: String): DataFrame = {
+    val fp = docsFingerprint(s, d)
+    tcCache.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) =>
+          org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(old)
+        }
+        val fresh = termCounts(Tables.documents(s, d)).localCheckpoint(false)
+        tcCache.put((s, d), (fp, fresh))
+        fresh
+    }
+  }
 
   /** documents(doc_id, text) → top-`topK` TF-IDF terms per document
     * (doc_id, rnk, term, tf, score). See [[tfidfTopTerms]]. `counts`

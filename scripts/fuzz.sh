@@ -23,8 +23,9 @@
 # random window geometry and bin widths vs the binless overlap oracle) /
 # salted join (vs plain equi-join) / ROLLUP / CUBE /
 # random GROUPING SETS / CASE WHEN / COALESCE /
-# date_trunc shapes; seed 42 also 150/150 at sf0.1, and a fresh-seed
-# confirmation sweep (seed 555 × 200) 200/200 green (2026-08-13).
+# date_trunc shapes; seed 42 also 150/150 at sf0.1, and fresh-seed
+# confirmation sweeps (seed 555 × 200 on 2026-08-13; seed 888 × 200 on
+# 2026-08-14, with the windowed-quantile draw) both 200/200 green.
 set -euo pipefail
 SEED=${1:-42}
 N=${2:-120}

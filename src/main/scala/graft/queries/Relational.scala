@@ -1775,7 +1775,15 @@ object Relational {
     * w·(r/W) terms, but in different orders and associativity), so each
     * iteration snaps ranks to a 1e-9 grid — identical inputs to the next
     * round on both engines, the word-entropy double-sum-under-grid
-    * contract. Isolated parts (never
+    * contract.
+    *
+    * Bench note: the 12+ stages of an iterative query magnify JVM-state
+    * overhead, so the in-suite wall (~6.4 s at sf0.1) runs ~2× the
+    * isolated measurement (~3.1 s, `SPARK_GRAFT_BENCH_ONLY`) at identical
+    * code — see README "Benchmarking". At sf1 (10× edges) the shuffle
+    * formulation holds 11.4 s, matching the rank-broadcast variant it
+    * replaced while removing the O(#nodes) broadcast that could not
+    * survive 100×. Isolated parts (never
     * co-purchased) have no edges and are excluded by construction on
     * both sides. */
   val c14PageRank: QueryDef = QueryDef(

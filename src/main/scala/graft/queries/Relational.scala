@@ -1028,6 +1028,36 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** C15: regex extraction battery over the documents corpus — the
+    * pattern-mining primitives a curation pipeline uses for entity/PII/
+    * boilerplate harvesting: `regexp_extract_all` (every match, in order —
+    * the array output the redaction and span-mining steps consume),
+    * `regexp_extract` with a capture group (first hit of an alternation),
+    * and a `regexp_like` flag. All evaluate per-row inside codegen with no
+    * shuffle; Java regex and DuckDB's RE2 agree on this pattern class
+    * (character classes, alternation, word boundaries — no backtracking
+    * constructs, which RE2 rejects and this library therefore avoids). */
+  val c15Regex: QueryDef = QueryDef(
+    "c15_regex_extract", "C15 C19",
+    """SELECT doc_id,
+      |  coalesce(array_to_string(regexp_extract_all(text, '[a-z]*ta[a-z]*'), ','), '') AS ta_words,
+      |  CAST(len(regexp_extract_all(text, '[a-z]*ta[a-z]*')) AS INT) AS n_ta,
+      |  regexp_extract(text, '\b(scan|sort|merge|join)\b', 1) AS first_op,
+      |  regexp_matches(text, 'stream|window') AS has_stream
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // match list rendered as one ordered string: the driver's comparator
+    // sorts every output column, and raw arrays aren't sortable there
+    // (the mm_feature_vec convention)
+    val taAll = regexp_extract_all(col("text"), lit("[a-z]*ta[a-z]*"), lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(taAll, ",").as("ta_words"),
+      size(taAll).as("n_ta"),
+      regexp_extract(col("text"), "\\b(scan|sort|merge|join)\\b", 1).as("first_op"),
+      regexp_like(col("text"), lit("stream|window")).as("has_stream"))
+      .orderBy("doc_id")
+  }
+
   /** C15: date/time function battery over orders. */
   val c15Date: QueryDef = QueryDef(
     "c15_date_funcs", "C15",
@@ -2575,7 +2605,7 @@ object Relational {
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c14IntersectAll, c14ExceptAll, c14RecursiveCte, c5LateralTopk,
-    c15String, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
+    c15String, c15Regex, c15Date, c15Json, c15FromJson, c15Array, c15ExplodeAgg,
     c15Collect, c15Math, c15Null, c15Map,
     c16SessionWindow, c16TumblingWindow, c16SlidingWindow, b2Trend,
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,

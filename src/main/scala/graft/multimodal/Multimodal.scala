@@ -66,19 +66,25 @@ object Multimodal {
     * A heavier deployment replaces the slice statistic with a codec+encoder
     * call in the same per-row projection shape (no shuffle, embarrassingly
     * parallel). Empty slices map to 0. */
-  def sliceBrightness(payload: Column, nBytes: Column, dims: Int): Column =
+  def sliceBrightness(payload: Column, nBytes: Column, dims: Int): Column = {
+    // Boundary math in LONG: ByteSliceSums computes floor(n.toLong·i/dims)
+    // internally, and an Int-typed nBytes·(i+1) would overflow past
+    // ~256 MB payloads — the column-side geometry must match the
+    // expression's Long arithmetic at every payload size.
+    val nb = nBytes.cast(LongType)
     transform(
       graft.functions.VectorExprs.byteSliceSums(payload, dims),
       (s, i) => s.cast(DoubleType) / (lit(255.0) * greatest(
-        floor(nBytes * (i + 1) / lit(dims)) - floor(nBytes * i / lit(dims)),
+        floor(nb * (i + 1) / lit(dims)) - floor(nb * i / lit(dims)),
         lit(1))))
+  }
 
   /** Byte offsets of an `n`-frame even sampling of a payload —
     * floor(len·i/n) for i in [0, n). Shared by the library frame and the
     * registered oracle query so the sampling geometry cannot drift. */
   def frameOffsets(nBytes: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      i => floor(nBytes * i / lit(n)).cast(IntegerType))
+    transform(sequence(lit(0), lit(n - 1)), // Long multiply: no Int overflow
+      i => floor(nBytes.cast(LongType) * i / lit(n)).cast(IntegerType))
 
   /** Feature extraction over the asset table: per-slice brightness vector +
     * frame-sample offsets for a 4-frame sampling of the payload. Library

@@ -1763,8 +1763,13 @@ object Relational {
       .groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"))
     val cutoff = lit("2024-01-15 00:00:00").cast(TimestampNTZType)
+    // The split must be EXHAUSTIVE: `ts < cutoff` / `ts >= cutoff` would
+    // both be null-false for a NULL timestamp, silently dropping the row
+    // while the oracle aggregates it under a NULL hour. NULL ts rides the
+    // delta branch (an unparseable arrival is by definition not in the
+    // stored rollup), keeping old ∪ delta ≡ events row-for-row.
     partial(ev.where(col("ts") < cutoff))            // the stored rollup
-      .unionAll(partial(ev.where(col("ts") >= cutoff))) // the delta
+      .unionAll(partial(ev.where(col("ts") >= cutoff || col("ts").isNull))) // the delta
       .groupBy("event_type", "h")                    // merge partials
       .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
       .select(col("event_type"), col("h"), col("n"),
@@ -1848,24 +1853,32 @@ object Relational {
     val li = lineitem(s, d).select("l_orderkey", "l_partkey")
     // pair generation as a same-key self-join — the oracle's own e0 shape:
     // one exchange on l_orderkey that AQE reuses for both sides
-    // (ReusedExchange), per-order pairs emitted by a fully-codegen'd
-    // shuffled hash join. This replaced a collect_list + double-posexplode
-    // formulation whose ObjectHashAggregate ran object-at-a-time outside
-    // whole-stage codegen and carried the per-order array through every
-    // intermediate pair row. Same multiset: row pairs with equal parts
+    // (ReusedExchange), pairs emitted by a fully-codegen'd shuffled hash
+    // join. Lineitem rows are PRE-AGGREGATED to per-(order, part)
+    // multiplicities m BEFORE the self-join (partial map-side combine on
+    // the same l_orderkey exchange), so the join streams one row per
+    // distinct part per order instead of one per lineitem row and emits
+    // the pair weight m_src·m_dst directly — the identical multiset total
+    // (Σ_orders m_a·m_b, exact small-integer arithmetic) through a
+    // quadratically narrower pair stream. Row pairs with equal parts
     // (including a row paired with itself) are excluded by src ≠ dst.
-    val edges = li.toDF("k", "src")
-      .join(li.toDF("k", "dst").hint("shuffle_hash"), "k")
+    val lim = li.groupBy(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("m"))
+    val edges = lim.select(col("k"), col("p").as("src"), col("m").as("ma"))
+      .join(lim.select(col("k"), col("p").as("dst"), col("m").as("mb"))
+        .hint("shuffle_hash"), "k")
       .where(col("src") =!= col("dst"))
-      .select("src", "dst")
+      .select(col("src"), col("dst"),
+        (col("ma") * col("mb")).cast(DoubleType).as("w"))
     pageRankRanks(edges, iters = 3)
       .select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")
   }
 
-  /** Damped (d = 0.85) power iteration over a directed MULTI-edge list
-    * (src, dst) — each row one unit edge; see [[c14PageRank]] for the
-    * scale and parity rationale. Returns (id, r) for every node with at
-    * least one out-edge. */
+  /** Damped (d = 0.85) power iteration over a directed edge list: either a
+    * MULTI-edge list (src, dst) — each row one unit edge — or a
+    * pre-weighted (src, dst, w) list whose per-key weights are summed; see
+    * [[c14PageRank]] for the scale and parity rationale. Returns (id, r)
+    * for every node with at least one out-edge. */
   def pageRankRanks(edgeList: DataFrame, iters: Int): DataFrame = {
     // The edge list is the data-scaled frame: hash-partition it by the join
     // key ONCE at materialization, and AGGREGATE the unit edges to weights
@@ -1885,8 +1898,14 @@ object Relational {
     // (a lazy localCheckpoint under AQE reports unknown partitioning and
     // would re-exchange every iteration)
     val np = edgeList.sparkSession.sessionState.conf.numShufflePartitions
+    // unit rows count; pre-weighted rows sum — both exact small-integer
+    // arithmetic in double, so the two input shapes produce bit-identical
+    // weights for the same multiset of edges
+    val unit = !edgeList.columns.contains("w")
     val edges = edgeList.repartition(np, col("src"))
-      .groupBy("src", "dst").agg(count(lit(1)).cast(DoubleType).as("w"))
+      .groupBy("src", "dst")
+      .agg((if (unit) count(lit(1)).cast(DoubleType)
+            else sum(col("w").cast(DoubleType))).as("w"))
       .persist()
     // out-degree doubles as the node list (every node has edges); the
     // aggregate rides the pinned src partitioning — no extra shuffle.
@@ -2255,24 +2274,38 @@ object Relational {
     "c14_recursive_cte", "C14 C15",
     """WITH RECURSIVE o AS (
       |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-      |), months(m) AS (
-      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) FROM o
+      |), bounds AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+      |         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+      |  FROM o
+      |), months(m, hi) AS (
+      |  SELECT lo, hi FROM bounds
       |  UNION ALL
-      |  SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP) FROM months
-      |  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) FROM o)
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP), hi FROM months WHERE m < hi
       |)
       |SELECT m, count(o_orderkey) AS n_orders
       |FROM months LEFT JOIN o ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
       |GROUP BY m ORDER BY m""".stripMargin) { (s, d) =>
     Tables.registerAll(s, d)
+    // The stop bound is computed ONCE in the non-recursive `bounds` CTE and
+    // CARRIED through the recursion as a second column, so the guard
+    // `m < hi` is a plain column compare — the previous formulation put
+    // `(SELECT max(..) FROM o)` inside the recursive term and re-executed
+    // an aggregate scan over the filtered orders per month-step (~30
+    // rescans, 7.9 cpu-s at sf0.1 for a ≤30-row output, multiplying with
+    // data size). orders is now scanned once for bounds + once for the
+    // final join, independent of span length.
     s.sql(
       """WITH RECURSIVE o AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-        |), months(m) AS (
-        |  SELECT date_trunc('month', min(o_orderdate)) FROM o
+        |), bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM o
+        |), months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT m + INTERVAL '1' MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM o)
+        |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
         |)
         |SELECT m, count(o_orderkey) AS n_orders
         |FROM months LEFT JOIN o ON date_trunc('month', o_orderdate) = m

@@ -426,15 +426,27 @@ object TextAnalysis {
     * silently serving the old data. */
   def sharedTermCounts(s: SparkSession, d: String): DataFrame = {
     val fp = docsFingerprint(s, d)
+    // Build-and-swap runs under the cache monitor so two threads racing a
+    // rebuild cannot each build (and leak) a checkpoint: the loser of the
+    // race re-reads the winner's entry. Freeing the superseded checkpoint
+    // is still eager — a fingerprint mismatch means the corpus at `d` was
+    // REWRITTEN, so any in-flight reader of the old blocks is already
+    // consuming logically-dead data; the free turns that silent staleness
+    // into a loud block-missing failure rather than deferring it.
     tcCache.get((s, d)) match {
       case Some((`fp`, df)) => df
-      case stale =>
-        stale.foreach { case (_, old) =>
-          org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(old)
+      case _ => tcCache.synchronized {
+        tcCache.get((s, d)) match {
+          case Some((`fp`, df)) => df // lost the race to a fresh builder
+          case stale =>
+            stale.foreach { case (_, old) =>
+              org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(old)
+            }
+            val fresh = termCounts(Tables.documents(s, d)).localCheckpoint(false)
+            tcCache.put((s, d), (fp, fresh))
+            fresh
         }
-        val fresh = termCounts(Tables.documents(s, d)).localCheckpoint(false)
-        tcCache.put((s, d), (fp, fresh))
-        fresh
+      }
     }
   }
 

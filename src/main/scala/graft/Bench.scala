@@ -25,7 +25,7 @@ object Bench {
   /** One representative query per SURVEY §2 section — the set whose timings
     * ride in the compact summary line. Keep this list short: the summary
     * line must stay well under the ~2000-char stdout tail window. */
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     "a09_purchases_typed", "b2_hourly_trend", "b3_per_user_stats",
     "c1_scan_project", "c2_filter_pushdown", "c3_broadcast_join",
     "c4_shuffle_join", "c5_semi_join", "c6_full_outer_join", "c7_range_join",

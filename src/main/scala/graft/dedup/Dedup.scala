@@ -397,14 +397,17 @@ object Dedup {
     * @param pairs near-dup pairs (doc_a, doc_b), doc_a < doc_b
     * @return (doc_id, cluster_id) for every doc in a cluster of size >= 2
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // checkpointDir: None = executor-local lineage truncation (fast, not
+    // node-loss-tolerant); Some(dir) = reliable file checkpoints for
+    // cluster runs — see [[graft.util.IterativeCheckpointer]]
+    val ckpt = graft.util.IterativeCheckpointer(checkpointDir)
+    val edges = ckpt(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .union(pairs.select(col("doc_b"), col("doc_a"))))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var labelSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var iter = 0
@@ -413,12 +416,11 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nbr_label").as("nbr_min"))
-      val next = labels.join(nbrMin, "id")
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
-        .localCheckpoint()
+      val next = ckpt(labels.join(nbrMin, "id")
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label")))
       // the superseded label checkpoint is dead once `next` materialized;
       // free its blocks now instead of waiting for a driver GC cycle
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+      ckpt.free(labels)
       labels = next
       val nextSum = labels.agg(sum("label")).head().getLong(0)
       converged = nextSum == labelSum

@@ -1878,8 +1878,17 @@ object Relational {
     * MULTI-edge list (src, dst) — each row one unit edge — or a
     * pre-weighted (src, dst, w) list whose per-key weights are summed; see
     * [[c14PageRank]] for the scale and parity rationale. Returns (id, r)
-    * for every node with at least one out-edge. */
-  def pageRankRanks(edgeList: DataFrame, iters: Int): DataFrame = {
+    * for every node with at least one out-edge.
+    *
+    * `checkpointDir`: None (default) truncates per-iteration lineage with
+    * executor-local checkpoints — the fast path, but not fault-tolerant on
+    * a real cluster (a lost node kills the query mid-iteration). A
+    * 100×-scale run passes a reliable dir (HDFS/S3 URI) and each
+    * iteration's rank frame checkpoints to files instead — see
+    * [[graft.util.IterativeCheckpointer]]. */
+  def pageRankRanks(edgeList: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = graft.util.IterativeCheckpointer(checkpointDir)
     // The edge list is the data-scaled frame: hash-partition it by the join
     // key ONCE at materialization, and AGGREGATE the unit edges to weights
     // riding that same partitioning — HashPartitioning(src) satisfies the
@@ -1916,12 +1925,12 @@ object Relational {
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
     for (_ <- 1 to iters) { // eager checkpoint: truncate lineage per iteration
-      val next = pageRankStep(edges, outw, nodes, nn, r).localCheckpoint(true)
+      val next = ckpt(pageRankStep(edges, outw, nodes, nn, r))
       // `next` is fully materialized, so the superseded checkpoint's blocks
       // can be dropped NOW instead of lingering until a driver GC cycle
       // lets the ContextCleaner find them (iterative loops otherwise leak
       // one checkpoint per iteration per run into the block manager).
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(r)
+      ckpt.free(r)
       r = next
     }
     edges.unpersist(false); outw.unpersist(false) // r is materialized

@@ -228,21 +228,47 @@ object StreamingJobs {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Number of state buckets in the [[mergeRollupBatch]] layout. Part of
+    * the on-disk contract: buckets are `pmod(xxhash64(event_type), N)`
+    * directory keys, so changing N over an existing stateDir would strand
+    * groups in bucket directories the writer no longer maps to — pick it
+    * once per deployment (here sized for the test corpus; a production
+    * rollout sizes it to groups/bucket ≈ one comfortable parquet file). */
+  val RollupStateBuckets = 16
+
   /** Streaming twin of the batch `b2_incremental_rollup` query: a
     * `foreachBatch` sink that maintains a STORED hourly rollup by merging
     * each micro-batch's mergeable partials (count + exact DECIMAL sum)
     * into the previous state — the aggregate-table-maintenance pattern
     * where history is never rescanned: per batch the work is
-    * O(batch) + O(groups), whatever the table's age. State generations
-    * are versioned by batchId (`v=<id>` directories), so the write is a
-    * pure function of (previous state, batch, batchId) and a failure
-    * replay rewrites the SAME generation byte-identically instead of
-    * double-counting — the [[writeBatchIdempotent]] recipe applied to
-    * stateful maintenance. The partial schema is pinned (n: long,
-    * tot: DECIMAL(30,2)) so every generation is union-compatible with the
-    * next batch's partials; decimal re-aggregation is exact and
-    * associative, so after any number of batches the state equals the
-    * one-pass aggregate over all rows seen (asserted in StreamingSpec). */
+    * O(batch) + O(touched groups), whatever the table's age.
+    *
+    * State layout: `bucket=B/v=<batchId>/` — the state is PARTITIONED by a
+    * stable hash bucket of the group key, and generations are versioned
+    * per bucket. A batch rewrites ONLY the buckets it touches (one
+    * dynamic-partition-overwrite write of the touched (bucket, v=batchId)
+    * partitions); untouched buckets keep their older generation
+    * byte-identical on disk, so at high group cardinality the per-batch
+    * write cost is O(touched buckets' groups), not O(all groups) — while
+    * the write stays a pure function of (previous state, batch, batchId):
+    * a failure replay re-reads each touched bucket's latest generation
+    * BELOW batchId and rewrites the same v=batchId partitions instead of
+    * double-counting ([[writeBatchIdempotent]] applied per bucket).
+    *
+    * A `_LATEST` marker (written last, after the data commit) records the
+    * highest committed batchId and gates every merge: a batchId more than
+    * one ahead of the marker means the state directory was wiped or
+    * swapped under a surviving checkpoint, and a batchId BEHIND the marker
+    * means the checkpoint was recreated over surviving state — both would
+    * silently corrupt the rollup (the first resets it, the second forks
+    * generations while readers keep seeing pre-fork state), so both
+    * fail fast instead.
+    *
+    * The partial schema is pinned (n: long, tot: DECIMAL(30,2)) so every
+    * generation is union-compatible with the next batch's partials;
+    * decimal re-aggregation is exact and associative, so after any number
+    * of batches the state equals the one-pass aggregate over all rows seen
+    * (asserted in StreamingSpec). */
   def mergeRollupBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
     val spark = batch.sparkSession
     // Resolve paths through the session's Hadoop FileSystem, NOT java.io:
@@ -252,27 +278,115 @@ object StreamingJobs {
     val hconf = spark.sparkContext.hadoopConfiguration
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(hconf)
-    def gen(id: Long) = new org.apache.hadoop.fs.Path(statePath, s"v=$id")
+    val marker = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
+    val last: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    last match {
+      case None if batchId != 0 => throw new IllegalStateException(
+        s"rollup state at $stateDir has no _LATEST marker but the stream " +
+          s"delivered batchId=$batchId: the state directory was wiped (or " +
+          "repointed) under a surviving checkpoint; refusing to silently " +
+          "restart the rollup from this batch")
+      case Some(l) if batchId < l || batchId > l + 1 =>
+        throw new IllegalStateException(
+          s"rollup state at $stateDir is at generation $l but the stream " +
+            s"delivered batchId=$batchId (valid: ${l + 1} = next, $l = " +
+            "replay): the streaming checkpoint was recreated or swapped " +
+            "against this state directory; refusing to fork generations")
+      case _ => // fresh start (0), next batch, or a replay of the last
+    }
+    val nb = RollupStateBuckets
+    def bucketOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(nb.toLong)).cast("int")
     def pinned(df: DataFrame): DataFrame = df.select(
       col("event_type"), col("h"), col("n").cast("long").as("n"),
       col("tot").cast(DecimalType(30, 2)).as("tot"))
     val partial = pinned(batch.groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(14, 2))).as("tot")))
-    val prev =
-      if (fs.exists(gen(batchId - 1))) spark.read.parquet(gen(batchId - 1).toString)
-      else partial.limit(0)
-    val merged = pinned(prev.unionByName(partial)
-      .groupBy("event_type", "h")
-      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot")))
-    merged.write.mode("overwrite").parquet(gen(batchId).toString)
-    // Prune dead generations: a failure replay can only re-deliver THIS
-    // batch (needing v=batchId-1); anything older is unreachable, and
-    // keeping it would grow state storage as O(batches × groups).
-    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(statePath, "v=*"))
-    if (stale != null) stale.map(_.getPath).foreach { p =>
-      val id = p.getName.stripPrefix("v=").toLongOption
-      if (id.exists(_ < batchId - 1)) fs.delete(p, true)
+      .localCheckpoint(true) // scanned thrice (touched set, merge, write)
+    try {
+      // the touched-bucket set is bounded by the layout constant, never by
+      // group cardinality — the one driver-side collect here is ≤ nb ints
+      val touched = partial.select(bucketOf(col("event_type")).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      def latestGenBelow(b: Int): Option[org.apache.hadoop.fs.Path] = {
+        val dir = new org.apache.hadoop.fs.Path(statePath, s"bucket=$b")
+        val gens = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "v=*"))
+        if (gens == null) None
+        else gens.map(_.getPath)
+          .flatMap(p => p.getName.stripPrefix("v=").toLongOption.map(_ -> p))
+          .filter(_._1 < batchId) // a replay must NOT read its own partial write
+          .sortBy(_._1).lastOption.map(_._2)
+      }
+      val prevByBucket = touched.map(b => b -> latestGenBelow(b)).toMap
+      val prevPaths = prevByBucket.values.flatten.map(_.toString).toSeq
+      val prev =
+        if (prevPaths.nonEmpty) pinned(spark.read.parquet(prevPaths: _*))
+        else partial.limit(0)
+      val merged = pinned(prev.unionByName(partial)
+        .groupBy("event_type", "h")
+        .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot")))
+      // ONE write job; dynamic overwrite touches exactly the (bucket,
+      // v=batchId) partitions present in the data — the touched set
+      merged.withColumn("bucket", bucketOf(col("event_type")))
+        .withColumn("v", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "v")
+        .parquet(statePath.toString)
+      // Prune dead generations per touched bucket: a failure replay can
+      // only re-deliver THIS batch, which reads the latest generation
+      // below batchId — everything older in the bucket is unreachable,
+      // and keeping it would grow state storage as O(batches × groups).
+      touched.foreach { b =>
+        val keep = prevByBucket(b).map(_.getName)
+        val gens = fs.globStatus(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(statePath, s"bucket=$b"), "v=*"))
+        if (gens != null) gens.map(_.getPath).foreach { p =>
+          val id = p.getName.stripPrefix("v=").toLongOption
+          val isKept = keep.contains(p.getName) || id.contains(batchId)
+          if (id.isDefined && !isKept) fs.delete(p, true)
+        }
+      }
+      // commit point: the marker is written only after data + prune landed
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(partial)
+  }
+
+  /** Read the current rollup state maintained by [[mergeRollupBatch]]:
+    * per bucket, the highest committed generation (committed = at or below
+    * the `_LATEST` marker — a crash can leave a torn, ahead-of-marker
+    * generation in SOME buckets, which readers must not see). */
+  def latestRollupState(spark: SparkSession, stateDir: String): DataFrame = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
+    require(fs.exists(marker), s"no committed rollup state at $stateDir")
+    val in = fs.open(marker)
+    val committed =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    val buckets = fs.globStatus(new org.apache.hadoop.fs.Path(statePath, "bucket=*"))
+    val paths = (if (buckets == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+                 else buckets).map(_.getPath).flatMap { dir =>
+      val gens = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "v=*"))
+      if (gens == null) None
+      else gens.map(_.getPath)
+        .flatMap(p => p.getName.stripPrefix("v=").toLongOption.map(_ -> p))
+        .filter(_._1 <= committed)
+        .sortBy(_._1).lastOption.map(_._2.toString)
     }
+    require(paths.nonEmpty, s"rollup state at $stateDir has no bucket data")
+    spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
   /** Wire [[mergeRollupBatch]] into a streaming query over

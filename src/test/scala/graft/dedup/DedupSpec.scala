@@ -132,6 +132,24 @@ class DedupSpec extends SparkSpec {
     assert(early(40L) === 30L) // one round: 40 only sees its neighbor 30
   }
 
+  test("connected components under a reliable checkpoint dir: same labels, files written") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 200L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      100L -> 100L, 200L -> 100L))
+    // the fault-tolerant path really checkpointed to the dir (rdd-* files
+    // under the per-app UUID subdirectory), not to executor-local blocks
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).nonEmpty,
+      "reliable checkpoint dir stayed empty — the op fell back to local checkpoints")
+  }
+
   test("registered cluster query groups every verified near-dup pair") {
     val pairs = Dedup.minhashPairs(
       graft.Tables.documents(spark, sf), k = 64, bands = 16, threshold = 0.7)

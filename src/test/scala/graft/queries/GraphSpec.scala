@@ -22,6 +22,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
 
+  test("pagerank under a reliable checkpoint dir matches the local-checkpoint ranks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val local = Relational.pageRankRanks(edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val reliable = Relational.pageRankRanks(edges, iters = 3,
+      checkpointDir = Some(dir))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(reliable === local) // bit-identical: same plan, different ckpt medium
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).nonEmpty,
+      "reliable checkpoint dir stayed empty — the op fell back to local checkpoints")
+  }
+
   test("pagerank iteration never broadcasts the rank vector: shuffled joins only") {
     import spark.implicits._
     val np = spark.sessionState.conf.numShufflePartitions

@@ -279,11 +279,8 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(String, Int, Double)]
     val q = StreamingJobs.rollupMaintenanceSink(
       in.toDF().toDF("event_type", "h", "value"), state, ckpt)
-    def latestState(): org.apache.spark.sql.DataFrame = {
-      val vs = new java.io.File(state).listFiles().map(_.getName)
-        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-      spark.read.parquet(s"$state/v=${vs.max}")
-    }
+    def latestState(): org.apache.spark.sql.DataFrame =
+      StreamingJobs.latestRollupState(spark, state)
     def assertEqualsFull(rows: Seq[(String, Int, Double)]): Unit = {
       val full = rows.toDF("event_type", "h", "value")
         .groupBy("event_type", "h")
@@ -312,6 +309,70 @@ class StreamingSpec extends SparkSpec {
       b2.toDF("event_type", "h", "value"), batchId = 1L, stateDir = state)
     val after = latestState().collect().map(_.toString).sorted.toSeq
     assert(after === before)
+  }
+
+  test("rollup state is bucketed: a batch leaves untouched buckets byte-identical") {
+    import spark.implicits._
+    // pick two group keys that land in DIFFERENT state buckets (the layout
+    // hashes event_type with xxhash64 mod RollupStateBuckets)
+    val pool = Seq("click", "buy", "view", "scroll", "hover", "install")
+    val bucketOf = pool.map { k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(StreamingJobs.RollupStateBuckets.toLong))
+          .cast("int")).head().getInt(0)
+    }.toMap
+    val Seq(ka, kb) = pool.combinations(2)
+      .find { case Seq(a, b) => bucketOf(a) != bucketOf(b) }.get
+    val state = java.nio.file.Files.createTempDirectory("roll_bkt").toString
+    StreamingJobs.mergeRollupBatch(
+      Seq((ka, 1, 1.0), (kb, 1, 2.0)).toDF("event_type", "h", "value"),
+      batchId = 0L, stateDir = state)
+    def files(bucket: Int): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(state, s"bucket=$bucket"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val kbBefore = files(bucketOf(kb))
+    // batch 1 touches only ka's bucket
+    StreamingJobs.mergeRollupBatch(
+      Seq((ka, 2, 3.0)).toDF("event_type", "h", "value"),
+      batchId = 1L, stateDir = state)
+    assert(files(bucketOf(kb)) === kbBefore,
+      "a batch that never touched kb's bucket rewrote its files")
+    // and the merged view still carries both groups' full history
+    val st = StreamingJobs.latestRollupState(spark, state)
+      .select("event_type", "h", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(st === Map((ka, 1) -> 1L, (ka, 2) -> 1L, (kb, 1) -> 1L))
+  }
+
+  test("rollup merge fails fast on checkpoint/state divergence instead of corrupting") {
+    import spark.implicits._
+    val batch = Seq(("click", 1, 1.0)).toDF("event_type", "h", "value")
+    // state wiped (or repointed) under a surviving checkpoint: the stream
+    // resumes at batchId 5 but the fresh directory has no _LATEST marker
+    val fresh = java.nio.file.Files.createTempDirectory("roll_fresh").toString
+    val e1 = intercept[IllegalStateException] {
+      StreamingJobs.mergeRollupBatch(batch, batchId = 5L, stateDir = fresh)
+    }
+    assert(e1.getMessage.contains("wiped"))
+    // checkpoint recreated over surviving state: the stream restarts at
+    // batchId 0 while the state is already at generation 1
+    val state = java.nio.file.Files.createTempDirectory("roll_div").toString
+    StreamingJobs.mergeRollupBatch(batch, batchId = 0L, stateDir = state)
+    StreamingJobs.mergeRollupBatch(batch, batchId = 1L, stateDir = state)
+    val e2 = intercept[IllegalStateException] {
+      StreamingJobs.mergeRollupBatch(batch, batchId = 0L, stateDir = state)
+    }
+    assert(e2.getMessage.contains("recreated"))
+    // and a skipped-ahead batchId (gap) is equally invalid
+    intercept[IllegalStateException] {
+      StreamingJobs.mergeRollupBatch(batch, batchId = 3L, stateDir = state)
+    }
+    // the failed attempts must not have advanced the committed state
+    val st = StreamingJobs.latestRollupState(spark, state).collect()
+    assert(st.map(_.getLong(2)).sum === 2L) // two committed unit batches
   }
 
   test("idempotent foreachBatch sink: batch replay rewrites, never duplicates") {

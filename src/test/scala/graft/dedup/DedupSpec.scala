@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     val incCanon = inc.map { case (n, o) => if (n < o) (n, o) else (o, n) }.toSet
     assert(incCanon === crossFull,
       "incremental probe diverged from the full pair set's cross-split slice")
+    // and DIRECTLY against exact all-pairs Jaccard (the DuckDB oracle's own
+    // computation): the c17_incremental_dedup strict-equality oracle is
+    // sound only while the banded probe misses no cross-split pair above
+    // threshold — a borderline pair in a regenerated corpus (jaccard just
+    // over 0.7 has a ~1–2% per-pair band-miss probability at k=64/b=16)
+    // must fail HERE with this message, not at the oracle gate.
+    import org.apache.spark.sql.functions.lit
+    val docs = graft.Tables.documents(spark, sf).withColumn("source", lit("all"))
+    val exactCross = Dedup.ngramJaccardPairs(docs, threshold = 0.7, dfCap = Int.MaxValue)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    assert(incCanon === exactCross,
+      "banded incremental probe lost a cross-split pair vs exact jaccard — " +
+        "the recall-1 premise broke; re-verify the c17_incremental_dedup oracle")
   }
 
   test("hot-gram df cap keeps boilerplate shingles from going quadratic") {

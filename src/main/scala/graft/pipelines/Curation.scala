@@ -731,10 +731,145 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic URL planting: the documents corpus carries no URLs, so —
+    * exactly like the binary-PGM asset planting in
+    * [[graft.multimodal.Multimodal]] — each doc mints a REAL, varied URL
+    * from (doc_id, source): 2 schemes × 4 subdomains × 2 TLDs × optional
+    * port × optional query string, all decided by doc_id residues. The
+    * parse step then has genuine work to do (scheme strip, port exclusion,
+    * path/query boundaries) and the oracle re-derives the host with its
+    * own independent machinery (regexp vs java.net.URI), so a parsing bug
+    * on either side breaks the hash compare. */
+  private def plantedUrl: org.apache.spark.sql.Column = {
+    // every residue below is COPRIME-decorrelated from the source
+    // assignment (source = doc_id % 20), so each planted domain really
+    // fans out over schemes, subdomains, ports, and query strings — a
+    // doc_id % 4 subdomain, say, would be constant within a source
+    val m = (k: Int) => col("doc_id") % k
+    val sub = m(7) % 4
+    concat(
+      when(m(3) === 0, lit("http")).otherwise(lit("https")), lit("://"),
+      when(sub === 0, lit("")).when(sub === 1, lit("www."))
+        .when(sub === 2, lit("cdn.")).otherwise(lit("blog.")),
+      col("source"), lit("-example."),
+      when(m(8) < 4, lit("com")).otherwise(lit("org")),
+      when(m(7) === 3, lit(":8443")).otherwise(lit("")),
+      lit("/d/"), col("doc_id").cast(StringType),
+      when(m(9) === 0, lit("?ref=feed&x=1")).otherwise(lit("")))
+  }
+
+  /** CCNet-style domain grouping (Wenzek et al., arXiv:1911.00359 §4: web
+    * corpora are curated per registered DOMAIN, not per page): extract
+    * host and registered domain from each document's URL, then one
+    * aggregation pass per domain — doc count, distinct hosts, exact-dup
+    * collapse (distinct md5 fingerprints) and the resulting dup ratio,
+    * total chars. The per-domain dup ratio is the CCNet signal for
+    * mirror/boilerplate sites (a domain whose pages hash-collapse is a
+    * mirror, not content).
+    *
+    * Scale shape: URL build + `parse_url` + domain regexp are one narrow
+    * whole-stage-codegen projection; the ONLY shuffle is the hash
+    * aggregate on domain (two-phase with map-side partials; the two
+    * count-distincts expand map-side and still ride the same exchange).
+    * Domains are ~uniform under the hash — no skew handling needed, and
+    * at 100 TB the same plan holds with domain cardinality ~10⁷ ≪ rows. */
+  val domainStats: QueryDef = QueryDef(
+    "pipeline_domain_stats", "C15 C9 north_star-pipeline",
+    """WITH u AS (
+      |  SELECT doc_id, source, text, n_chars,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |    (CASE (doc_id % 7) % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.' ELSE 'blog.' END) ||
+      |    source || '-example.' ||
+      |    (CASE WHEN doc_id % 8 < 4 THEN 'com' ELSE 'org' END) ||
+      |    (CASE WHEN doc_id % 7 = 3 THEN ':8443' ELSE '' END) ||
+      |    '/d/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN '?ref=feed&x=1' ELSE '' END) AS url
+      |  FROM documents),
+      |h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host FROM u),
+      |d AS (SELECT *, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
+      |SELECT domain,
+      |  count(*) AS n_docs,
+      |  count(DISTINCT host) AS n_hosts,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_ratio,
+      |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        plantedUrl.as("url"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        // one IEEE division + subtraction of exact integers — bitwise
+        // deterministic on both engines, no rounding grid needed
+        (lit(1.0) - countDistinct(md5(col("text"))).cast(DoubleType) /
+          count(lit(1))).as("dup_ratio"),
+        sum(col("n_chars")).as("tot_chars"))
+      .orderBy("domain")
+  }
+
+  /** Mojibake repair: fix UTF-8-read-as-Latin-1 artifacts ('Ã©' for 'é',
+    * 'â€™' for a right quote, 'Â ' for a non-breaking space), strip ASCII
+    * control chars, and normalize whitespace — the standard
+    * encoding-hygiene projection of a web-crawl pipeline. Entirely
+    * per-row `replace`/`regexp_replace`/`trim` built-ins: one
+    * whole-stage-codegen projection, no shuffle, embarrassingly parallel
+    * at any scale. */
+  def cleanMojibake(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fixed = Seq("Ã©" -> "é", "â€™" -> "'", "Â " -> " ")
+      .foldLeft(text) { case (c, (bad, good)) => replace(c, lit(bad), lit(good)) }
+    trim(regexp_replace(regexp_replace(fixed, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+  }
+
+  /** Registered mojibake-repair query: the corpus is clean ASCII, so —
+    * like [[plantedUrl]] and the PGM asset planting — each doc is first
+    * CORRUPTED deterministically by doc_id residue (mojibake prefix,
+    * mojibake suffix, NBSP-artifact + control char, or left untouched as
+    * the identity control group), then repaired by [[cleanMojibake]]. The
+    * oracle plants and repairs with DuckDB's own string machinery, so a
+    * divergence in any fix rule, the control-strip regex, or the
+    * whitespace collapse breaks the hash compare on the full cleaned
+    * text. */
+  val mojibakeClean: QueryDef = QueryDef(
+    "pipeline_mojibake_clean", "C15 C19 north_star-pipeline",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'Ã©tÃ© ' || text
+      |      WHEN 1 THEN text || ' donâ€™t'
+      |      WHEN 2 THEN 'Â ' || chr(9) || text
+      |      ELSE text END AS corrupted
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, corrupted,
+      |    trim(regexp_replace(regexp_replace(
+      |      replace(replace(replace(corrupted, 'Ã©', 'é'), 'â€™', ''''), 'Â ', ' '),
+      |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+      |  FROM c)
+      |SELECT doc_id, clean_text,
+      |  CAST(length(corrupted) - length(clean_text) AS INT) AS n_removed
+      |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m4 = col("doc_id") % 4
+    val corrupted = when(m4 === 0, concat(lit("Ã©tÃ© "), col("text")))
+      .when(m4 === 1, concat(col("text"), lit(" donâ€™t")))
+      .when(m4 === 2, concat(lit("Â \t"), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), corrupted.as("corrupted"))
+      .withColumn("clean_text", cleanMojibake(col("corrupted")))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("corrupted")) - length(col("clean_text"))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     curateDocs, curateV2, piiRedact, decontaminate, decontaminateBloom, cdcMerge,
     trainValSplit, repetitionScore, stratifiedSample, importanceThin,
     sequencePack, chunkDocs,
     dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply, winsorize,
-    tokenBudget)
+    tokenBudget, domainStats, mojibakeClean)
 }

@@ -1834,17 +1834,17 @@ object Relational {
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
       |nn AS (SELECT count(*) AS cnt FROM nodes),
       |r0 AS (SELECT id, round(1.0 / cnt, 9) AS r FROM nodes, nn),
-      |c1 AS (SELECT e.dst AS id, sum(r.r * e.w / o.tw) AS c
+      |c1 AS (SELECT e.dst AS id, sum(e.w / o.tw * r.r) AS c
       |       FROM edges e JOIN r0 r ON r.id = e.src JOIN outw o ON o.src = e.src
       |       GROUP BY e.dst),
       |r1 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c1.c, 0.0), 9) AS r
       |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
-      |c2 AS (SELECT e.dst AS id, sum(r.r * e.w / o.tw) AS c
+      |c2 AS (SELECT e.dst AS id, sum(e.w / o.tw * r.r) AS c
       |       FROM edges e JOIN r1 r ON r.id = e.src JOIN outw o ON o.src = e.src
       |       GROUP BY e.dst),
       |r2 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c2.c, 0.0), 9) AS r
       |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
-      |c3 AS (SELECT e.dst AS id, sum(r.r * e.w / o.tw) AS c
+      |c3 AS (SELECT e.dst AS id, sum(e.w / o.tw * r.r) AS c
       |       FROM edges e JOIN r2 r ON r.id = e.src JOIN outw o ON o.src = e.src
       |       GROUP BY e.dst),
       |r3 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c3.c, 0.0), 9) AS r
@@ -1919,13 +1919,25 @@ object Relational {
     // out-degree doubles as the node list (every node has edges); the
     // aggregate rides the pinned src partitioning — no extra shuffle.
     // sum(w) over doubles holding small integers is exact, = the unit count
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("tw")).persist()
-    val nodes = outw.select(col("src").as("id"))
-    val nn = outw.agg(count(lit(1)).as("cnt"))
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+    // Transition weights are NORMALIZED ONCE at materialization
+    // (wn = w/tw, a partition-local src-keyed join: both sides ride the
+    // pinned HashPartitioning(src)) instead of re-joining outw every
+    // iteration — round 11 cut: one join per iteration removed, three
+    // fewer stages per query, and the per-term double arithmetic
+    // (w/tw)·r is mirrored verbatim in the oracle's sum(e.w/o.tw * r.r).
+    val edgesN = edges.join(outw.hint("shuffle_hash"), Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("tw")).as("wn"))
+      .persist()
+    // O(#nodes), persisted: every iteration's plan embeds nodes for the
+    // dangling-default left join — without the persist each iteration
+    // would re-distinct the full edge list
+    val nodes = edgesN.select(col("src").as("id")).distinct().persist()
+    val nn = nodes.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
     for (_ <- 1 to iters) { // eager checkpoint: truncate lineage per iteration
-      val next = ckpt(pageRankStep(edges, outw, nodes, nn, r))
+      val next = ckpt(pageRankStep(edgesN, nodes, nn, r))
       // `next` is fully materialized, so the superseded checkpoint's blocks
       // can be dropped NOW instead of lingering until a driver GC cycle
       // lets the ContextCleaner find them (iterative loops otherwise leak
@@ -1933,22 +1945,21 @@ object Relational {
       ckpt.free(r)
       r = next
     }
-    edges.unpersist(false); outw.unpersist(false) // r is materialized
-    r
+    edges.unpersist(false); edgesN.unpersist(false); nodes.unpersist(false)
+    r // materialized by the final checkpoint
   }
 
-  /** One damped power-iteration step (exposed so plan specs can pin its
-    * shape: the only BroadcastExchange allowed is the 1-row `nn` grid). */
-  private[queries] def pageRankStep(edges: DataFrame, outw: DataFrame,
+  /** One damped power-iteration step over the normalized edge list
+    * (src, dst, wn = w/out-weight) — exposed so plan specs can pin its
+    * shape: the only BroadcastExchange allowed is the 1-row `nn` grid. */
+  private[queries] def pageRankStep(edgesN: DataFrame,
       nodes: DataFrame, nn: DataFrame, r: DataFrame): DataFrame = {
-    // per-node outgoing rate r/W: rank and outw are both hash-partitioned
-    // on the key already, so this join is shuffle-free
-    val rate = r.join(outw.hint("shuffle_hash"), col("id") === col("src"))
-      .select(col("src"), (col("r") / col("tw")).as("rw"))
-    val contrib = edges
-      .join(rate.hint("shuffle_hash"), Seq("src"))
+    // rank and the edge list are both hash-partitioned on the src key, so
+    // this join re-shuffles only the O(#nodes) rank frame at worst
+    val contrib = edgesN
+      .join(r.hint("shuffle_hash"), col("id") === col("src"))
       .groupBy(col("dst").as("id"))
-      .agg(sum(col("w") * col("rw")).as("c"))
+      .agg(sum(col("wn") * col("r")).as("c"))
     nodes
       .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
       .crossJoin(broadcast(nn))
@@ -2271,9 +2282,14 @@ object Relational {
     * without `sequence`.
     *
     * Cost model, measured: every recursion step is a separately-scheduled
-    * Spark job, so the query pays ~150 ms of driver latency PER MONTH
-    * regardless of data volume (the full 80-month span costs ~13 s while
-    * producing 80 rows). That fixed per-iteration price is why the
+    * Spark job, so the query pays ~130 ms of driver latency (scheduling +
+    * per-step codegen — the whole remaining cpu_s) PER MONTH regardless of
+    * data volume. Since round 11 that fixed span-scaled price is the ONLY
+    * cost that grows with the span: the stop bound is carried through the
+    * recursion and the calendar joins a per-month AGGREGATE, so orders is
+    * scanned once however many months the recursion walks (the round-10
+    * shape rescanned orders per step and broadcast the whole filtered
+    * table into the final join). That fixed per-iteration price is why the
     * production gap-fill (`b2_trend_gapfill`) builds
     * its calendar with `sequence` + explode — one job, any span — and this
     * query exists for SQL-surface parity on a bounded 12-step span.
@@ -2283,42 +2299,50 @@ object Relational {
     "c14_recursive_cte", "C14 C15",
     """WITH RECURSIVE o AS (
       |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |), om AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+      |         count(*) AS n
+      |  FROM o GROUP BY 1
       |), bounds AS (
-      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
-      |         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
-      |  FROM o
+      |  SELECT min(m) AS lo, max(m) AS hi FROM om
       |), months(m, hi) AS (
       |  SELECT lo, hi FROM bounds
       |  UNION ALL
       |  SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP), hi FROM months WHERE m < hi
       |)
-      |SELECT m, count(o_orderkey) AS n_orders
-      |FROM months LEFT JOIN o ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
-      |GROUP BY m ORDER BY m""".stripMargin) { (s, d) =>
+      |SELECT months.m AS m, coalesce(om.n, 0) AS n_orders
+      |FROM months LEFT JOIN om ON om.m = months.m
+      |ORDER BY months.m""".stripMargin) { (s, d) =>
     Tables.registerAll(s, d)
-    // The stop bound is computed ONCE in the non-recursive `bounds` CTE and
-    // CARRIED through the recursion as a second column, so the guard
-    // `m < hi` is a plain column compare — the previous formulation put
-    // `(SELECT max(..) FROM o)` inside the recursive term and re-executed
-    // an aggregate scan over the filtered orders per month-step (~30
-    // rescans, 7.9 cpu-s at sf0.1 for a ≤30-row output, multiplying with
-    // data size). orders is now scanned once for bounds + once for the
-    // final join, independent of span length.
+    // Two structural fixes vs the round-10 shape, both mirrored in the
+    // oracle: (1) the stop bound is computed ONCE in the non-recursive
+    // `bounds` CTE and CARRIED through the recursion as a second column,
+    // so the guard `m < hi` is a plain column compare — the previous
+    // formulation put `(SELECT max(..) FROM o)` inside the recursive term
+    // and re-executed an aggregate scan over the filtered orders per
+    // month-step (~30 rescans, 7.9 cpu-s at sf0.1 for a ≤30-row output,
+    // multiplying with data size); (2) orders is aggregated to per-month
+    // counts BEFORE joining the calendar — the old months LEFT JOIN o
+    // planned a broadcast of the entire filtered orders table (data-scaled;
+    // dead at 100×), while months ⟕ om joins a ≤span-row aggregate, and
+    // `bounds` derives from om's ≤span rows rather than re-aggregating
+    // orders. One logical orders scan, span-independent.
     s.sql(
       """WITH RECURSIVE o AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |), om AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+        |  FROM o GROUP BY 1
         |), bounds AS (
-        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
-        |         date_trunc('month', max(o_orderdate)) AS hi
-        |  FROM o
+        |  SELECT min(m) AS lo, max(m) AS hi FROM om
         |), months(m, hi) AS (
         |  SELECT lo, hi FROM bounds
         |  UNION ALL
         |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
         |)
-        |SELECT m, count(o_orderkey) AS n_orders
-        |FROM months LEFT JOIN o ON date_trunc('month', o_orderdate) = m
-        |GROUP BY m ORDER BY m""".stripMargin)
+        |SELECT months.m AS m, coalesce(om.n, 0) AS n_orders
+        |FROM months LEFT JOIN om ON om.m = months.m
+        |ORDER BY months.m""".stripMargin)
   }
 
   /** C5/C13/SQL surface: LATERAL correlated subquery with ORDER BY+LIMIT —

@@ -34,7 +34,10 @@ object Bench {
     "c16_session_window", "c17_minhash_lsh", "c17_ngram_jaccard",
     "c17_embedding_neardup_lsh", "c18_knn_agg", "c18_ann_ivf",
     "c19_quality_score", "c20_udaf_weighted_price", "mm_binary_meta",
-    "pipeline_curate", "c17_dedup_clusters", "pipeline_pack")
+    "pipeline_curate", "c17_dedup_clusters", "pipeline_pack",
+    // the two queries whose in-suite/isolated gap has been flagged across
+    // rounds — the isolated record exists to adjudicate exactly these
+    "c14_pagerank", "c14_recursive_cte")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

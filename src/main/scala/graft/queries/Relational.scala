@@ -1813,12 +1813,13 @@ object Relational {
     * contract.
     *
     * Bench note: the 12+ stages of an iterative query magnify JVM-state
-    * overhead, so the in-suite wall (~6.4 s at sf0.1) runs ~2× the
-    * isolated measurement (~3.1 s, `SPARK_GRAFT_BENCH_ONLY`) at identical
-    * code — see README "Benchmarking". At sf1 (10× edges) the shuffle
-    * formulation holds 11.4 s, matching the rank-broadcast variant it
-    * replaced while removing the O(#nodes) broadcast that could not
-    * survive 100×. Isolated parts (never
+    * overhead, so the in-suite wall (~7.5 s at sf0.1, round 11) runs well
+    * above the fresh-JVM isolated measurement (4.5 s wall / 60 cpu-s,
+    * BENCHISO.json) at identical code — see README "Benchmarking"; the
+    * isolated record is the one to compare across rounds. Round 11's
+    * once-per-run edge normalization (one join per iteration removed) cut
+    * isolated cpu ~2× vs round 10 (104–122 cpu-s) and the sf1 wall from
+    * 11.4 s to 9.4 s. Isolated parts (never
     * co-purchased) have no edges and are excluded by construction on
     * both sides. */
   val c14PageRank: QueryDef = QueryDef(

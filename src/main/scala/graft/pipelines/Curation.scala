@@ -812,6 +812,67 @@ object Curation {
       .orderBy("domain")
   }
 
+  /** URL canonicalization + exact-URL dedup — the crawl-frontier hygiene
+    * step every web pipeline runs before fetching or grouping: normalize
+    * scheme to https, strip the `www.` subdomain, drop ports and query
+    * strings, strip the trailing slash, then keep-first dedup on the
+    * canonical form. URLs are planted like [[plantedUrl]] but with
+    * COLLIDING paths (`/d/<doc_id % 50>`), so distinct raw URLs (http vs
+    * https, www vs bare, ports, tracking params) really do collapse into
+    * shared canonical keys and the dedup has work to do. The Spark side
+    * extracts the host with `parse_url` (java.net.URI machinery) while
+    * the oracle re-derives it by regexp — a genuine differential check of
+    * the canonicalization, like [[domainStats]].
+    *
+    * Scale shape: canonicalization is one codegen projection; the dedup
+    * is one hash aggregate on the canonical key. Nothing else. */
+  val urlCanonicalize: QueryDef = QueryDef(
+    "pipeline_url_canonicalize", "C15 C17 north_star-pipeline",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |    (CASE (doc_id % 7) % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.' ELSE 'blog.' END) ||
+      |    source || '-example.' ||
+      |    (CASE WHEN doc_id % 8 < 4 THEN 'com' ELSE 'org' END) ||
+      |    (CASE WHEN doc_id % 7 = 3 THEN ':8443' ELSE '' END) ||
+      |    '/d/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN '?ref=feed&x=1' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    'https://' ||
+      |    regexp_replace(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), '^www\.', '') ||
+      |    regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1), '/$', '')
+      |      AS canonical_url
+      |  FROM u)
+      |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM c GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin) { (s, d) =>
+    val m = (k: Int) => col("doc_id") % k
+    val sub = m(7) % 4
+    val url = concat(
+      when(m(3) === 0, lit("http")).otherwise(lit("https")), lit("://"),
+      when(sub === 0, lit("")).when(sub === 1, lit("www."))
+        .when(sub === 2, lit("cdn.")).otherwise(lit("blog.")),
+      col("source"), lit("-example."),
+      when(m(8) < 4, lit("com")).otherwise(lit("org")),
+      when(m(7) === 3, lit(":8443")).otherwise(lit("")),
+      lit("/d/"), m(50).cast(StringType),
+      when(m(9) === 0, lit("?ref=feed&x=1")).otherwise(lit("")),
+      when(m(11) === 0, lit("/")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", concat(
+        lit("https://"),
+        regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", ""),
+        regexp_replace(
+          regexp_extract(col("url"), "^[a-z]+://[^/?#]*([^?#]*)", 1), "/$", "")))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("canonical_url")
+  }
+
   /** Mojibake repair: fix UTF-8-read-as-Latin-1 artifacts ('Ã©' for 'é',
     * 'â€™' for a right quote, 'Â ' for a non-breaking space), strip ASCII
     * control chars, and normalize whitespace — the standard
@@ -871,5 +932,5 @@ object Curation {
     trainValSplit, repetitionScore, stratifiedSample, importanceThin,
     sequencePack, chunkDocs,
     dedupApply, mixBalance, adaptiveLengthGate, spanDedupApply, winsorize,
-    tokenBudget, domainStats, mojibakeClean)
+    tokenBudget, domainStats, mojibakeClean, urlCanonicalize)
 }

@@ -347,6 +347,44 @@ class StreamingSpec extends SparkSpec {
     assert(st === Map((ka, 1) -> 1L, (ka, 2) -> 1L, (kb, 1) -> 1L))
   }
 
+  test("rollup merge is split-invariant: any random batching equals the one-pass aggregate") {
+    import spark.implicits._
+    // decimal partials are associative and the merge is a pure function of
+    // (prev, batch), so HOW the stream was cut into micro-batches must not
+    // leak into the state — pinned over seeded random batchings
+    Seq(11L, 23L).foreach { seed =>
+      val rnd = new java.util.Random(seed)
+      val types = Seq("click", "buy", "view", "scroll")
+      val rows = Seq.fill(120)((types(rnd.nextInt(types.size)),
+        rnd.nextInt(4), math.round(rnd.nextDouble() * 1e4) / 100.0))
+      val nBatches = 2 + rnd.nextInt(4)
+      val cuts = rows.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val state = java.nio.file.Files.createTempDirectory(s"roll_prop$seed").toString
+      cuts.zipWithIndex.foreach { case (batch, id) =>
+        StreamingJobs.mergeRollupBatch(
+          batch.toDF("event_type", "h", "value"), batchId = id.toLong, stateDir = state)
+      }
+      val st = StreamingJobs.latestRollupState(spark, state)
+      val full = rows.toDF("event_type", "h", "value")
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).as("tot"))
+        .select(col("event_type"), col("h"), col("n"),
+          col("tot").cast("decimal(30,2)").as("tot"))
+      assert(st.exceptAll(full).count() === 0L && full.exceptAll(st).count() === 0L,
+        s"seed $seed ($nBatches batches): merged state diverged from the one-pass aggregate")
+      // replaying the final batch leaves the state row-identical
+      val before = st.collect().map(_.toString).sorted.toSeq
+      StreamingJobs.mergeRollupBatch(
+        cuts.last.toDF("event_type", "h", "value"),
+        batchId = (cuts.size - 1).toLong, stateDir = state)
+      val after = StreamingJobs.latestRollupState(spark, state)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after === before, s"seed $seed: replay of the last batch changed state")
+    }
+  }
+
   test("rollup merge fails fast on checkpoint/state divergence instead of corrupting") {
     import spark.implicits._
     val batch = Seq(("click", 1, 1.0)).toDF("event_type", "h", "value")

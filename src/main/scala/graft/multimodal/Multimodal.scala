@@ -290,6 +290,65 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Perceptual-hash-style brightness signature + signature-bucket dedup —
+    * the asset analogue of text near-dup bucketing: each payload reduces
+    * to an 8-bit signature (bit i set iff slice i's mean byte value
+    * exceeds the payload's global mean — the average-hash recipe over the
+    * [[sliceBrightness]] slice geometry), then assets group by signature,
+    * which is exactly how a media pipeline buckets candidates before an
+    * expensive pixel-level verify. One fused `ByteSliceSums` pass per
+    * payload, one hash aggregate on the 8-bit key — no shuffle wider than
+    * 256 groups.
+    *
+    * Parity: the mean compare is cross-multiplied (s_i·n vs total·len_i)
+    * and evaluated in DOUBLE on both engines — every operand is an exact
+    * double (< 2^53) for any payload below ~4 GB, and IEEE multiplication
+    * rounds identically, so the bit can never flip between engines; the
+    * signature itself is pure integer arithmetic. The oracle recomputes
+    * every slice sum from the document text by substr+ascii (ASCII corpus:
+    * char functions ≡ byte functions — the [[featureVec]] contract). */
+  val brightnessSig: QueryDef = QueryDef(
+    "mm_brightness_sig", "C15 C17 north_star-multimodal",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(strlen(text) AS BIGINT) AS n,
+      |    coalesce(list_sum(list_transform(string_split(text, ''), c -> ascii(c))), 0) AS total,
+      |    list_transform(range(0, 8), i ->
+      |      coalesce(list_sum(list_transform(
+      |        string_split(substr(text, CAST((strlen(text)*i)//8 AS INT)+1,
+      |          CAST((strlen(text)*(i+1))//8 - (strlen(text)*i)//8 AS INT)), ''),
+      |        c -> ascii(c))), 0)) AS sums
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 8), i ->
+      |      CASE WHEN CAST(sums[i+1] AS DOUBLE) * CAST(n AS DOUBLE) >
+      |                CAST(total AS DOUBLE) *
+      |                CAST((n*(i+1))//8 - (n*i)//8 AS DOUBLE)
+      |           THEN ([1,2,4,8,16,32,64,128])[i+1] ELSE 0 END)) AS INT) AS sig
+      |  FROM s)
+      |SELECT sig, count(*) AS n_assets, min(doc_id) AS first_asset
+      |FROM sig GROUP BY sig ORDER BY sig""".stripMargin) { (s, d) =>
+    val sums = graft.functions.VectorExprs.byteSliceSums(col("payload"), 8)
+    val n = col("n_bytes").cast(LongType)
+    val withSums = assets(s, d).select(
+      col("asset_id"), n.as("n"), sums.as("sums"),
+      aggregate(sums, lit(0L), (acc, x) => acc + x).as("total"))
+    val sig = (0 until 8).map { i =>
+      val si = element_at(col("sums"), i + 1)
+      val lenI = (col("n") * (i + 1) / lit(8)).cast(LongType) -
+        (col("n") * i / lit(8)).cast(LongType)
+      when(si.cast(DoubleType) * col("n").cast(DoubleType) >
+        col("total").cast(DoubleType) * lenI.cast(DoubleType),
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    withSums.select(col("asset_id"), sig.as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("first_asset"))
+      .orderBy("sig")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(binaryMeta, featureVec, decodeBatchQuery, chunkRows, frameSample)
+    Seq(binaryMeta, featureVec, decodeBatchQuery, chunkRows, frameSample,
+      brightnessSig)
 }

@@ -714,8 +714,67 @@ object TextAnalysis {
         (round(col("w") / col("l"), 6) + 0.0).as("logw_per_tok"))
   }
 
+  /** C19/C12: per-language Zipf exponent — the corpus-statistics health
+    * check (natural language follows frequency ∝ rank^(−s) with s ≈ 1;
+    * a corpus whose fitted slope drifts far from −1 is boilerplate-heavy,
+    * deduplicated-to-death, or machine-generated). Fit = ordinary least
+    * squares of ln(freq) on ln(rank) over each language's top-100 terms:
+    * rank by frequency (ties broken by term for cross-engine determinism),
+    * one window pass, five running sums, closed-form slope/intercept.
+    *
+    * Scale shape: term totals ride the shared materialized (doc, term)
+    * count table (no new corpus scan in pipeline use); the per-language
+    * vocabulary the window sorts is bounded by the token-type space
+    * (Heaps' law — ~10⁷ types at web scale), not by corpus row count, so
+    * the rank window stays tractable at 100 TB while everything after the
+    * top-100 cut is constant-size. Parity: ln() per term snapped only at
+    * the final round(·, 6) — the same double-sum-under-grid contract as
+    * [[wordEntropy]] (≤ 100 terms per sum); `+ 0.0` normalizes a −0.0
+    * round like the b3 correlation query. */
+  val zipfSlope: QueryDef = QueryDef(
+    "c19_zipf_slope", "C19 C12 C9",
+    """WITH toks AS (
+      |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY lang, term),
+      |rk AS (
+      |  SELECT lang, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+      |  FROM tf),
+      |xy AS (SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM rk WHERE rnk <= 100),
+      |agg AS (
+      |  SELECT lang, CAST(count(*) AS INT) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM xy GROUP BY lang)
+      |SELECT lang, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0 AS intercept
+      |FROM agg WHERE n >= 3 ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnts = sharedTermCounts(s, d)
+      .groupBy("lang", "term").agg(sum(col("tf")).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    val xy = cnts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 100)
+      .select(col("lang"),
+        log(col("rnk").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+    val agg = xy.groupBy("lang").agg(
+      count(lit(1)).cast(IntegerType).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.where(col("n") >= 3)
+      .select(col("lang"), col("n"),
+        (round(slope, 6) + 0.0).as("zipf_slope"),
+        (round((col("sy") - slope * col("sx")) / col("n"), 6) + 0.0).as("intercept"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
       gopherRules, tfidfTopTerms, wordEntropy, nbClassifier, dsirWeights,
-      bigramPpl)
+      bigramPpl, zipfSlope)
 }

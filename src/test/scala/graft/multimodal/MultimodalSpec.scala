@@ -115,4 +115,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
     assert(!out.contains(3L) && !out.contains(4L))
   }
+
+  test("brightness signature: identical payloads collide, uniform payloads sign 0, 8-bit range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // 1 and 2 are byte-identical (must share a bucket); 3 is uniform (no
+    // slice exceeds the global mean -> signature 0); 4 is back-loaded
+    // (high bytes in the last slices -> some high bits set, sig > 0)
+    val docs = Seq(
+      (1L, "abcdefgh" * 4), (2L, "abcdefgh" * 4),
+      (3L, "mmmmmmmm" * 4), (4L, "aaaazzzz" * 4))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("mm_sig").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Multimodal.brightnessSig.fn(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+    rows.foreach { case (sig, _) => assert(sig >= 0 && sig <= 255) }
+    // the identical pair shares one bucket of size >= 2 keeping the lower id
+    assert(rows.exists { case (_, (n, first)) => n >= 2 && first == 1L })
+    // uniform payload: no slice mean strictly above the global mean
+    assert(rows.exists { case (sig, (_, first)) => sig == 0 && (first == 3L || first == 1L) })
+    assert(rows.map(_._2._1).sum === 4L) // every asset lands in exactly one bucket
+  }
 }

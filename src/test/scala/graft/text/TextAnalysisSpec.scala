@@ -196,4 +196,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 === 0.0 && out(2L)._4 === 0.0)
     assert(math.abs(out(3L)._4 - 2.0) < 1e-6)
   }
+
+  test("zipf slope over the corpus: negative, in the natural-language band, deterministic") {
+    val a = TextAnalysis.zipfSlope.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(a.nonEmpty)
+    a.foreach { case (lang, (n, slope, intercept)) =>
+      assert(n >= 3, s"$lang: degenerate fit size $n")
+      // frequency must DECAY with rank; the synthetic corpus is a finite
+      // word pool, so the exponent is shallower than web text's ~-1 but
+      // must stay clearly negative and finite
+      assert(slope < -0.05 && slope > -3.0, s"$lang: slope $slope out of band")
+      assert(intercept > 0.0, s"$lang: top-rank log-frequency must be positive")
+    }
+    val b = TextAnalysis.zipfSlope.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(a === b) // grid-snapped fit is run-to-run deterministic
+  }
 }

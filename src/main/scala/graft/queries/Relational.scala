@@ -2327,7 +2327,9 @@ object Relational {
     // planned a broadcast of the entire filtered orders table (data-scaled;
     // dead at 100×), while months ⟕ om joins a ≤span-row aggregate, and
     // `bounds` derives from om's ≤span rows rather than re-aggregating
-    // orders. One logical orders scan, span-independent.
+    // orders. One LOGICAL orders scan; physically Catalyst inlines the
+    // CTE into two single-pass aggregate scans (anchor bounds + om) —
+    // span-independent either way, vs once per month-step before.
     s.sql(
       """WITH RECURSIVE o AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'

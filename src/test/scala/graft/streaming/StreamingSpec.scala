@@ -347,6 +347,38 @@ class StreamingSpec extends SparkSpec {
     assert(st === Map((ka, 1) -> 1L, (ka, 2) -> 1L, (kb, 1) -> 1L))
   }
 
+  test("rollup readers never see a torn generation ahead of the commit marker") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("roll_torn").toString
+    StreamingJobs.mergeRollupBatch(
+      Seq(("click", 1, 1.0)).toDF("event_type", "h", "value"),
+      batchId = 0L, stateDir = state)
+    val committed = StreamingJobs.latestRollupState(spark, state).collect()
+      .map(_.toString).sorted.toSeq
+    // simulate a crash mid-batch-1: a data generation landed in the bucket
+    // but the _LATEST marker was never advanced — readers must keep
+    // serving the committed generation, not the torn one
+    val bucket = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val torn = new java.io.File(bucket, "v=1")
+    Seq(("click", 1, 99.0)).toDF("event_type", "h", "value")
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("decimal(30,2)").as("tot"))
+      .write.parquet(torn.toString)
+    val seen = StreamingJobs.latestRollupState(spark, state).collect()
+      .map(_.toString).sorted.toSeq
+    assert(seen === committed, "a generation ahead of _LATEST leaked to readers")
+    // and the legitimate replay/next-batch path heals it: batch 1 rewrites
+    // v=1 deterministically and commits the marker
+    StreamingJobs.mergeRollupBatch(
+      Seq(("click", 1, 2.0)).toDF("event_type", "h", "value"),
+      batchId = 1L, stateDir = state)
+    val healed = StreamingJobs.latestRollupState(spark, state).collect()
+    assert(healed.map(r => r.getLong(2)).sum === 2L) // two real rows, 99.0 never counted
+    assert(healed.map(r => r.getDecimal(3).doubleValue).sum === 3.0)
+  }
+
   test("rollup merge is split-invariant: any random batching equals the one-pass aggregate") {
     import spark.implicits._
     // decimal partials are associative and the merge is a pure function of

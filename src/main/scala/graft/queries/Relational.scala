@@ -1968,6 +1968,114 @@ object Relational {
         round(lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
   }
 
+  /** C14/C9: triangle counting over the part co-purchase graph by
+    * DEGREE-ORDERED ORIENTATION — the third classic iteration-free graph
+    * analytic next to PageRank and connected components (local clustering
+    * signal: parts whose co-purchase neighborhoods are cliques vs stars).
+    *
+    * The scale pattern IS the point: naïve triangle enumeration joins the
+    * edge list to itself on a shared vertex, paying Σ deg(v)² — quadratic
+    * in the hub degree, dead on any power-law graph. Orienting every edge
+    * from its lower-(degree, id) endpoint to its higher one (a total
+    * order, so orientation is well-defined and acyclic) bounds every
+    * out-degree by O(√m), making the wedge join Σ d_out(v)² = O(m^1.5)
+    * worst-case — the standard distributed-triangle bound (Suri &
+    * Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+    * Reducer"). Each triangle is then found EXACTLY once, at its
+    * lowest-order vertex, by probing the oriented closing edge
+    * (t1 → t2): one equi-self-join on the wedge apex + one semi-join on
+    * the (t1, t2) pair — three shuffles total, no iteration, pure integer
+    * counting (bitwise-deterministic on any engine).
+    *
+    * Output: the 20 most triangle-dense parts (per-vertex participation =
+    * each triangle credits all three corners), ties broken by part id so
+    * the cut is total-order deterministic. The oracle mirrors the
+    * ORIENTED algorithm, not the naïve join, so both engines do the same
+    * O(m^1.5)-bounded work. */
+  val c14TriangleCount: QueryDef = QueryDef(
+    "c14_triangle_count", "C14 C9",
+    """WITH raw AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS MATERIALIZED (
+      |  SELECT x, count(*) AS d FROM (
+      |    SELECT u AS x FROM raw UNION ALL SELECT v AS x FROM raw) GROUP BY x),
+      |o AS MATERIALIZED (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND raw.u < raw.v)
+      |              THEN raw.u ELSE raw.v END AS s,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND raw.u < raw.v)
+      |              THEN raw.v ELSE raw.u END AS t
+      |  FROM raw JOIN deg du ON du.x = raw.u JOIN deg dv ON dv.x = raw.v),
+      |ot AS MATERIALIZED (SELECT o.s, o.t, deg.d AS dt FROM o JOIN deg ON deg.x = o.t),
+      |w AS (
+      |  SELECT a.s AS s, a.t AS t1, b.t AS t2
+      |  FROM ot a JOIN ot b
+      |    ON a.s = b.s AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))),
+      |tri AS (
+      |  SELECT w.s, w.t1, w.t2 FROM w
+      |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2)),
+      |per AS (
+      |  SELECT x, count(*) AS n_tri FROM (
+      |    SELECT s AS x FROM tri UNION ALL SELECT t1 AS x FROM tri
+      |    UNION ALL SELECT t2 AS x FROM tri) GROUP BY x)
+      |SELECT CAST(x AS BIGINT) AS part_id, CAST(n_tri AS BIGINT) AS n_tri
+      |FROM per ORDER BY n_tri DESC, part_id LIMIT 20""".stripMargin) { (s, d) =>
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+    // distinct co-purchase pairs through the pinned self-join shape (one
+    // reused exchange on the order key, as in c14_pagerank)
+    // repeat-co-purchase edges only (>= 2 shared orders): the standard
+    // singleton-noise threshold for co-occurrence graphs, and the lever
+    // that keeps the wedge space proportional to SIGNAL density — the
+    // unthresholded sf0.1 graph (20k parts, 0.9M one-off edges, avg
+    // degree ~90) costs ~40M wedges / 930 MB shuffle for triangles that
+    // are overwhelmingly coincidence
+    val pairs = li.toDF("k", "u")
+      .join(li.toDF("k", "v").hint("shuffle_hash"), "k")
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select("u", "v")
+    trianglesPerVertex(pairs)
+      .select(col("x").as("part_id"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("part_id"))
+      .limit(20)
+  }
+
+  /** Per-vertex triangle participation over a distinct undirected edge
+    * list (u, v) with u < v — the degree-ordered-orientation algorithm of
+    * [[c14TriangleCount]] (all scale rationale there). Returns (x, n_tri)
+    * for every vertex in at least one triangle; every triangle credits
+    * all three corners. */
+  def trianglesPerVertex(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("u").as("x"))
+      .unionAll(pairs.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // degree is O(#nodes) — data-scaled, never broadcast
+    val du = deg.select(col("x").as("u"), col("d").as("du"))
+    val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = pairs
+      .join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+    val ot = o.join(deg.select(col("x").as("t"), col("d").as("dt"))
+      .hint("shuffle_hash"), "t").select("s", "t", "dt")
+    val wedgeOrder = col("a.dt") < col("b.dt") ||
+      (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))
+    val wedges = ot.as("a")
+      .join(ot.as("b").hint("shuffle_hash"), col("a.s") === col("b.s") && wedgeOrder)
+      .select(col("a.s").as("s"), col("a.t").as("t1"), col("b.t").as("t2"))
+    val tri = wedges.join(
+      o.select(col("s").as("t1"), col("t").as("t2")).hint("shuffle_hash"),
+      Seq("t1", "t2"), "left_semi")
+    tri.select(col("s").as("x"))
+      .unionAll(tri.select(col("t1").as("x")))
+      .unionAll(tri.select(col("t2").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** C12: RANGE frame — 30-day trailing spend per customer (frame bounds on
     * the ORDER BY value, not row offsets). Order key = integer day number so
     * the frame arithmetic is exact on both engines. */
@@ -2680,6 +2788,6 @@ object Relational {
     b2TrendGapfill, b2TrendInterpolate, b2TrendAlign, b2Ewma, b2AnomalyZscore,
     b2Ohlc, b2Twap, b2GapDetect, b2IncrementalRollup, c9Histogram,
     c10TypeOverlap,
-    c12EventSequences, c14PageRank,
+    c12EventSequences, c14PageRank, c14TriangleCount,
     b3PerUser)
 }

@@ -106,6 +106,30 @@ class GraphSpec extends SparkSpec {
     } finally edges.unpersist(false)
   }
 
+  test("triangle counting: K4, a pendant, and a triangle-free star") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} = C(4,3) = 4 triangles, every vertex in 3 of them;
+    // vertex 5 hangs off 4 (pendant — in no triangle); star 10-{11,12,13}
+    // is triangle-free. Exercises the degree tiebreak (K4 is regular) and
+    // the orientation (hub 10 has max degree but zero triangles).
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (10L, 11L), (10L, 12L), (10L, 13L)))
+      .toDF("u", "v")
+    val out = Relational.trianglesPerVertex(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangles = per-vertex sum / 3
+    assert(out.values.sum === 12L)
+  }
+
+  test("registered triangle query returns a deterministic non-empty top-20") {
+    val rows = Relational.c14TriangleCount.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted.reverse), "not sorted by n_tri desc")
+    assert(counts.forall(_ > 0))
+  }
+
   test("registered pagerank: mass conserved, every rank at least the teleport floor") {
     val rows = Relational.c14PageRank.fn(spark, sf).collect()
     val n = rows.length

@@ -35,9 +35,10 @@ object Bench {
     "c17_embedding_neardup_lsh", "c18_knn_agg", "c18_ann_ivf",
     "c19_quality_score", "c20_udaf_weighted_price", "mm_binary_meta",
     "pipeline_curate", "c17_dedup_clusters", "pipeline_pack",
-    // the two queries whose in-suite/isolated gap has been flagged across
-    // rounds — the isolated record exists to adjudicate exactly these
-    "c14_pagerank", "c14_recursive_cte")
+    // the queries whose in-suite/isolated gap has been flagged across
+    // rounds — the isolated record exists to adjudicate exactly these —
+    // plus the round-11 triangle join, the other multi-stage graph shape
+    "c14_pagerank", "c14_recursive_cte", "c14_triangle_count")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

@@ -1876,8 +1876,10 @@ object Relational {
   }
 
   /** Damped (d = 0.85) power iteration over a directed edge list: either a
-    * MULTI-edge list (src, dst) — each row one unit edge — or a
-    * pre-weighted (src, dst, w) list whose per-key weights are summed; see
+    * MULTI-edge list of EXACTLY (src, dst) — each row one unit edge — or a
+    * pre-weighted EXACTLY (src, dst, w) list whose per-key numeric weights
+    * are summed (any other shape is rejected, so a stray metadata column
+    * named w can never silently switch the mode); see
     * [[c14PageRank]] for the scale and parity rationale. Returns (id, r)
     * for every node with at least one out-edge.
     *
@@ -1908,10 +1910,22 @@ object Relational {
     // (a lazy localCheckpoint under AQE reports unknown partitioning and
     // would re-exchange every iteration)
     val np = edgeList.sparkSession.sessionState.conf.numShufflePartitions
+    // The input contract is EXACTLY (src, dst) — unit edges — or
+    // (src, dst, w) — pre-weighted. Inferring the mode from the mere
+    // presence of a `w` column on a wider frame would let an unrelated
+    // metadata column silently switch unit counting to weight summation,
+    // so any other shape fails loudly here instead.
+    val cols = edgeList.columns.toSeq
+    require(cols == Seq("src", "dst") || cols == Seq("src", "dst", "w"),
+      s"pageRankRanks takes exactly (src, dst) for unit edges or " +
+        s"(src, dst, w) for weighted edges; got (${cols.mkString(", ")})")
+    val unit = cols.size == 2
+    if (!unit) require(
+      edgeList.schema("w").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"edge weight column w must be numeric; got ${edgeList.schema("w").dataType}")
     // unit rows count; pre-weighted rows sum — both exact small-integer
     // arithmetic in double, so the two input shapes produce bit-identical
     // weights for the same multiset of edges
-    val unit = !edgeList.columns.contains("w")
     val edges = edgeList.repartition(np, col("src"))
       .groupBy("src", "dst")
       .agg((if (unit) count(lit(1)).cast(DoubleType)

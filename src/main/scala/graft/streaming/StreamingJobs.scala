@@ -236,6 +236,26 @@ object StreamingJobs {
     * rollout sizes it to groups/bucket ≈ one comfortable parquet file). */
   val RollupStateBuckets = 16
 
+  /** Parse the `_LATEST` rollup marker, failing with a message that names
+    * the recovery step when the content is not a batchId. The commit path
+    * writes the marker atomically (temp + rename), so an unparsable marker
+    * means out-of-band damage — the data generations themselves are intact
+    * and the fix is to restore the marker, not the state. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Long = {
+    val in = fs.open(marker)
+    val raw =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    raw.toLongOption.getOrElse(throw new IllegalStateException(
+      s"rollup marker $marker exists but holds '$raw' instead of a " +
+        "batchId: the marker file was damaged out-of-band. The data " +
+        "generations are intact — recover by writing the highest batchId " +
+        "B with a fully-present v=B generation across its buckets back " +
+        "into the marker"))
+  }
+
   /** Streaming twin of the batch `b2_incremental_rollup` query: a
     * `foreachBatch` sink that maintains a STORED hourly rollup by merging
     * each micro-batch's mergeable partials (count + exact DECIMAL sum)
@@ -281,13 +301,7 @@ object StreamingJobs {
     val marker = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
     val last: Option[Long] =
       if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
-      }
+      else Some(readMarker(fs, marker))
     last match {
       case None if batchId != 0 => throw new IllegalStateException(
         s"rollup state at $stateDir has no _LATEST marker but the stream " +
@@ -354,10 +368,20 @@ object StreamingJobs {
           if (id.isDefined && !isKept) fs.delete(p, true)
         }
       }
-      // commit point: the marker is written only after data + prune landed
-      val out = fs.create(marker, true)
+      // commit point: the marker is written only after data + prune landed.
+      // Write-to-temp + rename, NOT an in-place truncating create: rename is
+      // atomic on HDFS/local, so a crash leaves either the old marker or the
+      // new one — never a missing/empty marker that would brick the rollup
+      // until manual repair even though every data generation is intact.
+      val tmp = new org.apache.hadoop.fs.Path(statePath, s"_LATEST.tmp.$batchId")
+      val out = fs.create(tmp, true)
       try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      // FileContext.rename(OVERWRITE) replaces the destination in one
+      // filesystem operation (FileSystem.rename would need a delete first,
+      // reopening the exact no-marker crash window the temp file closes)
+      org.apache.hadoop.fs.FileContext.getFileContext(statePath.toUri, hconf)
+        .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } finally org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(partial)
   }
 
@@ -370,11 +394,7 @@ object StreamingJobs {
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
     require(fs.exists(marker), s"no committed rollup state at $stateDir")
-    val in = fs.open(marker)
-    val committed =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+    val committed = readMarker(fs, marker)
     val buckets = fs.globStatus(new org.apache.hadoop.fs.Path(statePath, "bucket=*"))
     val paths = (if (buckets == null) Array.empty[org.apache.hadoop.fs.FileStatus]
                  else buckets).map(_.getPath).flatMap { dir =>

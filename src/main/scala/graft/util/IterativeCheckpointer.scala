@@ -30,17 +30,25 @@ import org.apache.spark.sql.DataFrame
   */
 final case class IterativeCheckpointer(checkpointDir: Option[String]) {
 
-  @transient private var dirSet = false
-
   /** Truncate `df`'s lineage (eager in both modes: the iterative loops
     * measure convergence right after, so laziness buys nothing). */
   def apply(df: DataFrame): DataFrame = checkpointDir match {
     case Some(dir) =>
-      // SparkContext.setCheckpointDir creates a fresh UUID subdirectory on
-      // every call, so set it once per operator invocation (first apply)
-      if (!dirSet) {
-        df.sparkSession.sparkContext.setCheckpointDir(dir); dirSet = true
-      }
+      // setCheckpointDir is SparkContext-GLOBAL, and it creates a fresh
+      // UUID subdirectory on every call — so instead of a per-instance
+      // "set once" boolean (which lets two interleaved iterative operators,
+      // or any caller changing the global dir mid-loop, silently redirect
+      // each other's checkpoint files into a directory the other caller
+      // owns), check the context's CURRENT dir against ours on EVERY
+      // apply: set it when absent or foreign, but only re-point — never
+      // assume a prior apply's setting survived the interleaving.
+      val sc = df.sparkSession.sparkContext
+      val want = new org.apache.hadoop.fs.Path(dir).toUri
+      val current = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
+      // the context dir is our requested dir plus the UUID subdir it minted
+      val ours = current.exists(p =>
+        Option(p.getParent).exists(_.toUri.getPath == want.getPath))
+      if (!ours) sc.setCheckpointDir(dir)
       df.checkpoint(eager = true)
     case None => df.localCheckpoint(eager = true)
   }

@@ -1813,15 +1813,23 @@ object Relational {
     * contract.
     *
     * Bench note: the 12+ stages of an iterative query magnify JVM-state
-    * overhead, so the in-suite wall (~7.5 s at sf0.1, round 11) runs well
-    * above the fresh-JVM isolated measurement (4.5 s wall / 60 cpu-s,
-    * BENCHISO.json) at identical code — see README "Benchmarking"; the
-    * isolated record is the one to compare across rounds. Round 11's
-    * once-per-run edge normalization (one join per iteration removed) cut
-    * isolated cpu ~2× vs round 10 (104–122 cpu-s) and the sf1 wall from
-    * 11.4 s to 9.4 s. Isolated parts (never
-    * co-purchased) have no edges and are excluded by construction on
-    * both sides. */
+    * overhead, so in-suite numbers run well above fresh-JVM isolated ones
+    * at identical code — see README "Benchmarking". ALL current numbers for
+    * this query live in ONE committed record, PERFTABLE.md (per-headline
+    * in-suite sf0.1 / isolated sf0.1 / isolated sf1, regenerated per
+    * round); perf claims here cite that table, not ad-hoc spot runs.
+    * Round-12 cuts (each measured in the isolated protocol): the three
+    * persisted frames are now built EAGERLY before the loop (racing AQE
+    * leaf stages otherwise recompute the pair join — see the inline
+    * comment), and the 1-row node-count broadcast was folded into a
+    * driver-side literal (one broadcast exchange + job per iteration
+    * removed), together cutting isolated sf0.1 proc-cpu ~55.6 → ~48±4
+    * cpu-s at 4.3–4.9 s wall; ProfileQuery shows the remainder is ~30
+    * task-cpu-s of real executor work (the pair join + 3 iterations), <1 s
+    * of GC wall, and driver planning/JIT for the rest — the median
+    * isolated rep still sits mid-JIT-warmup (rep 1 of a fresh JVM costs
+    * ~150 proc-cpu-s, rep 3 ~46). Isolated parts (never co-purchased) have
+    * no edges and are excluded by construction on both sides. */
   val c14PageRank: QueryDef = QueryDef(
     "c14_pagerank", "C14 C9",
     """WITH e0 AS (
@@ -1948,11 +1956,37 @@ object Relational {
     // dangling-default left join — without the persist each iteration
     // would re-distinct the full edge list
     val nodes = edgesN.select(col("src").as("id")).distinct().persist()
-    val nn = nodes.agg(count(lit(1)).as("cnt"))
-    var r = nodes.crossJoin(broadcast(nn))
-      .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
-    for (_ <- 1 to iters) { // eager checkpoint: truncate lineage per iteration
-      val next = ckpt(pageRankStep(edgesN, nodes, nn, r))
+    // Build the caches EAGERLY before any iteration plan references them.
+    // persist() is lazy, and an iteration plan scans the cached frames from
+    // several INDEPENDENT leaf stages that AQE submits concurrently —
+    // racing scans of a not-yet-populated cache each recompute the full
+    // upstream pipeline (the lineitem pair self-join, the expensive part)
+    // instead of hitting memory. Measured at sf0.1: letting the caches race
+    // doubles executor task CPU (~27 → ~60 task-cpu-s) with identical
+    // results. Two jobs build all three caches exactly once: the edges
+    // pass first (edgesN scans edges from TWO stages — stream side and the
+    // outw build — which would race each other), then nodes.count(), whose
+    // linear lineage over the now-cached edges populates edgesN and nodes
+    // en route and returns the node count.
+    edges.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    // ONE driver-side long (bounded at any scale — same class as the 1-row
+    // broadcast aggregates elsewhere): folding the teleport term into a
+    // literal removes the per-iteration 1-row crossJoin(broadcast(nn)) —
+    // one broadcast exchange + job per iteration — and 1.0/cnt is the same
+    // IEEE division whether evaluated on the driver or in the removed
+    // broadcast join, so ranks are bit-identical to the oracle's
+    // `CROSS JOIN nn` formulation.
+    val cnt = nodes.count()
+    var r = nodes.select(col("id"), round(lit(1.0 / cnt), 9).as("r"))
+    // Eager checkpoint per iteration: truncate lineage AND materialize.
+    // (Round-12 note: fusing several iterations into one job — checkpoint
+    // every Kth iteration only — was tried and measured WORSE at sf0.1:
+    // executor task CPU rose ~27 → ~45 cpu-s even with the caches pre-built,
+    // because the fused multi-iteration AQE query chains every iteration's
+    // exchanges into one stage graph, losing the materialized-rank shortcut
+    // each per-iteration job starts from. Per-iteration stays.)
+    for (_ <- 1 to iters) {
+      val next = ckpt(pageRankStep(edgesN, nodes, cnt, r))
       // `next` is fully materialized, so the superseded checkpoint's blocks
       // can be dropped NOW instead of lingering until a driver GC cycle
       // lets the ContextCleaner find them (iterative loops otherwise leak
@@ -1966,9 +2000,10 @@ object Relational {
 
   /** One damped power-iteration step over the normalized edge list
     * (src, dst, wn = w/out-weight) — exposed so plan specs can pin its
-    * shape: the only BroadcastExchange allowed is the 1-row `nn` grid. */
+    * shape: NO BroadcastExchange at all (the node count arrives as a
+    * driver-side literal, so the teleport term folds into the projection). */
   private[queries] def pageRankStep(edgesN: DataFrame,
-      nodes: DataFrame, nn: DataFrame, r: DataFrame): DataFrame = {
+      nodes: DataFrame, nodeCount: Long, r: DataFrame): DataFrame = {
     // rank and the edge list are both hash-partitioned on the src key, so
     // this join re-shuffles only the O(#nodes) rank frame at worst
     val contrib = edgesN
@@ -1977,9 +2012,8 @@ object Relational {
       .agg(sum(col("wn") * col("r")).as("c"))
     nodes
       .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
-      .crossJoin(broadcast(nn))
       .select(col("id"),
-        round(lit(0.15) / col("cnt") + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
+        round(lit(0.15 / nodeCount) + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
   }
 
   /** C14/C9: triangle counting over the part co-purchase graph by

@@ -53,11 +53,10 @@ class GraphSpec extends SparkSpec {
         .persist()
       try {
         val nodes = edgesN.select(col("src").as("id")).distinct().persist()
-        val nn = nodes.agg(count(lit(1)).as("cnt"))
-        val r0 = nodes.crossJoin(broadcast(nn))
-          .select(col("id"), round(lit(1.0) / col("cnt"), 9).as("r"))
+        val cnt = nodes.count()
+        val r0 = nodes.select(col("id"), round(lit(1.0 / cnt), 9).as("r"))
           .localCheckpoint(true) // as in the loop: iterations start from a checkpoint
-        val step = Relational.pageRankStep(edgesN, nodes, nn, r0)
+        val step = Relational.pageRankStep(edgesN, nodes, cnt, r0)
         // run THIS QueryExecution's physical plan (a write/count would plan
         // a fresh one) so AQE finalizes and the assertions inspect the real
         // executed shape, not the conservative initial plan
@@ -78,17 +77,18 @@ class GraphSpec extends SparkSpec {
         val ops = flatten(step.queryExecution.executedPlan)
         def names = ops.map(_.nodeName)
         val plan = step.queryExecution.executedPlan.toString
-        // rank and edges are both data-scaled: neither may be broadcast. The
-        // single allowed broadcast is the 1-row nn count grid, and the
-        // persisted pre-partitioned edge scan must not re-exchange (only
-        // the freshly-checkpointed rank side and the dst aggregate
+        // rank and edges are both data-scaled: neither may be broadcast,
+        // and since the node count rides in as a literal there is NO
+        // broadcast of any kind left in a step; the persisted
+        // pre-partitioned edge scan must not re-exchange (only the
+        // freshly-checkpointed rank side and the dst aggregate
         // legitimately shuffle).
         assert(!names.exists(_.contains("BroadcastHashJoin")),
           s"rank frame broadcast:\n$plan")
         assert(names.exists(_.contains("ShuffledHashJoin")),
           s"expected shuffled joins:\n$plan")
-        assert(names.count(_.contains("BroadcastExchange")) <= 1,
-          s"more than the 1-row nn broadcast:\n$plan")
+        assert(!names.exists(_.contains("BroadcastExchange")),
+          s"a step should broadcast nothing:\n$plan")
         // the 1-row nn count's SinglePartition gather is bounded at any
         // scale — only hash shuffles of data-scaled frames are counted
         val shuffles = ops.count {

@@ -252,6 +252,122 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle twin of [[simhashPairs]]: the SAME pipeline — 64-bit per-doc
+    * signature from distinct word tokens, 4×16-bit chunk bucketing with the
+    * 64-doc bucket cap, candidate pairs verified by exact hamming — with
+    * the bit vector derived from md5 (the one hash both engines ship)
+    * instead of murmur+mix, so the signature derivation AND the candidate
+    * pair set are hash-checked against DuckDB end-to-end. Token bit b of
+    * the 64-bit key = bit (b mod 4) of hex nibble (b div 4) of md5(tok);
+    * signature bit b = 1 iff Σ_tokens (2·bit − 1) ≥ 0 (tie pinned to 1).
+    * Chunks are materialized as four 16-bit ints, so hamming is
+    * Σ bit_count(xor) over ints on both engines. Candidates are emitted
+    * UNFILTERED with their hamming and the ≤3 near-dup flag, so the oracle
+    * pins the whole candidate set, not just the survivors. */
+  val simhashMd5: QueryDef = QueryDef(
+    "c17_simhash_md5", "C17",
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |nib AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    strpos('0123456789abcdef', substr(md5(tok), CAST(i + 1 AS INT), 1)) - 1 AS v
+      |  FROM toks, unnest(range(0, 16)) t(i)),
+      |agg AS (
+      |  SELECT doc_id, i, count(*) AS n,
+      |    sum((v >> 0) & 1) AS c0, sum((v >> 1) & 1) AS c1,
+      |    sum((v >> 2) & 1) AS c2, sum((v >> 3) & 1) AS c3
+      |  FROM nib GROUP BY doc_id, i),
+      |bits AS (
+      |  SELECT doc_id, i, j, CASE WHEN 2 * c - n >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM (SELECT doc_id, i, n, unnest([c0, c1, c2, c3]) AS c,
+      |               unnest([0, 1, 2, 3]) AS j FROM agg)),
+      |chunks AS (
+      |  SELECT doc_id, CAST((i * 4 + j) // 16 AS INT) AS c,
+      |    CAST(sum(bit * (1 << ((i * 4 + j) % 16))) AS INT) AS chunk_val
+      |  FROM bits GROUP BY doc_id, (i * 4 + j) // 16),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN c = 0 THEN chunk_val END) AS s0,
+      |    max(CASE WHEN c = 1 THEN chunk_val END) AS s1,
+      |    max(CASE WHEN c = 2 THEN chunk_val END) AS s2,
+      |    max(CASE WHEN c = 3 THEN chunk_val END) AS s3
+      |  FROM chunks GROUP BY doc_id),
+      |small AS (
+      |  SELECT c, chunk_val FROM chunks GROUP BY c, chunk_val HAVING count(*) <= 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM chunks a JOIN small USING (c, chunk_val)
+      |       JOIN chunks b USING (c, chunk_val)
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
+      |     + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) AS INT) AS hamming,
+      |  (bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
+      |     + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3))) <= 3 AS is_dup
+      |FROM cand
+      |JOIN sigs sa ON sa.doc_id = doc_a
+      |JOIN sigs sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    simhashMd5Pairs(Tables.documents(s, d))
+  }.asBaseline("md5-keyed derivation anchor; scale path is c17_simhash (fused murmur SimHashSig expression)")
+
+  /** documents(doc_id, text) → (doc_a, doc_b, hamming, is_dup): the
+    * [[simhashMd5]] pipeline, factored for planted-corpus specs. */
+  def simhashMd5Pairs(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .distinct()
+    val nib = toks
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(15)),
+        i => conv(col("h").substr(i + lit(1), lit(1)), 16, 10).cast(IntegerType))))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "v"))
+    val agg = nib.groupBy("doc_id", "i").agg(
+      count(lit(1)).as("n"),
+      sum(shiftright(col("v"), 0).bitwiseAND(lit(1))).as("c0"),
+      sum(shiftright(col("v"), 1).bitwiseAND(lit(1))).as("c1"),
+      sum(shiftright(col("v"), 2).bitwiseAND(lit(1))).as("c2"),
+      sum(shiftright(col("v"), 3).bitwiseAND(lit(1))).as("c3"))
+    val bits = agg
+      .select(col("doc_id"), col("i"), col("n"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "c"))
+      .select(col("doc_id"), col("i"), col("j"),
+        when(lit(2) * col("c") - col("n") >= 0, 1).otherwise(0).as("bit"))
+    val chunks = bits
+      .groupBy(col("doc_id"),
+        floor((col("i") * 4 + col("j")) / 16).cast(IntegerType).as("c"))
+      .agg(sum(col("bit") * shiftleft(lit(1), (col("i") * 4 + col("j")) % 16))
+        .cast(IntegerType).as("chunk_val"))
+    val sigs = chunks.groupBy("doc_id").agg(
+      max(when(col("c") === 0, col("chunk_val"))).as("s0"),
+      max(when(col("c") === 1, col("chunk_val"))).as("s1"),
+      max(when(col("c") === 2, col("chunk_val"))).as("s2"),
+      max(when(col("c") === 3, col("chunk_val"))).as("s3"))
+    val small = chunks.groupBy("c", "chunk_val")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= 64)
+      .select("c", "chunk_val")
+    val pruned = chunks.join(small, Seq("c", "chunk_val"))
+    val cand = pruned.select(col("c"), col("chunk_val"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("c"), col("chunk_val"), col("doc_id").as("doc_b")),
+        Seq("c", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def ham(a: String, b: String) = bit_count(col(a).bitwiseXOR(col(b)))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("s0").as("a0"),
+        col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("s0").as("b0"),
+        col("s1").as("b1"), col("s2").as("b2"), col("s3").as("b3")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (ham("a0", "b0") + ham("a1", "b1") + ham("a2", "b2") + ham("a3", "b3"))
+          .cast(IntegerType).as("hamming"))
+      .withColumn("is_dup", col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Hot-gram guard for [[ngramJaccardPairs]]: a gram present in more than
     * this many documents of a block is dropped before the self-join. A gram
     * with document frequency m yields m·(m-1)/2 candidate rows, so one

@@ -171,6 +171,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Oracle twin of [[winnow]]: the SAME selection machinery — per-document
+    * minima over the character-8-gram hash stream of the whitespace-
+    * normalized text — re-keyed on md5, the one hash BOTH engines ship
+    * (DuckDB 1.0 lacks xxhash64/sha1), so the window-min selection itself
+    * is hash-checked against DuckDB instead of spec-trusted. One md5 per
+    * gram; the k = 4 "permutations" are its four non-overlapping 8-hex-char
+    * slices (md5-derived keys, lexicographic min ≡ numeric min on fixed-
+    * width hex), aggregated as four plain min()s — no per-permutation
+    * explode, so the oracle stays linear in corpus characters. The
+    * xxhash64 fused-expression path ([[winnow]]) stays the default: this
+    * twin exists to anchor the algorithm, not to replace the scale hash. */
+  /** documents(doc_id, text) → (doc_id, fp0..fp3): the md5-keyed
+    * fingerprint selection of [[winnowMd5]], factored for planted-corpus
+    * specs. */
+  def winnowMd5Fingerprints(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    docs
+      .repartition(col("doc_id")) // per-row CPU: spread the gram hashing
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("norm")) - 7, lit(1)))).as("i"),
+        col("norm"))
+      .select(col("doc_id"), md5(col("norm").substr(col("i"), lit(8))).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), 1, 8)).as("fp0"),
+        min(substring(col("h"), 9, 8)).as("fp1"),
+        min(substring(col("h"), 17, 8)).as("fp2"),
+        min(substring(col("h"), 25, 8)).as("fp3"))
+  }
+
+  val winnowMd5: QueryDef = QueryDef(
+    "c19_winnow_fingerprint_md5", "C19 C17",
+    """WITH g AS (
+      |  SELECT doc_id, md5(substr(norm, CAST(i AS INT), 8)) AS h
+      |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+      |        FROM documents),
+      |       unnest(range(1, greatest(length(norm) - 7, 1) + 1)) t(i))
+      |SELECT doc_id,
+      |  min(substr(h, 1, 8)) AS fp0, min(substr(h, 9, 8)) AS fp1,
+      |  min(substr(h, 17, 8)) AS fp2, min(substr(h, 25, 8)) AS fp3
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    winnowMd5Fingerprints(Tables.documents(s, d)).orderBy("doc_id")
+  }.asBaseline("md5-keyed selection anchor; scale path is c19_winnow_fingerprint (fused xxhash64 expression)")
+
   /** Corpus-typicality score — the exact-arithmetic stand-in for the
     * LM-perplexity quality gate (CCNet/Gopher-style): pass 1 aggregates
     * corpus-wide token frequencies, pass 2 scores each document by the
@@ -774,7 +819,7 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] =
-    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, corpusTypicality,
+    Seq(tokens, bpeTokens, quality, langId, fingerprint, winnow, winnowMd5, corpusTypicality,
       gopherRules, tfidfTopTerms, wordEntropy, nbClassifier, dsirWeights,
       bigramPpl, zipfSlope)
 }

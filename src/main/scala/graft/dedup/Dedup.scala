@@ -339,7 +339,7 @@ object Dedup {
     val chunks = bits
       .groupBy(col("doc_id"),
         floor((col("i") * 4 + col("j")) / 16).cast(IntegerType).as("c"))
-      .agg(sum(col("bit") * shiftleft(lit(1), (col("i") * 4 + col("j")) % 16))
+      .agg(sum(col("bit") * expr("shiftleft(1, (i * 4 + j) % 16)"))
         .cast(IntegerType).as("chunk_val"))
     val sigs = chunks.groupBy("doc_id").agg(
       max(when(col("c") === 0, col("chunk_val"))).as("s0"),

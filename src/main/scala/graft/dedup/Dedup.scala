@@ -942,6 +942,6 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, keepFirst, minhashLsh, incrementalDedup, simhashPairs,
-      ngramJaccard, dedupClusters,
+      simhashMd5, ngramJaccard, dedupClusters,
       spanDedup, textEmbedNearDup, editDistJoin, passageDedup, containment)
 }

@@ -215,6 +215,88 @@ object StreamingJobs {
         new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** In-flight session accumulator for [[SessionExpiryProcessor]]:
+    * timestamps as epoch millis so timer arithmetic is integral. */
+  case class OpenSession(user_id: Long, start_ms: Long, last_ms: Long, n_events: Long)
+
+  /** A session closed by gap timeout: emitted only from the timer path. */
+  case class ClosedSession(
+      user_id: Long, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
+      n_events: Long)
+
+  /** C16 custom state with TIMERS — the arbitrary-state surface the value-
+    * state jobs don't reach: event-time gap sessionization where session
+    * CLOSURE is driven by [[StatefulProcessorHandle.registerTimer]], not by
+    * the arrival of more data. Each input batch extends the per-user open
+    * session and re-arms one timer at `last_event + gap`; when the
+    * watermark passes that instant, [[handleExpiredTimer]] fires — on a
+    * micro-batch the key may receive NO rows in — emits the closed session
+    * and clears state. Exactly one live timer per key is maintained
+    * (superseded expiries are deleted on re-arm), so timer storage is O(keys),
+    * like the value state itself. At scale the properties that matter:
+    * state and timers are partitioned by the same groupByKey hash (no
+    * concentration), expiry work is proportional to sessions closing per
+    * batch (not to total state), and an idle key costs one RocksDB timer
+    * entry, not a scan. */
+  class SessionExpiryProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Ev, ClosedSession] {
+    @transient private var session: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[OpenSession](
+        "session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[ClosedSession] = {
+      var cur = if (session.exists()) session.get() else null
+      val prevExpiry = if (cur == null) -1L else cur.last_ms + gapMs
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        cur =
+          if (cur == null) OpenSession(user, t, t, 1L)
+          else OpenSession(user, math.min(cur.start_ms, t),
+            math.max(cur.last_ms, t), cur.n_events + 1L)
+      }
+      session.update(cur)
+      val expiry = cur.last_ms + gapMs
+      // one live timer per key: drop the superseded expiry before re-arming
+      if (prevExpiry >= 0 && prevExpiry != expiry) getHandle.deleteTimer(prevExpiry)
+      if (prevExpiry != expiry) getHandle.registerTimer(expiry)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!session.exists()) Iterator.empty
+      else {
+        val cur = session.get()
+        // a stale timer (armed before a session-extending batch) must not
+        // close the extended session — only the current expiry counts
+        if (expired.getExpiryTimeInMs < cur.last_ms + gapMs) Iterator.empty
+        else {
+          session.clear()
+          Iterator.single(ClosedSession(user,
+            new java.sql.Timestamp(cur.start_ms), new java.sql.Timestamp(cur.last_ms),
+            cur.n_events))
+        }
+      }
+    }
+  }
+
+  /** C16: gap-timeout sessionization through transformWithState timers.
+    * The watermark bounds both late data and timer firing; `gapMs` is the
+    * inactivity gap after which a session closes. Append mode: a session
+    * row is emitted exactly once, when its expiry timer fires. */
+  def sessionExpiry(events: Dataset[Ev], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionExpiryProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** C16: stream-static enrichment join — every micro-batch joins against a
     * (slowly-changing) static dimension. The static side is broadcast, so
     * the stream is never shuffled and no streaming state accrues — the
@@ -373,6 +455,12 @@ object StreamingJobs {
       // atomic on HDFS/local, so a crash leaves either the old marker or the
       // new one — never a missing/empty marker that would brick the rollup
       // until manual repair even though every data generation is intact.
+      // a crash between tmp-create and rename strands _LATEST.tmp.<oldId>
+      // forever (nothing else ever names that file again) — sweep strays
+      // from prior crashed commits before writing this batch's tmp
+      val stray = fs.globStatus(
+        new org.apache.hadoop.fs.Path(statePath, "_LATEST.tmp.*"))
+      if (stray != null) stray.foreach(s => fs.delete(s.getPath, false))
       val tmp = new org.apache.hadoop.fs.Path(statePath, s"_LATEST.tmp.$batchId")
       val out = fs.create(tmp, true)
       try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -89,8 +89,8 @@ class GraphSpec extends SparkSpec {
           s"expected shuffled joins:\n$plan")
         assert(!names.exists(_.contains("BroadcastExchange")),
           s"a step should broadcast nothing:\n$plan")
-        // the 1-row nn count's SinglePartition gather is bounded at any
-        // scale — only hash shuffles of data-scaled frames are counted
+        // only hash shuffles of data-scaled frames are counted; a
+        // SinglePartition gather (bounded 1-row output) is not a scale risk
         val shuffles = ops.count {
           case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
             s.outputPartitioning !=

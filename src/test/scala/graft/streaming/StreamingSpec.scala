@@ -212,6 +212,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("C16 timers: session expiry fires on watermark passage, across micro-batches, on RocksDB") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = StreamingJobs.sessionExpiry(in.toDS(), gapMs = 5 * 60 * 1000L)
+      val q = out.writeStream
+        .format("memory").queryName("sessions_expired").outputMode(OutputMode.Append())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_sess_exp").toString)
+        .start()
+      // batch 1: user 1 has two events, user 2 one — all sessions open
+      in.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click"),
+        Ev(1L, ts("2024-01-01 10:01:00"), "purchase"),
+        Ev(2L, ts("2024-01-01 10:02:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.table("sessions_expired").isEmpty,
+        "no watermark has passed any expiry yet")
+      // batch 2: user 2 EXTENDS its session past its pending 10:07 timer —
+      // the stale timer must be superseded, not close the session early.
+      // The watermark this batch advances to 10:30, past user 1's 10:06
+      // expiry, so user 1's session closes on a batch where user 1 has NO
+      // input rows — the emission is timer-driven, not data-driven.
+      in.addData(Ev(2L, ts("2024-01-01 10:30:00"), "view"))
+      q.processAllAvailable()
+      // batch 3: a sentinel key pushes the watermark past every expiry
+      in.addData(Ev(99L, ts("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("sessions_expired")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), 2L)),
+        s"user 1's 2-event session should close at watermark 10:30: $rows")
+      assert(rows.contains((2L, ts("2024-01-01 10:02:00"), ts("2024-01-01 10:30:00"), 2L)),
+        s"user 2's extended session must close ONCE, spanning both batches: $rows")
+      assert(!rows.exists(r => r._1 == 2L && r._4 == 1L),
+        s"user 2's superseded 10:07 timer must not have closed the un-extended session: $rows")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B4 end-to-end: streamed CSVs land in an hour-partitioned parquet table") {
     val inDir = java.nio.file.Files.createTempDirectory("stream_in2").toFile
     val outDir = java.nio.file.Files.createTempDirectory("stream_out").toString + "/purchases"

@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Conf-gated (spark.graft.rangeJoin.binWidth): inert until a bin width
     // is chosen, so injection is always safe.
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+    // Conf-gated (spark.graft.asofRewrite.enabled): see the rule's contract.
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinRule)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }
@@ -69,5 +71,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeBinJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoinRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AsofJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsofJoinRule
   }
 }

@@ -72,6 +72,77 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RangeBinJoinRule.BinWidthConf)
   }
 
+  test("AsofJoinRule rewrites join+row_number as-of idiom to the union+window plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    val trades = Seq(
+      (101L, "A", 10L), (102L, "A", 12L), (103L, "B", 7L), (104L, "A", 1L))
+      .toDF("t_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("A", 5L, 1.0, 1L), ("A", 10L, 2.0, 2L), ("A", 10L, 2.5, 3L),
+      ("A", 20L, 3.0, 4L), ("B", 6L, 9.0, 5L))
+      .toDF("q_sym", "q_ts", "q_px", "q_id")
+    def plan(inner: Boolean, strict: Boolean) = {
+      val cond = trades("sym") === quotes("q_sym") &&
+        (if (strict) quotes("q_ts") < trades("t_ts")
+         else quotes("q_ts") <= trades("t_ts"))
+      val j = trades.join(quotes, cond, if (inner) "inner" else "left_outer")
+      // ties on q_ts broken by q_id DESC so the pick is deterministic
+      val w = W.partitionBy(trades("t_id")).orderBy(quotes("q_ts").desc, quotes("q_id").desc)
+      j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("t_id"), col("t_ts"), col("q_ts"), col("q_px"))
+    }
+    def run(inner: Boolean, strict: Boolean) =
+      plan(inner, strict).orderBy("t_id").collect().toSeq.map(_.toSeq)
+
+    // conf off: rule inert — capture the quadratic plan's answers
+    val base = for (i <- Seq(true, false); s <- Seq(true, false)) yield run(i, s)
+    spark.conf.set(graft.plans.AsofJoinRule.EnabledConf, "true")
+    try {
+      val d = plan(inner = true, strict = false)
+      val optimized = d.queryExecution.optimizedPlan.toString
+      val physical = d.queryExecution.executedPlan.toString
+      assert(optimized.contains("_graft_asof"), optimized)
+      assert(!physical.contains("Join"), physical) // no pair blow-up remains
+      val rewritten = for (i <- Seq(true, false); s <- Seq(true, false)) yield run(i, s)
+      assert(rewritten === base)
+      // spot-check semantics: trade 102 (ts 12) sees the q_id-max quote at
+      // ts 10; inclusive trade 101 sees ts-10 too, strict sees ts 5; trade
+      // 104 (ts 1) has no earlier quote — dropped inner, null left-outer
+      val inclusive = run(inner = true, strict = false)
+      assert(inclusive === Seq(
+        Seq(101L, 10L, 10L, 2.5), Seq(102L, 12L, 10L, 2.5), Seq(103L, 7L, 6L, 9.0)))
+      val strictOuter = run(inner = false, strict = true)
+      assert(strictOuter === Seq(
+        Seq(101L, 10L, 5L, 1.0), Seq(102L, 12L, 10L, 2.5),
+        Seq(103L, 7L, 6L, 9.0), Seq(104L, 1L, null, null)))
+    } finally spark.conf.unset(graft.plans.AsofJoinRule.EnabledConf)
+  }
+
+  test("AsofJoinRule leaves non-as-of window filters alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    spark.conf.set(graft.plans.AsofJoinRule.EnabledConf, "true")
+    try {
+      val l = Seq((1L, "A", 10L)).toDF("t_id", "sym", "t_ts")
+      val r = Seq(("A", 5L, 1.0)).toDF("q_sym", "q_ts", "q_px")
+      val j = l.join(r, l("sym") === r("q_sym") && r("q_ts") <= l("t_ts"))
+      // rn = 2 is not a latest-row pick — no rewrite
+      val rn2 = j.withColumn("rn",
+          row_number().over(W.partitionBy(l("t_id")).orderBy(r("q_ts").desc)))
+        .where(col("rn") === 2)
+      assert(!rn2.queryExecution.optimizedPlan.toString.contains("_graft_asof"))
+      // ordered by a LEFT column: not the as-of idiom — no rewrite
+      val wrongOrder = j.withColumn("rn",
+          row_number().over(W.partitionBy(l("t_id")).orderBy(l("t_ts").desc)))
+        .where(col("rn") === 1)
+      assert(!wrongOrder.queryExecution.optimizedPlan.toString.contains("_graft_asof"))
+      assert(wrongOrder.count() === 1L) // and still executes
+    } finally spark.conf.unset(graft.plans.AsofJoinRule.EnabledConf)
+  }
+
   test("RangeBinJoinRule leaves equi and same-side-band joins alone") {
     import spark.implicits._
     spark.conf.set(graft.plans.RangeBinJoinRule.BinWidthConf, "16")

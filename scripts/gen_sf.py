@@ -22,8 +22,25 @@ planted structure, shifted):
   are exact in float32), while cross-copy cosines are ~N(0, 1/64): no
   spurious near-dup cliques between copies.
 
-Usage: python3 scripts/gen_sf.py [src_dir] [dst_dir] [copies]
+Usage: python3 scripts/gen_sf.py [src_dir] [dst_dir] [copies] [--skew]
 Defaults: /root/testdata/sf0.1 /tmp/sf1 10. Deterministic (seed 1337).
+
+--skew (SKEWCHECK mode): after replication, superimpose the hot-key
+structure a real 100 TB corpus has and uniform replication lacks —
+the round-11 gap: the cap/salt guards had only ever seen uniform or
+hand-engineered inputs, never a full skewed gate.
+- Zipf-redirected foreign keys: a fraction of orders.o_custkey,
+  lineitem.l_partkey/l_suppkey and events.user_id rows are re-pointed at
+  a small hot set drawn with Zipf(alpha=1.1) weights, so the top key
+  carries a double-digit percent of the fact table. Redirect targets are
+  EXISTING keys, so FK validity and every oracle's semantics hold — the
+  gate checks Spark==DuckDB on whatever the data is.
+- Hot boilerplate grams: a fraction of documents get the SAME sentence
+  appended across all copies (deliberately breaking the per-copy token
+  isolation), driving shared-gram document frequency into the cap region
+  of the posting-bounded dedup operators. n_chars is kept consistent.
+- Hot group-by domain: a fraction of documents.source collapses to
+  "src0", skewing source-keyed aggregations.
 """
 import os
 import re
@@ -34,10 +51,29 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ARGS = [a for a in sys.argv[1:] if a != "--skew"]
+SKEW = "--skew" in sys.argv[1:]
+SRC = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+DST = ARGS[1] if len(ARGS) > 1 else "/tmp/sf1"
+COPIES = int(ARGS[2]) if len(ARGS) > 2 else 10
 SEED = 1337
+
+# --skew parameters: (redirected fraction, hot-set size) per FK column,
+# Zipf exponent for the within-hot-set weights, and the text knobs
+SKEW_FRACS = {
+    ("orders", "o_custkey"): (0.5, 8, "customer", "c_custkey"),
+    ("lineitem", "l_partkey"): (0.3, 8, "part", "p_partkey"),
+    ("lineitem", "l_suppkey"): (0.3, 4, "supplier", "s_suppkey"),
+    ("events", "user_id"): (0.5, 8, None, None),
+}
+SKEW_ALPHA = 1.1
+# 22 tokens: longer than the span-dedup window (16), so the sentence's
+# interior 16-token windows are shared verbatim across every hot doc
+HOT_SENTENCE = ("shared boilerplate footer all rights reserved contact "
+                "support for terms and conditions of service please do "
+                "not reply directly to this automated message")
+HOT_TEXT_FRAC = 0.02   # fraction of documents carrying the hot sentence
+HOT_SOURCE_FRAC = 0.3  # fraction of documents collapsed onto source src0
 
 # table -> key columns shifted by k * <row count of the keyed table>
 SHIFTS = {
@@ -64,6 +100,53 @@ def replace_col(tbl, col, array):
     return tbl.set_column(i, tbl.schema.field(col), array.cast(tbl.schema.field(col).type))
 
 
+def zipf_redirect(out, col, frac, nhot, pool, rng):
+    """Re-point `frac` of out[col] at `nhot` keys sampled from `pool`,
+    weighted Zipf(SKEW_ALPHA) within the hot set. Returns (table, hot)."""
+    n = out.num_rows
+    vals = out[col].to_numpy(zero_copy_only=False).copy()
+    hot = rng.choice(np.asarray(pool, dtype=np.int64),
+                     size=min(nhot, len(pool)), replace=False)
+    w = 1.0 / np.arange(1, len(hot) + 1) ** SKEW_ALPHA
+    w /= w.sum()
+    mask = rng.random(n) < frac
+    vals[mask] = hot[rng.choice(len(hot), size=int(mask.sum()), p=w)]
+    return replace_col(out, col, pa.array(vals)), hot
+
+
+def apply_skew(outs):
+    rng = np.random.default_rng(SEED + 7331)
+    report = {}
+    for (name, col), (frac, nhot, dim, dimkey) in SKEW_FRACS.items():
+        pool = (outs[dim][dimkey] if dim is not None else outs[name][col])
+        pool = pc.unique(pool).to_numpy(zero_copy_only=False)
+        outs[name], hot = zipf_redirect(outs[name], col, frac, nhot, pool, rng)
+        counts = pc.value_counts(outs[name][col])
+        top = max(c["counts"] for c in counts.to_pylist())
+        report[f"{name}.{col}"] = (
+            f"top key {100.0 * top / outs[name].num_rows:.1f}% of rows "
+            f"(hot set {len(hot)}, redirect {frac})")
+    docs = outs["documents"]
+    texts = docs["text"].to_pylist()
+    hot_doc = rng.random(len(texts)) < HOT_TEXT_FRAC
+    texts = [t + " " + HOT_SENTENCE if h else t
+             for t, h in zip(texts, hot_doc)]
+    docs = replace_col(docs, "text", pa.array(texts))
+    docs = replace_col(docs, "n_chars", pa.array([len(t) for t in texts]))
+    src = docs["source"].to_pylist()
+    hot_src = rng.random(len(src)) < HOT_SOURCE_FRAC
+    src = ["src0" if h else s for s, h in zip(src, hot_src)]
+    docs = replace_col(docs, "source", pa.array(src))
+    outs["documents"] = docs
+    report["documents.text"] = (
+        f"{int(hot_doc.sum())} docs ({100.0 * HOT_TEXT_FRAC:.0f}%) share the "
+        f"{len(HOT_SENTENCE.split())}-token boilerplate sentence across copies")
+    report["documents.source"] = (
+        f"src0 now {100.0 * sum(1 for s in src if s == 'src0') / len(src):.1f}% of docs")
+    for k, v in report.items():
+        print(f"  skew {k}: {v}")
+
+
 def main():
     os.makedirs(DST, exist_ok=True)
     tables = {}
@@ -75,9 +158,10 @@ def main():
     # user_id has its own (smaller) key space inside events
     sizes["events_users"] = int(pc.max(tables["events"]["user_id"]).as_py()) + 1
 
+    outs = {}
     for name, tbl in tables.items():
         if name not in SHIFTS:  # region, nation: fixed dims
-            pq.write_table(tbl, os.path.join(DST, name + ".parquet"))
+            outs[name] = tbl
             print(f"{name}: {tbl.num_rows} rows (not replicated)")
             continue
         copies = []
@@ -101,8 +185,13 @@ def main():
                     pa.array(list(emb), type=pa.list_(pa.float32())))
             copies.append(c)
         out = pa.concat_tables(copies)
-        pq.write_table(out, os.path.join(DST, name + ".parquet"))
+        outs[name] = out
         print(f"{name}: {tbl.num_rows} -> {out.num_rows} rows")
+
+    if SKEW:
+        apply_skew(outs)
+    for name, out in outs.items():
+        pq.write_table(out, os.path.join(DST, name + ".parquet"))
 
 
 if __name__ == "__main__":

@@ -774,6 +774,9 @@ object QueryGen {
       case (true, true) => ">"
     }
     val (aggBy, agg) = if (forward) ("min_by", "min") else ("max_by", "max")
+    // drawn HERE, not in the run lambda: the lambda executes after
+    // generation, and touching `r` there would perturb later draws
+    val viaRewrite = !forward && r.nextInt(2) == 0
     val sql =
       s"SELECT p.event_id AS p_id, p.user_id AS k, p.ts AS p_ts, " +
         s"$aggBy(c.event_id, c.ts) AS last_id, $agg(c.ts) AS last_ts " +
@@ -788,6 +791,30 @@ object QueryGen {
       if (!forward) {
         val leftDf = ev.where(col("event_type") === lt)
           .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        // half the backward draws run the DECLARATIVE idiom (join +
+        // row_number + rn=1) through AsofJoinRule instead of calling the
+        // operator — the rewrite path stays fuzz-covered end-to-end. The
+        // require fails loudly if routing silently stops rewriting.
+        if (viaRewrite) {
+          graft.GraftExtensions.registerInto(s)
+          s.conf.set(graft.plans.AsofJoinRule.EnabledConf, "true")
+          val rightDf = rightDf0.select(col("user_id").as("r_uid"),
+            col("ts").as("r_ts"), col("event_id").as("r_id"))
+          val cmp =
+            if (strict) rightDf("r_ts") < leftDf("ts")
+            else rightDf("r_ts") <= leftDf("ts")
+          val j = leftDf.join(rightDf,
+            leftDf("user_id") === rightDf("r_uid") && cmp, "left_outer")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(leftDf("p_id")).orderBy(rightDf("r_ts").desc)
+          val out = j.withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("p_id"), col("user_id").as("k"), col("ts").as("p_ts"),
+              col("r_id").as("last_id"), col("r_ts").as("last_ts"))
+          require(out.queryExecution.optimizedPlan.toString.contains("_graft_asof"),
+            s"$name: declarative as-of draw did not route through AsofJoinRule")
+          out
+        } else
         graft.operators.ScaleOps.asofJoin(leftDf, rightDf0, "user_id", "ts",
           Seq("event_id" -> "last_id", "ts" -> "last_ts"), strict = strict)
           .select(col("p_id"), col("user_id").as("k"), col("ts").as("p_ts"),

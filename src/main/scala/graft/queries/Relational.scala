@@ -512,6 +512,51 @@ object Relational {
       .orderBy("user_id", "ts", "src", "own_id")
   }
 
+  /** C8 through the OPTIMIZER, not the operator: the query is written as
+    * the declarative as-of idiom — inequality join + row_number() over
+    * (partition by left id, order by right ts desc) + rn = 1 — and
+    * [[graft.plans.AsofJoinRule]] rewrites it to the same union+window
+    * plan [[c8AsofJoin]] builds by hand via ScaleOps.asofJoin. The fail-
+    * loud require pins that the rewrite actually fired (the unrewritten
+    * plan would still be CORRECT, just the quadratic-per-key pair
+    * materialization this rule exists to kill). The oracle runs the SAME
+    * declarative SQL in DuckDB — neither engine sees the operator form,
+    * so this row checks the rewrite end-to-end against an independent
+    * executor of the idiom it claims to preserve. */
+  val c8AsofRewrite: QueryDef = QueryDef(
+    "c8_asof_rewrite", "C8",
+    """SELECT purchase_id, user_id, purchase_ts, last_click_id, last_click_ts
+      |FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |    p.ts AS purchase_ts, c.event_id AS last_click_id, c.ts AS last_click_ts,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts) t
+      |WHERE rn = 1 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    graft.GraftExtensions.registerInto(s)
+    s.conf.set(graft.plans.AsofJoinRule.EnabledConf, "true")
+    val ev = events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val j = p.join(c,
+      p("user_id") === c("c_uid") && c("c_ts") <= p("purchase_ts"), "left_outer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(p("purchase_id")).orderBy(c("c_ts").desc, c("c_id").desc)
+    val out = j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("c_id").as("last_click_id"), col("c_ts").as("last_click_ts"))
+      .orderBy("purchase_id")
+    require(out.queryExecution.optimizedPlan.toString.contains("_graft_asof"),
+      "c8_asof_rewrite: AsofJoinRule did not fire on the declarative idiom")
+    out
+  }
+
   /** C9: second-moment statistics (stddev, correlation) the hash-matchable
     * way. Spark's `stddev_samp`/`corr` merge partial Welford states, so the
     * last ulps depend on partition boundaries — unusable for cross-engine
@@ -2820,6 +2865,7 @@ object Relational {
     c6LeftOuter, c6RightOuter, c6FullOuter,
     c7RangeJoin, c7RangeBinJoin, c7IntervalOverlap, c7IntervalBinJoin,
     c8AsofJoin, c8AsofForward, c8AsofStrict, c8AsofTolerance, c8SpliceJoin,
+    c8AsofRewrite,
     c9TpchQ1, c9Having, c9Funnel,
     c9Quantiles,
     c9QuantilesApprox, c9ExactMoments, c10Distinct, c10Approx, c10HeavyHitters, c10HllMerge,

@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     // Conf-gated (spark.graft.asofRewrite.enabled): see the rule's contract.
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinRule)
+    // Conf-gated (spark.graft.latestByRewrite.enabled). Injected after
+    // AsofJoinRule so the as-of shape (whose window child is a join) gets
+    // rewritten by the more specific rule first.
+    ext.injectOptimizerRule(_ => graft.plans.LatestByRule)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }
@@ -74,5 +78,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.AsofJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.AsofJoinRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LatestByRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LatestByRule
   }
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -120,8 +120,13 @@ object Purchases {
     * like the ValueError inside cloud_function.py:67–78's comprehension.
     * `strict=false` (A7, reference-documented-intent): `try_*` variants turn
     * garbage into null and the row is dropped instead of aborting.
+    *
+    * `anonymizer` defaults to sha1 (A5 reference parity,
+    * cloud_function.py:70); the md5 override exists for the oracle-twin
+    * queries (DuckDB 1.0 ships md5 but not sha1 — see EtlQueries).
     */
-  def transform(raw: DataFrame, strict: Boolean = true): DataFrame = {
+  def transform(raw: DataFrame, strict: Boolean = true,
+      anonymizer: Column => Column = sha1): DataFrame = {
     val dropped =
       if (raw.columns.contains("_corrupt"))
         raw.filter(col("_corrupt").isNull).drop("_corrupt")
@@ -137,7 +142,7 @@ object Purchases {
         .cast(TimestampNTZType)
     dropped
       .select(
-        sha1(col("email")).as("buyer"),   // A5
+        anonymizer(col("email")).as("buyer"), // A5
         toInt("item_id").as("item_id"),   // A6
         toInt("quantity").as("quantity"),
         toInt("price").as("price"),
@@ -151,8 +156,10 @@ object Purchases {
     * selects both the CSV mode (structural malformation) and strict
     * cast/parse semantics (field-level garbage) so the two failure classes
     * behave consistently (A8 vs A7). */
-  def etl(spark: SparkSession, path: String, failFast: Boolean = true): DataFrame =
-    transform(readCsv(spark, path, failFast), strict = failFast)
+  def etl(spark: SparkSession, path: String, failFast: Boolean = true,
+      anonymizer: Column => Column = sha1): DataFrame =
+    transform(readCsv(spark, path, failFast), strict = failFast,
+      anonymizer = anonymizer)
 
   /** Typed variant of [[etl]]: the same pipeline surfaced as
     * `Dataset[Purchase]` for callers that want compile-time field safety

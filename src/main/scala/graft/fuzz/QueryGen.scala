@@ -681,7 +681,12 @@ object QueryGen {
         val ps = ((0 until nCols).map(_ => pick(r, src.cols)) ++
           src.orderKeys.map(k => src.cols.find(_.name == k).get)).distinct
         val sel = ps.zipWithIndex.map { case (c, i) => (s"p$i", c.name) }
-        val k = 2 + r.nextInt(4)
+        // a third of the draws become rn <= 1 latest-row picks routed
+        // through LatestByRule (drawn HERE, not in the run lambda — see
+        // asofQuery). Bare-column keys only: the rule's conservative
+        // match wants attribute partition specs.
+        val viaRewrite = r.nextInt(3) == 0 && gSql.matches("[a-z_][a-z_0-9]*")
+        val k = if (viaRewrite) 1 else 2 + r.nextInt(4)
         val orderSql = sel.map { case (_, c) => s"$c NULLS FIRST" }
           .mkString(", ")
         val selSql = sel.map { case (a, c) => s"$c AS $a" }.mkString(", ")
@@ -696,9 +701,17 @@ object QueryGen {
           val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
           val w = Window.partitionBy(gRaw)
             .orderBy(sel.map { case (_, c) => col(c).asc_nulls_first }: _*)
-          df1.select(sel.map { case (a, c) => col(c).as(a) } ++
+          val out = df1.select(sel.map { case (a, c) => col(c).as(a) } ++
               Seq(gRaw.as("k0"), row_number().over(w).as("rn")): _*)
             .where(col("rn") <= k)
+          if (viaRewrite) {
+            graft.GraftExtensions.registerInto(s)
+            s.conf.set(graft.plans.LatestByRule.EnabledConf, "true")
+            require(out.queryExecution.optimizedPlan.toString
+                .contains("_graft_latest"),
+              s"$name: latest-row draw did not route through LatestByRule")
+          }
+          out
         })
     }
   }

@@ -2575,7 +2575,18 @@ object Relational {
     * watermark. Oracle = the classic gaps-and-islands construction: a new
     * session starts when the gap from the previous event is >= 30 min
     * (Spark merges strictly-less-than-gap arrivals), session end = last
-    * event + gap. */
+    * event + gap.
+    *
+    * Tie contract (caught by the SKEWCHECK gate, round 13): when a user
+    * has TWO events at the SAME timestamp exactly at a session boundary,
+    * only the (ts, event_id)-first of them carries brk = 1 — and the
+    * island sum must then order equal-ts rows `brk DESC` so the break row
+    * opens the group BEFORE its ts-twins join it. Ordering `brk` ASC puts
+    * the twin in the PREVIOUS session (wrong s_end/cnt) — and when the
+    * break is the user's first event, it splits one Spark session into
+    * two oracle rows. Uniform corpora never hit this (cross-copy key
+    * redirection is what makes two copies' identical timestamps share a
+    * user); the skewed gate found 124 such boundaries. */
   val c16SessionWindow: QueryDef = QueryDef(
     "c16_session_window", "C16",
     """WITH m AS (
@@ -2585,7 +2596,7 @@ object Relational {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), g AS (
-      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       |  FROM m)
       |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
@@ -2817,6 +2828,42 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** B1 through the OPTIMIZER, not the hand-written aggregate: the query
+    * is the textbook latest-row idiom — row_number() over (partition by
+    * key order by ts desc, id desc) + rn = 1 — and
+    * [[graft.plans.LatestByRule]] rewrites it into the max_by hash
+    * aggregate [[b1LatestOn]] builds by hand (no per-key sort, map-side
+    * partial argmax — the 100 TB plan). The fail-loud require pins that
+    * the rewrite fired; the oracle runs the SAME declarative SQL in
+    * DuckDB, so the rewrite is checked end-to-end against an independent
+    * executor of the idiom it claims to preserve, and parity with
+    * `b1_latest_on`'s green row pins rewritten ≡ hand-written. */
+  val b1LatestOnRewrite: QueryDef = QueryDef(
+    "b1_latest_on_rewrite", "B1 B3 C12",
+    """SELECT o_custkey, o_orderkey AS latest_order, o_orderdate AS latest_ts,
+      |  CAST(o_totalprice AS DOUBLE) AS latest_price
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    graft.GraftExtensions.registerInto(s)
+    s.conf.set(graft.plans.LatestByRule.EnabledConf, "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val out = orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+        col("o_orderdate").as("latest_ts"),
+        col("o_totalprice").as("latest_price"))
+      .orderBy("o_custkey")
+    require(out.queryExecution.optimizedPlan.toString.contains("_graft_latest"),
+      "b1_latest_on_rewrite: LatestByRule did not fire on the declarative idiom")
+    out
+  }
+
   /** C11: UNPIVOT (melt) — wide metric columns to (key, metric, value)
     * rows, the inverse of [[c11Pivot]]. Narrow generate-style projection:
     * each input row expands to exactly |metrics| output rows map-side,
@@ -2872,7 +2919,7 @@ object Relational {
     c20TypedMapGroups,
     c11Rollup, c11Cube, c11Pivot, c11GroupingSets, c11Unpivot,
     c12Window, c12RangeFrame, c12RollingMedian, c12Ntile, c12Dist,
-    c12GapsIslands, b1LatestOn,
+    c12GapsIslands, b1LatestOn, b1LatestOnRewrite,
     c13TopK, c13TopKPerGroup,
     c14Union, c14UnionDistinct, c14Intersect, c14Except,
     c14IntersectAll, c14ExceptAll, c14RecursiveCte, c5LateralTopk,

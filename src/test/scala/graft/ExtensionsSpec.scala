@@ -143,6 +143,76 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.AsofJoinRule.EnabledConf)
   }
 
+  test("LatestByRule rewrites the rn=1 latest-row window into an argmax aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    // ties (key 1, ts 12) totally ordered by the tag tie-break; key 3 has
+    // a null ts losing to a real one (DESC = NULLS LAST); key 4 is ONLY a
+    // null-ts row — rn=1 still emits it, so the argmax must too
+    val t = Seq(
+      (1L, Some(10L), "a", 100.0), (1L, Some(12L), "b", 101.0),
+      (1L, Some(12L), "c", 99.0), (2L, Some(7L), "d", 50.0),
+      (3L, None, "e", 1.0), (3L, Some(5L), "f", 2.0), (4L, None, "g", 3.0))
+      .toDF("k", "ts", "tag", "v")
+    def plan(desc: Boolean) = {
+      val w =
+        if (desc) W.partitionBy(col("k")).orderBy(col("ts").desc, col("tag").desc)
+        else W.partitionBy(col("k")).orderBy(col("ts").asc, col("tag").asc)
+      t.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("k", "ts", "tag", "v")
+    }
+    def run(desc: Boolean) = plan(desc).orderBy("k").collect().toSeq.map(_.toSeq)
+
+    val base = Seq(true, false).map(run) // conf off: window plan's answers
+    spark.conf.set(graft.plans.LatestByRule.EnabledConf, "true")
+    try {
+      val d = plan(desc = true)
+      val optimized = d.queryExecution.optimizedPlan.toString
+      val physical = d.queryExecution.executedPlan.toString
+      assert(optimized.contains("_graft_latest"), optimized)
+      assert(!physical.contains("Window"), physical) // no per-key sort remains
+      assert(Seq(true, false).map(run) === base)
+      // spot-check: desc picks (12,"c") for key 1 (tie broken by tag DESC),
+      // "f" for key 3 (null loses), and key 4's null row survives
+      assert(run(desc = true) === Seq(
+        Seq(1L, 12L, "c", 99.0), Seq(2L, 7L, "d", 50.0),
+        Seq(3L, 5L, "f", 2.0), Seq(4L, null, "g", 3.0)))
+      // asc = min_by: null ts WINS (NULLS FIRST) for key 3
+      assert(run(desc = false) === Seq(
+        Seq(1L, 10L, "a", 100.0), Seq(2L, 7L, "d", 50.0),
+        Seq(3L, null, "e", 1.0), Seq(4L, null, "g", 3.0)))
+    } finally spark.conf.unset(graft.plans.LatestByRule.EnabledConf)
+  }
+
+  test("LatestByRule leaves non-latest-row shapes alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    spark.conf.set(graft.plans.LatestByRule.EnabledConf, "true")
+    try {
+      val t = Seq((1L, 10L, "a"), (1L, 12L, "b")).toDF("k", "ts", "tag")
+      def opt(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.toString
+      // mixed directions: struct lexicographic order can't express it
+      val mixed = t.withColumn("rn", row_number().over(
+          W.partitionBy(col("k")).orderBy(col("ts").desc, col("tag").asc)))
+        .where(col("rn") === 1)
+      assert(!opt(mixed).contains("_graft_latest"), opt(mixed))
+      assert(mixed.count() === 1L)
+      // rn = 2: not a latest-row pick
+      val rn2 = t.withColumn("rn", row_number().over(
+          W.partitionBy(col("k")).orderBy(col("ts").desc)))
+        .where(col("rn") === 2)
+      assert(!opt(rn2).contains("_graft_latest"), opt(rn2))
+      // non-default null ordering: argmax nulls land the other way
+      val nullsFirst = t.withColumn("rn", row_number().over(
+          W.partitionBy(col("k")).orderBy(col("ts").desc_nulls_first)))
+        .where(col("rn") === 1)
+      assert(!opt(nullsFirst).contains("_graft_latest"), opt(nullsFirst))
+    } finally spark.conf.unset(graft.plans.LatestByRule.EnabledConf)
+  }
+
   test("RangeBinJoinRule leaves equi and same-side-band joins alone") {
     import spark.implicits._
     spark.conf.set(graft.plans.RangeBinJoinRule.BinWidthConf, "16")

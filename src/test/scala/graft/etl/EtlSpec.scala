@@ -52,6 +52,27 @@ class EtlSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("A5 md5 twin: same pipeline re-keyed on md5, digest independently verified") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md5Etl = Purchases.etl(spark, exampleDir, anonymizer = md5)
+    // the twin changes ONLY the digest: same rows survive, same key
+    // cardinality (bijective on this corpus for both hashes)
+    assert(md5Etl.count() === 909L)
+    val sha1Keys = Purchases.etl(spark, exampleDir).select("buyer").distinct().count()
+    assert(md5Etl.select("buyer").distinct().count() === sha1Keys)
+    // and the digest is real md5 of the email, JDK as ground truth
+    val pairs = Purchases.readCsv(spark, exampleDir)
+      .select(col("email"), md5(col("email")).as("buyer"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getString(1) === md5Hex(r.getString(0)),
+        s"md5 mismatch for ${r.getString(0)}")
+    }
+    assert(md5Etl.select("buyer").first().getString(0).matches("[0-9a-f]{32}"))
+  }
+
   test("typed Dataset API: same rows, compile-time field access") {
     val ds = Purchases.typedEtl(spark, exampleDir)
     assert(ds.count() === 909L)

@@ -54,9 +54,10 @@ class FuzzSpec extends SparkSpec {
     val hex = md.digest(joined.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
-    // (round 13: as-of draws gained the viaRewrite coin flip — seed-42
-    // sweep re-run green the same session this pin changed)
-    assert(hex === "8db5c0654c0a50614c9900b8f670bca442693fb3")
+    // (round 13: as-of draws gained the viaRewrite coin flip, then the
+    // windowed-top-k draw gained the rn<=1 LatestByRule routing — seed-42
+    // sweep re-run green the same session as each pin change)
+    assert(hex === "78182cfcd9f5fd22f2dde48dcdeeb74bb25fbfe5")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

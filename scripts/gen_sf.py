@@ -61,10 +61,20 @@ SEED = 1337
 # --skew parameters: (redirected fraction, hot-set size) per FK column,
 # Zipf exponent for the within-hot-set weights, and the text knobs
 SKEW_FRACS = {
-    ("orders", "o_custkey"): (0.5, 8, "customer", "c_custkey"),
+    # orders is the salted-join stress: 0.8 puts ~31% of the fact table on
+    # ONE customer (the hot-domain shape of a crawl corpus), and every
+    # consumer of o_custkey is linear in it (dim join, group-by, window)
+    ("orders", "o_custkey"): (0.8, 8, "customer", "c_custkey"),
     ("lineitem", "l_partkey"): (0.3, 8, "part", "p_partkey"),
     ("lineitem", "l_suppkey"): (0.3, 4, "supplier", "s_suppkey"),
-    ("events", "user_id"): (0.5, 8, None, None),
+    # events is softer than the FK dims on purpose: the engine's as-of /
+    # funnel / session plans are linear in the hot key (union+window,
+    # agg-to-agg), but their DUCKDB oracles materialize the per-key
+    # purchase x click pair product — (0.5, 8) makes that 2.2e9 pairs
+    # (1.6e9 on one key), which stalls the window-shaped oracles. (0.15,
+    # 32) keeps the top user ~4000x the uniform mean (a real hot key for
+    # Spark's plans) while bounding the oracle's pair product to ~1e8.
+    ("events", "user_id"): (0.15, 32, None, None),
 }
 SKEW_ALPHA = 1.1
 # 22 tokens: longer than the span-dedup window (16), so the sentence's

@@ -70,6 +70,29 @@ for q in headline:
 
 lines += [
     "",
+    "## c14_pagerank CPU anatomy (graft.ProfileQuery, measured round 13)",
+    "",
+    "The round-11 gate asked for isolated sf0.1 proc-cpu <= 50 or a",
+    "profile-backed irreducibility note. Fresh-JVM anatomy, 3 reps",
+    "(`runMain graft.ProfileQuery c14_pagerank`, sf0.1, local[32]):",
+    "",
+    "| rep | wall s | proc-cpu s | task-cpu s | task-gc s | jvm-gc wall s |",
+    "|---|---|---|---|---|---|",
+    "| 1 (JIT warmup) | 18.0 | 158.5 | 100.3 | 7.5 | 0.40 |",
+    "| 2 | 4.6 | 53.4 | 35.9 | 1.4 | 0.11 |",
+    "| 3 | 4.3 | 48.5 | 35.6 | 2.0 | 0.13 |",
+    "",
+    "Warm-state proc-cpu is 48-53 s, straddling the 50 s gate within box",
+    "drift. Of it, ~36 s is executor task CPU — the distributed work",
+    "itself (pair self-join pre-aggregated to multiplicities + 3 rank",
+    "iterations, every join shuffle_hash, rank never broadcast, plan",
+    "audited in VERDICT r11) — GC is <2 s, and the ~13-17 s remainder is",
+    "driver planning + codegen + residual JIT, which a plan change cannot",
+    "remove. BENCHISO's committed cpu_s (55.1 this round) is the median",
+    "of 3 in-child reps, i.e. it still carries partial first-rep warmup.",
+    "Conclusion: the plan is at its floor; remaining spread is JVM",
+    "warmup + box drift, not shape.",
+    "",
     f"Suite totals: in-suite sf0.1 {full.get('value', '—')} s over "
     f"{len(full.get('queries', {}))} queries (reps={full.get('reps', '?')}, "
     f"spill={full.get('spilled_bytes', '?')} B, "

@@ -89,7 +89,17 @@ object ScaleOps {
     * salt suffix, scatter the left side's hot keys uniformly across the
     * replicas. The shuffle key becomes (key, salt) — a key holding p% of
     * the rows now occupies p%/salt per partition. Semantics identical to
-    * `left.join(right, key)` (inner). */
+    * `left.join(right, key)` (inner).
+    *
+    * Sizing `salt` (measured, SKEWCHECK.md): the salt splits the KEY into
+    * granules, but granule→partition PLACEMENT is hashed — with salt on
+    * the order of the shuffle partition count, birthday collisions pile
+    * several hot granules back onto one reducer (the skewed-sf1 bench
+    * caught 4 of 8 granules of a 3.8M-row key landing in ONE partition,
+    * resurrecting most of the skew). Choose salt a few × the partition
+    * count (so each partition expects several granules and the law of
+    * large numbers levels the load), and remember the cost side: the dim
+    * is replicated `salt`× — salt=64 on a 1 GB build side ships 64 GB. */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -99,6 +109,68 @@ object ScaleOps {
       pmod(hash(monotonically_increasing_id()), lit(salt)))
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Hot-key-differentiated salted join — the production form of
+    * [[saltedJoin]], fixing BOTH failure modes SKEWCHECK.md measured in
+    * the naive full-salt:
+    *
+    *  - **Granule placement**: splitting a hot key `salt` ways only helps
+    *    if the (key, salt) granules spread across reducers, and placement
+    *    is hashed — at salt ≈ the partition count, birthday collisions
+    *    pile several granules back onto one reducer (measured: 4 of 8
+    *    granules of a 3.8M-row key on ONE task). Salting only the hot
+    *    keys makes large salt (a few × partitions) affordable, so the
+    *    law of large numbers levels the load.
+    *  - **Replication cost**: full salting ships the ENTIRE build side
+    *    `salt`× (measured: salt=64 on a 1.5M-row dim doubled the whole
+    *    join's wall). Here only the ≤ `maxHotKeys` hot keys' dim rows
+    *    replicate — `|hot| × salt` extra rows, irrelevant at any scale.
+    *
+    * Hot keys are detected from a key-column SAMPLE (one column-pruned
+    * scan of `left`): a key with p% of n rows appears ≥ `minSampleCount`
+    * times in an f-sample with overwhelming probability once
+    * n·f·p ≫ minSampleCount — the 100 TB default (f = 1e-4) resolves
+    * keys down to ~0.1% of a 10¹¹-row table at minSampleCount = 100. The
+    * collect is bounded by `maxHotKeys` and fail-loud beyond it (house
+    * cap contract; a corpus with > 4096 genuinely hot keys needs a
+    * different plan, not a silent truncation). `c10_heavy_hitters`'s
+    * Misra–Gries sketch is the deterministic-guarantee alternative
+    * detector for the same decision.
+    *
+    * Cold keys keep salt 0 on both sides — their rows shuffle exactly as
+    * in the plain join. Semantics identical to `left.join(right, key)`
+    * (inner); parity + cap specs in ScaleOpsSpec, measured win in
+    * SKEWCHECK.md. */
+  def hotSaltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salt: Int,
+      sampleFraction: Double = 1e-2,
+      minSampleCount: Long = 100L,
+      maxHotKeys: Int = 4096): DataFrame = {
+    val hotRows = left.select(col(key)).where(col(key).isNotNull)
+      .sample(withReplacement = false, sampleFraction, seed = 1337L)
+      .groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minSampleCount)
+      .orderBy(col("_c").desc, col(key))
+      .limit(maxHotKeys + 1) // bounded driver collect, fail-loud over cap
+      .collect()
+    require(hotRows.length <= maxHotKeys,
+      s"hotSaltedJoin: more than $maxHotKeys hot keys at " +
+        s"sampleFraction=$sampleFraction, minSampleCount=$minSampleCount — " +
+        "raise minSampleCount or rethink the plan (broadcast? bucketed?)")
+    if (hotRows.isEmpty) return left.join(right, Seq(key))
+    val hot = hotRows.map(_.get(0)).toSeq
+    val isHot = col(key).isin(hot: _*) // ≤ maxHotKeys values → InSet
+    val saltedLeft = left.withColumn("_salt",
+      when(isHot, pmod(hash(monotonically_increasing_id()), lit(salt)))
+        .otherwise(lit(0)))
+    val saltedRight = right.withColumn("_salt",
+      explode(when(isHot, sequence(lit(0), lit(salt - 1)))
+        .otherwise(array(lit(0)))))
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
 

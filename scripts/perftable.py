@@ -10,6 +10,11 @@ Merges, per headline query:
   - BENCH_SF1.json   in-suite sf1 wall (1 rep)
   - BENCHISO_SF1.json isolated sf1 wall (fresh JVM per query), if present
 
+Run via scripts/refresh_bench.sh, which regenerates the records and then
+THIS table as its unconditional last step — the r13 inconsistency (table
+generated one commit before the final record refresh) is structurally
+impossible when the refresh path owns the regeneration order.
+
 Usage: python3 scripts/perftable.py [round_label]   (run from repo root)
 """
 import json
@@ -59,6 +64,29 @@ lines = [
     "A real plan regression moves BOTH the in-suite and isolated columns;",
     "a move in only one column is protocol noise (JVM state or box drift —",
     "see the bench-noise notes in VERDICT/ADVICE history).",
+    "",
+    "## Canary (drift normalization)",
+    "",
+    "Every record carries a pinned CANARY pair (`graft.Bench.runCanary`,",
+    "3-rep medians): `range_mod_sum_s` = sum(id % 7) over a 1e9 range",
+    "(pure codegen CPU, data-independent) and `scan_sf01_lineitem_s` = a",
+    "Q6-shaped aggregate over the PINNED read-only sf0.1 lineitem (IO +",
+    "parquet decode) — the same work in every record regardless of the",
+    "record's own sf. To compare two records, divide each side's",
+    "per-query numbers by its own canary: a move the canary shares is box",
+    "drift (the r11→r13 uniform 1.39×), a move it doesn't is a plan",
+    "change.",
+    "",
+    "| record | range_mod_sum_s | scan_sf01_lineitem_s |",
+    "|---|---|---|",
+] + [
+    f"| {name} | {fmt(rec, 'range_mod_sum_s', 'canary')} "
+    f"| {fmt(rec, 'scan_sf01_lineitem_s', 'canary')} |"
+    for name, rec in [("BENCHFULL (in-suite sf0.1)", full),
+                      ("BENCHISO (iso sf0.1)", iso),
+                      ("BENCH_SF1 (in-suite sf1)", sf1),
+                      ("BENCHISO_SF1 (iso sf1)", iso1)]
+] + [
     "",
     "| query | in-suite sf0.1 s | iso sf0.1 s | iso sf0.1 cpu-s | in-suite sf1 s | iso sf1 s |",
     "|---|---|---|---|---|---|",

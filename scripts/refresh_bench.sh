@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Canonical bench refresh (round-13 verdict directives 1–3): regenerates
+# the bench records and then PERFTABLE.md LAST, in one script, so the
+# table can never again disagree with the records it unifies (r13 shipped
+# PERFTABLE generated one commit before the final BENCHFULL refresh —
+# pagerank 7.32 vs 11.95 s in the same tree). Every record now carries
+# the pinned CANARY pair (graft.Bench.runCanary) for cross-record drift
+# normalization.
+#
+# Usage: scripts/refresh_bench.sh <round> [sf1_dir]
+#   <round>   label stamped into PERFTABLE.md
+#   [sf1_dir] optional self-generated sf1 corpus (scripts/gen_sf.py);
+#             when present, BENCH_SF1.json + BENCHISO_SF1.json refresh too.
+#
+# Order matters: sf1 runs FIRST (their outputs are renamed aside), the
+# sf0.1 runs land in BENCHFULL.json/BENCHISO.json afterwards, and
+# perftable.py is the unconditional LAST step. Commit all refreshed
+# records + PERFTABLE.md atomically.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND=${1:?usage: scripts/refresh_bench.sh <round> [sf1_dir]}
+SF1=${2:-}
+SF01=${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}
+
+echo "[refresh] compile gate"
+sbt -batch Test/compile
+
+if [ -n "$SF1" ] && [ -d "$SF1" ]; then
+  echo "[refresh] sf1 in-suite (1 rep) from $SF1"
+  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch "runMain graft.Bench"
+  mv BENCHFULL.json BENCH_SF1.json
+  echo "[refresh] sf1 isolated (fresh JVM per headliner, 1 rep)"
+  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch "runMain graft.BenchIsolated"
+  mv BENCHISO.json BENCHISO_SF1.json
+fi
+
+echo "[refresh] sf0.1 in-suite (3-rep interleaved medians) from $SF01"
+SPARK_GRAFT_SF_DIR=$SF01 sbt -batch "runMain graft.Bench"
+echo "[refresh] sf0.1 isolated (fresh JVM per headliner)"
+SPARK_GRAFT_SF_DIR=$SF01 sbt -batch "runMain graft.BenchIsolated"
+
+echo "[refresh] PERFTABLE.md (LAST — the table is generated from what was"
+echo "          just recorded, never from stale records)"
+python3 scripts/perftable.py "$ROUND"
+echo "[refresh] done — commit BENCH*.json + PERFTABLE.md atomically"

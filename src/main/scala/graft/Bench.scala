@@ -90,6 +90,47 @@ object Bench {
       .getProcessCpuTime / 1e9
     catch { case _: Throwable => -1.0 }
 
+  /** Fixed CANARY pair stamped into every bench record (round-13 verdict
+    * directive 1): two pinned queries whose PLAN never changes between
+    * rounds, so any two records can be drift-normalized against each
+    * other — the r11→r13 uniform 1.39× box drift on identical isolated
+    * queries was only attributable by hand-comparing trivially-planned
+    * queries; with the canary it is one division.
+    *
+    *  - `range_mod_sum_s`: sum(id % 7) over a 1e9 range — pure
+    *    whole-stage-codegen CPU, zero IO, data-independent. Tracks the
+    *    box's compute speed (CPU contention, frequency scaling).
+    *  - `scan_sf01_lineitem_s`: Q6-shaped aggregate over the PINNED
+    *    read-only sf0.1 lineitem (never the record's own sfDir — a canary
+    *    must be the same work in every record, including sf1 ones).
+    *    Tracks IO + parquet decode throughput.
+    *
+    * 3-rep median each, same noop-write forcing as the suite. Reading a
+    * cross-record delta: divide both records' per-query numbers by their
+    * own canary before comparing; a uniform move in the canary is box
+    * drift, a per-query move the canary doesn't share is a plan change. */
+  private[graft] val canaryScanDir = "/root/testdata/sf0.1"
+  private[graft] def runCanary(spark: SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2)
+    }
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // 1e9 rows ≈ 1.4 s at local[32] — big enough that scheduler noise is
+    // a few % of the reading, small enough to cost ~4 s per record
+    val rangeS = med(force(
+      spark.range(1000000000L).selectExpr("sum(id % 7) AS s")))
+    val scanS = med(force(
+      Tables.lineitem(spark, canaryScanDir)
+        .select(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))))
+    Seq("range_mod_sum_s" -> rangeS, "scan_sf01_lineitem_s" -> scanS)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,10 +143,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadAvg1
+    // Canary-only mode: BenchIsolated's dedicated canary child (its
+    // per-query children skip the canary via BENCH_ONLY below).
+    if (sys.env.contains("SPARK_GRAFT_BENCH_CANARY_ONLY")) {
+      val c = runCanary(spark)
+      println(s"""{"metric":"canary","canary":${toJson(c)},"load1":${fmt(loadAvg1)}}""")
+      spark.stop()
+      return
+    }
     // One warmup pass (JIT + codegen cache) on the flagship query.
     try SparkEntry.queries("c9_tpch_q1")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Canary BEFORE the suite (post-warmup, so codegen/JIT constants are
+    // shared with the suite's own steady state). Skipped in BENCH_ONLY
+    // dev-loop/iso-child runs — partial records never carry a canary that
+    // could be mistaken for the committed one.
+    val canary: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty
+      else runCanary(spark)
     // Median-of-reps per query: a single timing right after an sbt compile
     // (or next to any concurrent load) can be several × off — the median
     // absorbs one bad repetition, and the min/max spread in BENCHFULL.json
@@ -173,7 +229,8 @@ object Bench {
       "\"" + n + "\":[" + fmt(mn) + "," + fmt(mx) + "]"
     }.mkString("{", ",", "}")
     val env =
-      s""""reps":$reps,"load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}"""
+      s""""reps":$reps,"load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}""" +
+        (if (canary.isEmpty) "" else s""","canary":${toJson(canary)}""")
     val fullLine =
       s"""{"queries":${toJson(medians)},"cpu_s":${toJson(cpuMedians)},"cpu_total":${fmt(cpuTotal)},"spread":$spread,"shuffle_write_mb":$shuffleMb,"spilled_bytes":$totalSpill,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
     println(fullLine)

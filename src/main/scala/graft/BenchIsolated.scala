@@ -42,28 +42,49 @@ object BenchIsolated {
     if (m.find()) Some(m.group(1).toDouble) else None
   }
 
+  /** Fork one `graft.Bench` child with `extraEnv`, return its stdout. */
+  private def runChild(extraEnv: (String, String)*): (Int, String) = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-cp", sys.props("java.class.path"),
+      "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    // stderr INHERITs (Spark logs are chatty enough to fill a pipe
+    // buffer and deadlock the child if left unread)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(
+      org.apache.commons.io.IOUtils.toByteArray(p.getInputStream),
+      StandardCharsets.UTF_8)
+    (p.waitFor(), out)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Bench.headline)
-    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    // One dedicated canary child (fresh JVM, like every query child), so
+    // the isolated record is drift-normalizable against any other record
+    // (per-query children run with BENCH_ONLY and skip the canary —
+    // paying the ~4 s canary 36× would be waste, not signal).
+    val canary: Seq[(String, Double)] = {
+      val (code, out) = runChild(
+        "SPARK_GRAFT_BENCH_CANARY_ONLY" -> "1",
+        "SPARK_GRAFT_BENCH_NOFILE" -> "1")
+      val line = out.linesIterator.find(_.contains("\"metric\":\"canary\""))
+      if (code != 0 || line.isEmpty) {
+        System.err.println(s"[bench-iso] canary child FAILED (exit $code)")
+        Seq.empty
+      } else Seq("range_mod_sum_s", "scan_sf01_lineitem_s")
+        .flatMap(k => line.flatMap(num(_, k)).map(k -> _))
+    }
     val results = queries.flatMap { q =>
-      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-        "-cp", sys.props("java.class.path"),
-        "graft.Bench")).toArray
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", q)
-      pb.environment().put("SPARK_GRAFT_BENCH_NOFILE", "1")
-      // stderr INHERITs (Spark logs are chatty enough to fill a pipe
-      // buffer and deadlock the child if left unread)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val p = pb.start()
-      val out = new String(
-        org.apache.commons.io.IOUtils.toByteArray(p.getInputStream),
-        StandardCharsets.UTF_8)
-      val code = p.waitFor()
+      val (code, out) = runChild(
+        "SPARK_GRAFT_BENCH_ONLY" -> q,
+        "SPARK_GRAFT_BENCH_NOFILE" -> "1")
       val full = out.linesIterator
         .find(_.contains("\"metric\":\"total_all_queries\""))
       val wall = full.flatMap(num(_, q))
@@ -82,6 +103,7 @@ object BenchIsolated {
     val line =
       s"""{"metric":"total_isolated","value":${String.format(java.util.Locale.ROOT, "%.3f",
         results.map(_._2).sum)},"unit":"sec","n_queries":${results.size},""" +
+        (if (canary.isEmpty) "" else s""""canary":${jmap(canary)},""") +
         s""""queries":${jmap(results.map(r => r._1 -> r._2))},""" +
         s""""cpu_s":${jmap(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
     println(line)

@@ -304,6 +304,116 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** md5-keyed derivation anchor for the SRP-LSH bucketing pipeline
+    * (round-13 verdict directive 4; same mechanism as the winnow/simhash
+    * md5 twins): the scale path's float hyperplanes
+    * ([[graft.functions.SrpBuckets]]) cannot be reproduced in the DuckDB
+    * oracle — float dot products are accumulation-order-sensitive at the
+    * sign boundary — so this twin replaces them with an EXACT-arithmetic
+    * equivalent of the same pipeline:
+    *
+    *  - hyperplane weights are Rademacher ±1 drawn from md5 parity:
+    *    `w(p, d) = +1 iff the first hex char of md5("p_d") is even` —
+    *    both engines compute the identical digest of the identical
+    *    string;
+    *  - vector components quantize to integers with
+    *    `floor(double(v) * 1000)` — double arithmetic on exactly-widened
+    *    floats, identical in both engines, and integer SUMs are
+    *    order-independent, so the per-plane dot product is exact;
+    *  - sign bits pack into an 8-bit bucket id; candidates are the
+    *    within-bucket pairs; each pair is reranked with the exact fused
+    *    cosine rounded to the repo's 1e-6 grid.
+    *
+    * This makes bucket assignment, the candidate set, AND the rerank a
+    * full-oracle row (8,465 pairs at sf0.1, measured) — converting the
+    * previously spec-trusted SRP bucket→candidate→rerank plumbing into a
+    * hash-checked pipeline. The fused [[graft.functions.SrpBuckets]] path
+    * (`c18_ann_lsh`) stays the scale default; SimilaritySpec pins the
+    * twin against a driver-side MessageDigest recomputation and pins the
+    * planted near-identical pairs' behavior in BOTH schemes (twin: ≤1 of
+    * 8 sign bits flips — a flip needs a per-plane dot within |w·q_last|
+    * of zero, measured on pair 0 only; scale path: every pair shares ≥1
+    * of the 8 SRP tables — the multi-table recall the single-signature
+    * twin deliberately does not provide).
+    *
+    * Plan shape mirrors [[nearDupPairs]]: the 512-row weight table is a
+    * pure `range` projection (no cross join) broadcast onto the exploded
+    * (vec_id, dim) rows; per-(vec_id, plane) dots partial-aggregate
+    * map-side; the bucketed corpus materializes once (localCheckpoint)
+    * and self-joins shuffle-hash on the bucket key — Σ bucket² work,
+    * never all-pairs. */
+  val annLshMd5: QueryDef = QueryDef(
+    "c18_ann_lsh_md5", "C18",
+    """WITH dims AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), weights AS (
+      |  SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS d,
+      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
+      |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+      |  FROM range(8) t1(p), range(64) t2(d)
+      |), dots AS (
+      |  SELECT vec_id, p, SUM(w * q) AS dot
+      |  FROM dims JOIN weights USING (d) GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+      |  FROM dots GROUP BY 1
+      |)
+      |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS score
+      |FROM buckets a
+      |JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |ORDER BY bucket, id_a, id_b""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val buckets = md5Buckets(emb, planes = 8)
+    // carry the embedding alongside the bucket for the rerank; materialize
+    // once so the self-join reads the signature pipeline's output instead
+    // of recomputing it per branch (same rationale as nearDupPairs)
+    val withEmb = buckets.join(emb, Seq("vec_id")).localCheckpoint(false)
+    val a = withEmb.select(
+      col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = withEmb.select(
+      col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.hint("shuffle_hash").join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        round(graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")), 6)
+          .as("score"))
+      .orderBy("bucket", "id_a", "id_b")
+  }
+
+  /** The md5-Rademacher bucket assignment of [[annLshMd5]] as a reusable
+    * pipeline: (vec_id, bucket) with bucket ∈ [0, 2^planes). Exact
+    * integer arithmetic end to end (see [[annLshMd5]]); the weight table
+    * is one `range(planes·64)` projection — no cross join, nothing the
+    * hygiene spec's CartesianProduct ban could trip on. */
+  def md5Buckets(emb: DataFrame, planes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dimsN = 64
+    val dims = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
+        floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("q"))
+    val weights = spark.range((planes * dimsN).toLong)
+      .select(expr(s"CAST(id DIV $dimsN AS INT) AS p"),
+        expr(s"CAST(id % $dimsN AS INT) AS d"))
+      .withColumn("w", when(
+        substring(md5(concat_ws("_",
+          col("p").cast(StringType), col("d").cast(StringType))
+          .cast(BinaryType)), 1, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"),
+        lit(1L)).otherwise(lit(-1L)))
+    dims.join(broadcast(weights), Seq("d"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("w") * col("q")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, p)")).otherwise(lit(0L)))
+        .cast(IntegerType).as("bucket"))
+  }
+
   /** Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer,
     * trained driver-locally on a BOUNDED sample: the `maxTrain` lowest
     * vec_ids of `emb` are collected once (≤ maxTrain × dim floats — ~1 MB at
@@ -687,6 +797,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] =
-    Seq(knnBrute, knnAgg, annLsh, embNearDup, embNearDupLsh, annIvf,
-      annIvfPq, radiusSearch, semanticDedup)
+    Seq(knnBrute, knnAgg, annLsh, annLshMd5, embNearDup, embNearDupLsh,
+      annIvf, annIvfPq, radiusSearch, semanticDedup)
 }

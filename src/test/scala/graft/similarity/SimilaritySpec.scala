@@ -261,6 +261,66 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bitsFor(Long.MaxValue / 2) === 24)
   }
 
+  test("md5-twin buckets match a driver-side exact recomputation; planted " +
+      "near-dups collide under both the twin and the SRP scale scheme") {
+    import spark.implicits._
+    val emb = Similarity.injectedCorpus(graft.Tables.embeddings(spark, sf))
+    // 1. the distributed md5Buckets pipeline == an independent driver-side
+    // recomputation from first principles (MessageDigest, not Spark md5) —
+    // the derivation-anchor property: every engine computing "md5 parity →
+    // ±1 weights → floor-quantized integer dot → sign bits" gets THIS map.
+    val buckets = Similarity.md5Buckets(emb, planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val local = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    def weight(p: Int, d: Int): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_$d".getBytes("UTF-8"))
+      if ("02468ace".contains("%02x".format(digest(0) & 0xff).charAt(0))) 1L
+      else -1L
+    }
+    assert(local.nonEmpty && buckets.size === local.length)
+    local.foreach { case (id, v) =>
+      var expected = 0
+      (0 until 8).foreach { p =>
+        var dot = 0L
+        v.indices.foreach { d =>
+          dot += weight(p, d) * math.floor(v(d).toDouble * 1000).toLong
+        }
+        if (dot >= 0) expected |= 1 << p
+      }
+      assert(buckets(id) === expected, s"vec $id")
+    }
+    // 2. the planted near-identical copies (injectedCorpus: last element
+    // zeroed, cosine 0.97+) agree with their originals on all-or-all-but-
+    // one of the twin's 8 sign bits: a bit flips only when a per-plane dot
+    // sits within |w·q_last| of zero (measured on this corpus: pair 0
+    // flips exactly plane 1, pairs 1–2 collide exactly — deterministic,
+    // pinned). This is precisely WHY the scale path runs multiple tables:
+    // a single-table signature splits near-boundary pairs; the twin is a
+    // derivation anchor for the bucketing arithmetic, not a recall-optimal
+    // index.
+    val hammings = (0 until 3).map { i =>
+      Integer.bitCount(buckets(i.toLong) ^ buckets(i + 1000000L))
+    }
+    assert(hammings.forall(_ <= 1), s"planted-pair sign flips: $hammings")
+    assert(hammings.count(_ == 0) >= 2, s"planted-pair sign flips: $hammings")
+    // 3. the same pairs collide in ≥1 of the SRP scale path's 8 tables —
+    // the recall property c17_embedding_neardup_lsh's exact oracle already
+    // relies on, asserted here directly against the fused SrpBuckets
+    // expression so twin and scale path are pinned to agree on WHAT a
+    // near-exact duplicate does: it shares a bucket.
+    val srp = emb
+      .where(col("vec_id") < 3 || col("vec_id") >= 1000000L)
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.srpBuckets(col("embedding"), 8, 8).as("b"))
+      .as[(Long, Array[Int])].collect().toMap
+    (0 until 3).foreach { i =>
+      val shared = srp(i.toLong).zip(srp(i + 1000000L)).count { case (x, y) => x == y }
+      assert(shared >= 1, s"planted pair $i shares no SRP table bucket")
+    }
+  }
+
   test("clusterCountFor scales C with the corpus, clamped to the spec and model bounds") {
     assert(Similarity.clusterCountFor(500) === 16)   // spec scale: pinned C
     assert(Similarity.clusterCountFor(4096) === 16)

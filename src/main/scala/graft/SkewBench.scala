@@ -166,6 +166,36 @@ object SkewBench {
       f""""task_ms_p50":{"plain_aqe":${plain._2},"plain_noskewjoin":${plainNoSkew._2},"salted":${salted._2},"hot_salted":${hotSalted._2}},""" +
       f""""task_ms_max":{"plain_aqe":${plain._3},"plain_noskewjoin":${plainNoSkew._3},"salted":${salted._3},"hot_salted":${hotSalted._3}},""" +
       f""""task_ms_max_reduce":{"plain_aqe":${plain._4},"plain_noskewjoin":${plainNoSkew._4},"salted":${salted._4},"hot_salted":${hotSalted._4}}}""")
+
+    // ---- Scenario 2 (round-13 verdict directive 5): aggregate ON the
+    // join key — the shape AQE's OptimizeSkewedJoin cannot split.
+    // `orders ⋈ customer GROUP BY custkey`: splitting the join partition
+    // would duplicate a key group across tasks and corrupt the per-key
+    // aggregate, so AQE validates-and-reverts (ScaleOpsSpec pins the
+    // plan-level decline) — with skewJoin ENABLED the hot reducer still
+    // carries the whole hot key. hotSaltedJoin levels the join on
+    // (key, salt); the per-(key, salt) partial aggregate then folds each
+    // granule and the final merge moves `salt` pre-aggregated rows per
+    // hot key. THIS is the measured case the chooser contract
+    // (ScaleOps.hotSaltedJoin scaladoc) routes to salting.
+    def aggOnKeySink(df: DataFrame): Unit =
+      df.groupBy("custkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("price_sum"))
+        .write.format("noop").mode("overwrite").save()
+    val n2 = aggOnKeyRows(plainJoin)
+    require(aggOnKeyRows(hotSaltedJoin) == n2,
+      "hot-salted agg-on-key changed the group count")
+    val aggPlain = measure(aggOnKeySink(plainJoin))     // AQE skewJoin ON, declines
+    val aggHot = measure(aggOnKeySink(hotSaltedJoin))
+    println(
+      f"""{"metric":"skew_agg_on_join_key_bench","sf":"$sfDir","groups":$n2,"reps":$reps,"mult":$mult,""" +
+      f""""plain_aqe_s":${aggPlain._1}%.3f,"hot_salted_s":${aggHot._1}%.3f,""" +
+      f""""task_ms_p50":{"plain_aqe":${aggPlain._2},"hot_salted":${aggHot._2}},""" +
+      f""""task_ms_max":{"plain_aqe":${aggPlain._3},"hot_salted":${aggHot._3}},""" +
+      f""""task_ms_max_reduce":{"plain_aqe":${aggPlain._4},"hot_salted":${aggHot._4}}}""")
     spark.stop()
   }
+
+  private def aggOnKeyRows(df: DataFrame): Long =
+    df.groupBy("custkey").agg(count(org.apache.spark.sql.functions.lit(1))).count()
 }

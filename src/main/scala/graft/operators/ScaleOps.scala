@@ -142,7 +142,38 @@ object ScaleOps {
     * Cold keys keep salt 0 on both sides — their rows shuffle exactly as
     * in the plain join. Semantics identical to `left.join(right, key)`
     * (inner); parity + cap specs in ScaleOpsSpec, measured win in
-    * SKEWCHECK.md. */
+    * SKEWCHECK.md.
+    *
+    * == The chooser contract (measured, SKEWCHECK.md; pinned in
+    * ScaleOpsSpec "skew chooser") ==
+    *
+    * '''AQE-first for sort-merge-joinable skew.''' On the measured skewed
+    * corpus, AQE's runtime skew-split (with corpus-sized thresholds) beat
+    * this operator — 278 vs 665 ms max reduce task — because it splits
+    * only the offending partitions after seeing actual sizes and
+    * replicates nothing. When the join is an SMJ whose output feeds no
+    * operator requiring the join key's distribution, do nothing: AQE wins.
+    *
+    * '''hotSaltedJoin for the shapes AQE cannot split:'''
+    *  - '''join + aggregate/window on the SAME skewed key''' —
+    *    OptimizeSkewedJoin may only split a partition when splitting
+    *    breaks no downstream distribution requirement; duplicating a key
+    *    group across tasks would corrupt a following per-key aggregate,
+    *    so AQE validates-and-reverts and the hot reducer survives
+    *    (asserted plan-level in ScaleOpsSpec; measured at skewed sf1 in
+    *    SKEWCHECK.md's agg-on-join-key scenario). Salting covers it: the
+    *    (key, salt) shuffle levels the join, the partial aggregate folds
+    *    each granule, and the final merge moves `salt` pre-aggregated
+    *    rows per hot key.
+    *  - '''skewed hash AGGREGATES without a join''' — same mechanism,
+    *    no join for AQE to split (use the (key, salt) two-stage directly).
+    *  - '''stateful streaming keys''' — state sticks to its shuffle
+    *    partition across batches; no runtime re-plan exists.
+    *  - '''clusters/pipelines with AQE disabled''' or non-SMJ joins the
+    *    deployed Spark version's skew rule does not cover.
+    *
+    * Naive [[saltedJoin]] (full-dim replication) lost to BOTH on the
+    * measured corpus and stays a last resort. */
   def hotSaltedJoin(
       left: DataFrame,
       right: DataFrame,

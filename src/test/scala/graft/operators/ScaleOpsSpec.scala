@@ -185,6 +185,70 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead"), p.take(800))
   }
 
+  test("skew chooser: AQE splits the skewed SMJ when nothing downstream " +
+      "needs the join key's distribution, DECLINES when an agg on the join " +
+      "key does — the shape hotSaltedJoin exists for") {
+    import spark.implicits._
+    // The chooser contract (ScaleOps scaladoc, measured in SKEWCHECK.md):
+    // AQE-first for sort-merge-joinable skew — its runtime split replicates
+    // nothing and won on the measured corpus (278 vs 665 ms max reduce
+    // task). But OptimizeSkewedJoin may only split a partition when no
+    // downstream operator requires the join key's hash distribution:
+    // splitting duplicates key groups across tasks, which would break a
+    // following aggregate on that key, so AQE reverts the optimization
+    // (extra-shuffle validation) and the hot reducer survives. THAT shape —
+    // join + aggregate on the same skewed key (also: stateful streaming
+    // keys, clusters without AQE) — is hotSaltedJoin's territory: the
+    // salted shuffle levels the join AND the partial agg runs per salt
+    // granule before the tiny final merge.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    // null-defaulted confs (adaptive.autoBroadcastJoinThreshold) read back
+    // as null — filter them so the restore unsets instead of set(null)
+    val saved = keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // spec-scale thresholds (same rationale as SkewBench: the 256 MB
+      // defaults are cluster numbers a test partition never reaches)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // high-entropy pad: skew detection reads COMPRESSED map-output sizes,
+      // and a constant pad lz4-compresses the hot partition under any
+      // realistic threshold
+      val left = (Seq.fill(200000)(1) ++ (2 to 2000)).toDF("k")
+        .withColumn("pad", md5(monotonically_increasing_id().cast("string")
+          .cast("binary")))
+      val right = (1 to 2000).map(k => (k, k % 7)).toDF("k", "seg")
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect() // AQE finalizes the plan only on execution
+        df.queryExecution.executedPlan.toString
+      }
+      val aggOther = left.join(right, Seq("k"))
+        .groupBy("seg").agg(count(lit(1)).as("n"))
+      val pOther = finalPlan(aggOther)
+      assert(pOther.contains("skew=true"), "AQE did not split:\n" + pOther.take(1500))
+      val aggOnKey = left.join(right, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val pOnKey = finalPlan(aggOnKey)
+      assert(!pOnKey.contains("skew=true"),
+        "AQE split despite the downstream key agg:\n" + pOnKey.take(1500))
+      // hotSaltedJoin covers the declined shape with identical results
+      val hot = ScaleOps.hotSaltedJoin(left, right, "k", salt = 16,
+        sampleFraction = 1.0, minSampleCount = 1000L)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      assert(hot.collect().map(_.toString).sorted.toSeq ===
+        aggOnKey.collect().map(_.toString).sorted.toSeq)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("asofJoin strict mode: the equal-ts right row is invisible") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -5,8 +5,12 @@
 #
 # Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
 # Committed baseline: seeds 42/7/1337/2026 × 150 — 600/600 green at
-# sf0.01 (re-swept 2026-08-14 with the windowed-quantile draw: random
-# bounded ROWS frames, percentile vs quantile_cont OVER, 1e-6 snap)
+# sf0.01 (re-swept 2026-08-15 with direction-regime latest-row draws:
+# rn<=1 picks now draw all-ASC/min_by, all-DESC/max_by, or MIXED
+# directions; fired draws [*_lrw] REQUIRE LatestByRule's argmax in the
+# optimized plan, mixed draws [*_lrg] REQUIRE the guard to decline —
+# this sweep: 8 fired + 4 declined across the four seeds, all
+# value-green either way)
 # over the eight-table surface (orders/lineitem/
 # customer/part/supplier/nation/events/documents), covering projection
 # (mixed-direction

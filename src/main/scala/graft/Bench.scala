@@ -204,6 +204,33 @@ object Bench {
           r0 + after._1 - before._1, w0 + after._2 - before._2, s0 + after._3 - before._3)
       }
     }
+    // Adaptive re-reps (round-13 advice): with 3 reps, ONE load-burst
+    // outlier leaves the median between two honest values — but a spread
+    // max over 3× the median means at least one rep was contaminated, and
+    // a second contaminated rep WOULD own the median. Those queries get 2
+    // extra reps (median of 5), run after the main interleaved passes so
+    // they land outside the burst that flagged them. The record lists who
+    // was re-repped ("extra_repped") so a reader can see which medians
+    // carry the extra evidence.
+    val extraRepped: Seq[String] = if (reps < 3) Seq.empty else {
+      val noisy = defs.filter { q =>
+        val t = timesByQuery(q.name).sorted
+        t.nonEmpty && t.last > 3 * t(t.size / 2)
+      }
+      noisy.foreach { q =>
+        (0 until 2).foreach { _ =>
+          val cpu0 = processCpuSec
+          val t0 = System.nanoTime()
+          try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} extra rep failed: ${e.getMessage}")
+          }
+          timesByQuery(q.name) = timesByQuery(q.name) :+ (System.nanoTime() - t0) / 1e9
+          cpuByQuery(q.name) = cpuByQuery(q.name) :+ (processCpuSec - cpu0)
+        }
+      }
+      noisy.map(_.name)
+    }
     val results = timesByQuery.toSeq.map { case (name, raw) =>
       val times = raw.sorted
       (name, times(times.size / 2), times.head, times.last)
@@ -230,7 +257,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val env =
       s""""reps":$reps,"load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)}""" +
-        (if (canary.isEmpty) "" else s""","canary":${toJson(canary)}""")
+        (if (canary.isEmpty) "" else s""","canary":${toJson(canary)}""") +
+        (if (extraRepped.isEmpty) ""
+         else extraRepped.map("\"" + _ + "\"")
+           .mkString(""","extra_repped":[""", ",", "]"))
     val fullLine =
       s"""{"queries":${toJson(medians)},"cpu_s":${toJson(cpuMedians)},"cpu_total":${fmt(cpuTotal)},"spread":$spread,"shuffle_write_mb":$shuffleMb,"spilled_bytes":$totalSpill,"metric":"total_all_queries","value":${fmt(total)},"unit":"sec",$env,"sf":"$sfDir"}"""
     println(fullLine)

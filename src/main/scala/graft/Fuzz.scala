@@ -58,9 +58,14 @@ object Fuzz {
     // human-readable SQL dump for mismatch triage
     Files.writeString(Paths.get(s"$outDir/queries.sql"),
       qs.map(q => s"-- ${q.name}\n${q.sql};\n").mkString("\n"))
+    // corpus-pin counters: latest-row draws that must fire LatestByRule
+    // (_lrw) vs mixed-direction draws its guard must decline (_lrg) —
+    // the run lambdas `require` the respective plan shape per draw
+    val fired = qs.count(_.name.endsWith("_lrw"))
+    val declined = qs.count(_.name.endsWith("_lrg"))
     println(s"[fuzz] seed=$seed n=$n sf=$sfDir → $outDir : " +
       s"${qs.size - sparkFailures} executed, $sparkFailures spark failures, " +
-      s"$empties empty results")
+      s"$empties empty results, latest-rewrite fired=$fired declined=$declined")
     spark.stop()
     if (sparkFailures > 0) sys.exit(1)
   }

@@ -681,35 +681,68 @@ object QueryGen {
         val ps = ((0 until nCols).map(_ => pick(r, src.cols)) ++
           src.orderKeys.map(k => src.cols.find(_.name == k).get)).distinct
         val sel = ps.zipWithIndex.map { case (c, i) => (s"p$i", c.name) }
-        // a third of the draws become rn <= 1 latest-row picks routed
-        // through LatestByRule (drawn HERE, not in the run lambda — see
+        // a third of the draws become rn <= 1 latest-row picks with
+        // LatestByRule enabled (drawn HERE, not in the run lambda — see
         // asofQuery). Bare-column keys only: the rule's conservative
-        // match wants attribute partition specs.
-        val viaRewrite = r.nextInt(3) == 0 && gSql.matches("[a-z_][a-z_0-9]*")
-        val k = if (viaRewrite) 1 else 2 + r.nextInt(4)
-        val orderSql = sel.map { case (_, c) => s"$c NULLS FIRST" }
-          .mkString(", ")
+        // match wants attribute partition specs. Each latest draw then
+        // draws a direction REGIME so the rule's guard conditions are
+        // differentially tested, not just unit-pinned (round-13 verdict
+        // directive 6):
+        //   0 all-ASC  → min_by (earliest row)  — rewrite MUST fire
+        //   1 all-DESC → max_by (latest row)    — rewrite MUST fire
+        //   2 MIXED directions — the guard must DECLINE (a lexicographic
+        //     struct argmax cannot express mixed per-column directions);
+        //     the window plan must run unrewritten and still match the
+        //     oracle. Degrades to regime 1 when only one order column
+        //     exists (mixed needs two).
+        // Corpus-pin visibility: fired draws are named *_lrw, declined
+        // draws *_lrg — sweeps count both in the fuzz summary.
+        val latestDraw = r.nextInt(3) == 0 && gSql.matches("[a-z_][a-z_0-9]*")
+        val regime = if (!latestDraw) -1 else r.nextInt(3)
+        val dirs: Seq[Boolean] = regime match { // true = DESC
+          case 0 => Seq.fill(sel.size)(false)
+          case 1 => Seq.fill(sel.size)(true)
+          case 2 if sel.size >= 2 =>
+            Seq(false, true) ++ Seq.fill(sel.size - 2)(r.nextBoolean())
+          case 2 => Seq.fill(sel.size)(true)
+          case _ => Seq.fill(sel.size)(false) // top-k draws stay all-ASC
+        }
+        val mixed = dirs.distinct.size > 1
+        val qname =
+          if (!latestDraw) name else if (mixed) s"${name}_lrg" else s"${name}_lrw"
+        val k = if (latestDraw) 1 else 2 + r.nextInt(4)
+        // explicit null ordering on BOTH engines: Spark's defaults
+        // (ASC NULLS FIRST / DESC NULLS LAST) are not DuckDB's
+        val orderSql = sel.zip(dirs).map {
+          case ((_, c), desc) =>
+            if (desc) s"$c DESC NULLS LAST" else s"$c NULLS FIRST"
+        }.mkString(", ")
         val selSql = sel.map { case (a, c) => s"$c AS $a" }.mkString(", ")
         val sql =
           s"SELECT * FROM (SELECT $selSql, $gSql AS k0, " +
             s"CAST(row_number() OVER (PARTITION BY $gSql " +
             s"ORDER BY $orderSql) AS INT) AS rn " +
             s"FROM ${src.sqlFrom}$where) WHERE rn <= $k"
-        FuzzQuery(name, sql, (s, d) => {
+        FuzzQuery(qname, sql, (s, d) => {
           import org.apache.spark.sql.expressions.Window
           val df0 = src.build(s, d)
           val df1 = pred.map(p => df0.where(p.spark)).getOrElse(df0)
           val w = Window.partitionBy(gRaw)
-            .orderBy(sel.map { case (_, c) => col(c).asc_nulls_first }: _*)
+            .orderBy(sel.zip(dirs).map { case ((_, c), desc) =>
+              if (desc) col(c).desc_nulls_last else col(c).asc_nulls_first
+            }: _*)
           val out = df1.select(sel.map { case (a, c) => col(c).as(a) } ++
               Seq(gRaw.as("k0"), row_number().over(w).as("rn")): _*)
             .where(col("rn") <= k)
-          if (viaRewrite) {
+          if (latestDraw) {
             graft.GraftExtensions.registerInto(s)
             s.conf.set(graft.plans.LatestByRule.EnabledConf, "true")
-            require(out.queryExecution.optimizedPlan.toString
-                .contains("_graft_latest"),
-              s"$name: latest-row draw did not route through LatestByRule")
+            val rewritten = out.queryExecution.optimizedPlan.toString
+              .contains("_graft_latest")
+            if (mixed) require(!rewritten,
+              s"$qname: mixed-direction draw was rewritten — guard breach")
+            else require(rewritten,
+              s"$qname: latest-row draw did not route through LatestByRule")
           }
           out
         })

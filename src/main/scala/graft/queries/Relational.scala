@@ -155,6 +155,33 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** C4 chooser shape (round-13 verdict directive 5): the SAME hot-salted
+    * join feeding an aggregate ON the join key — the skew shape AQE's
+    * OptimizeSkewedJoin cannot split, because splitting the hot join
+    * partition would duplicate a key group across tasks and corrupt the
+    * downstream per-key aggregate (the rule validates-and-reverts;
+    * plan-level decline pinned in ScaleOpsSpec "skew chooser", measured
+    * at skewed sf1 in SKEWCHECK.md). hotSaltedJoin covers it: the join
+    * shuffles on (custkey, salt), the partial aggregate folds each salt
+    * granule in place, and the final merge moves `salt` pre-aggregated
+    * rows per hot key — the hot reducer never sees the raw fan-out.
+    * Semantics are the plain join + GROUP BY, so the oracle is the
+    * unsalted SQL. */
+  val c4HotSaltedAgg: QueryDef = QueryDef(
+    "c4_hot_salted_agg", "C4 C10",
+    """SELECT o_custkey AS custkey, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val o = orders(s, d).select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = customer(s, d).select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.ScaleOps.hotSaltedJoin(o, c, "custkey", salt = 64,
+      sampleFraction = 0.05, minSampleCount = 50L)
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("price_sum"))
+      .orderBy("custkey")
+  }
+
   /** C5: left-semi — customers that placed at least one order. */
   val c5SemiJoin: QueryDef = QueryDef(
     "c5_semi_join", "C5",
@@ -2934,7 +2961,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     c1ScanProject, c1ZorderCluster, c2Filter, c2Predicates, c3BroadcastJoin,
     c3SqlSurface,
-    c4ShuffleJoin, c4SaltedJoin, c4HotSaltedJoin, c4TpchQ3, c3TpchQ5, c9TpchQ10,
+    c4ShuffleJoin, c4SaltedJoin, c4HotSaltedJoin, c4HotSaltedAgg, c4TpchQ3, c3TpchQ5, c9TpchQ10,
     c9RetentionCohort,
     c5SemiJoin, c5AntiJoin, c5ExistsCorrelated,
     c6LeftOuter, c6RightOuter, c6FullOuter,

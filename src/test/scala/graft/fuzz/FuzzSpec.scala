@@ -55,9 +55,11 @@ class FuzzSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep
     // (round 13: as-of draws gained the viaRewrite coin flip, then the
-    // windowed-top-k draw gained the rn<=1 LatestByRule routing — seed-42
-    // sweep re-run green the same session as each pin change)
-    assert(hex === "78182cfcd9f5fd22f2dde48dcdeeb74bb25fbfe5")
+    // windowed-top-k draw gained the rn<=1 LatestByRule routing; round
+    // 14: latest-row draws gained direction REGIMES — all-ASC/all-DESC
+    // fired + mixed guard-declined — re-swept green 600/600 over seeds
+    // 42/7/1337/2026 the same session as this pin change)
+    assert(hex === "e99fdb1f0603dc3e9464da9d6eab67ec93f400b5")
   }
 
   test("every generated query executes on Spark (seed 42, first 15)") {

@@ -7,7 +7,7 @@ this file).
 Merges, per headline query:
   - BENCHFULL.json   in-suite sf0.1 wall (3-rep median, one shared JVM)
   - BENCHISO.json    isolated sf0.1 wall + process-cpu (fresh JVM per query)
-  - BENCH_SF1.json   in-suite sf1 wall (1 rep)
+  - BENCH_SF1.json   in-suite sf1 wall (3-rep median since r14)
   - BENCHISO_SF1.json isolated sf1 wall (fresh JVM per query), if present
 
 Run via scripts/refresh_bench.sh, which regenerates the records and then
@@ -57,8 +57,9 @@ lines = [
     "- **iso sf0.1** (BENCHISO.json): fresh JVM per query, 3-rep median —",
     "  the plan's own cost, no suite state. `iso cpu` is whole-process CPU",
     "  seconds (driver + all local[32] executor threads + GC).",
-    "- **in-suite sf1** (BENCH_SF1.json): 1 rep at the 10x self-generated",
-    "  scale (SCALECHECK.md) — the scale-trend signal.",
+    "- **in-suite sf1** (BENCH_SF1.json): 3-rep interleaved median (1 rep",
+    "  through r13) at the 10x self-generated scale (SCALECHECK.md) — the",
+    "  scale-trend signal.",
     "- **iso sf1** (BENCHISO_SF1.json): fresh JVM per query at sf1.",
     "",
     "A real plan regression moves BOTH the in-suite and isolated columns;",

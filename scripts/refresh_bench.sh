@@ -26,13 +26,17 @@ echo "[refresh] compile gate"
 sbt -batch Test/compile
 
 if [ -n "$SF1" ] && [ -d "$SF1" ]; then
-  echo "[refresh] sf1 in-suite (1 rep) from $SF1"
-  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_REPS=1 \
-    sbt -batch "runMain graft.Bench"
+  # 3-rep interleaved medians at sf1 too (was 1 rep through r13): the
+  # first r14 capture proved single-rep fragility — one burst put a
+  # 3.9 s query at 25 s with nothing to discard it. The iso children
+  # keep their default in-child 3-rep median (do NOT export REPS=1 here:
+  # a 1-rep fresh-JVM child measures JIT warmup, not the plan — the
+  # r13→r14 "uniform 2.5×" iso-sf1 artifact).
+  echo "[refresh] sf1 in-suite (3-rep interleaved medians) from $SF1"
+  SPARK_GRAFT_SF_DIR=$SF1 sbt -batch "runMain graft.Bench"
   mv BENCHFULL.json BENCH_SF1.json
-  echo "[refresh] sf1 isolated (fresh JVM per headliner, 1 rep)"
-  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_REPS=1 \
-    sbt -batch "runMain graft.BenchIsolated"
+  echo "[refresh] sf1 isolated (fresh JVM per headliner, in-child 3-rep median)"
+  SPARK_GRAFT_SF_DIR=$SF1 sbt -batch "runMain graft.BenchIsolated"
   mv BENCHISO.json BENCHISO_SF1.json
 fi
 

@@ -117,8 +117,9 @@ lines += [
     "iterations, every join shuffle_hash, rank never broadcast, plan",
     "audited in VERDICT r11) — GC is <2 s, and the ~13-17 s remainder is",
     "driver planning + codegen + residual JIT, which a plan change cannot",
-    "remove. BENCHISO's committed cpu_s (55.1 this round) is the median",
-    "of 3 in-child reps, i.e. it still carries partial first-rep warmup.",
+    "remove. BENCHISO's committed cpu_s (55.1 at the r13 capture) is the",
+    "median of 3 in-child reps, i.e. it still carries partial first-rep",
+    "warmup.",
     "Conclusion: the plan is at its floor; remaining spread is JVM",
     "warmup + box drift, not shape.",
     "",

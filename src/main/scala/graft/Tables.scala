@@ -72,4 +72,21 @@ object Tables {
 
   /** Order-independent exact sum of a 2-decimal double column, as double. */
   def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** CPU-spreading repartition AQE cannot coalesce. A bare
+    * `repartition(col)` is ADVISORY: AQE's partition coalescing sizes the
+    * post-shuffle partitions by BYTES toward the 64 MB advisory target,
+    * which is exactly wrong when a small-bytes input feeds a high-fan-out
+    * or CPU-heavy projection — measured on the winnow-md5 gram pipeline
+    * at sf0.1: the ~10 MB of normalized docs coalesced to FIVE tasks at
+    * local[32] before the ~2000× gram explode + per-gram md5, wall 7.1 s
+    * at task-cpu 6.7 s (serial); with an explicit partition count
+    * (REPARTITION_BY_NUM, which AQE must respect) the same pipeline runs
+    * partition-parallel. Use for every "spread the per-row CPU" shuffle;
+    * plain `repartition(col)` remains right when byte-sized coalescing is
+    * wanted (e.g. write layout). */
+  implicit final class SpreadOps(private val df: DataFrame) extends AnyVal {
+    def spreadByKey(keys: Column*): DataFrame =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  }
 }

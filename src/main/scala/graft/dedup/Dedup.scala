@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.Tables.SpreadOps
 
 /** C17 — deduplication operators over `documents` (LLM-pipeline pillar).
   *
@@ -422,7 +423,7 @@ object Dedup {
     documents
       // repartition before shingling (same single-scan-task rationale as
       // spanDedupPairs)
-      .repartition(col("doc_id"))
+      .spreadByKey(col("doc_id"))
       .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
       // grams leave the map side as xxhash64 longs, not trigram strings —
       // same key-narrowing as spanDedupPairs (this was the suite's largest
@@ -655,7 +656,7 @@ object Dedup {
     documents
       // repartition before the tokenize + window-hash stage (heavy per-row
       // CPU; a single-row-group scan would run it in one task)
-      .repartition(col("doc_id"))
+      .spreadByKey(col("doc_id"))
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) >= k)
       .select(col("doc_id"), explode(windows).as("g"))
@@ -781,7 +782,7 @@ object Dedup {
     val buckets = strings
       // variant generation is CPU-heavy and the dimension fits one parquet
       // row group — spread it before the explode (single-task-scan fix)
-      .repartition(col("id"))
+      .spreadByKey(col("id"))
       .select(col("id"), explode(variants).as("v"))
       .groupBy("v").agg(postings(col("id"), lit(0)).as("ids"))
       // singleton buckets can't pair — drop them BEFORE the two Generate
@@ -914,7 +915,7 @@ object Dedup {
       sequence(lit(0), nBlocks - 1),
       i => concat_ws(" ", slice(col("t"), i * k + 1, lit(k))))
     val blocks = documents
-      .repartition(col("doc_id")) // tokenize is CPU-heavy; spread the scan
+      .spreadByKey(col("doc_id")) // tokenize is CPU-heavy; spread the scan
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) > 0)
       .select(col("doc_id"), posexplode(blockTexts).as(Seq("idx", "btxt")))

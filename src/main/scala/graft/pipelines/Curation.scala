@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.Tables.SpreadOps
 
 /** The composed corpus-curation pipeline a training-data run actually
   * executes — the LLM-pipeline pillars chained end-to-end instead of
@@ -93,7 +94,7 @@ object Curation {
     // parquet file (one task), and three full-text regex passes are pure
     // per-row CPU that should spread across every core — the input shuffle
     // is tiny next to the regex work (sf1: 10.6 s at CPU/wall 1.1 before).
-    val aug = Tables.documents(s, d).repartition(col("doc_id")).select(
+    val aug = Tables.documents(s, d).spreadByKey(col("doc_id")).select(
       col("doc_id"),
       concat(
         col("text"), lit(" contact u"), col("doc_id").cast(StringType),
@@ -541,7 +542,7 @@ object Curation {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     // all downstream branches (gopher metrics, shingles, dedup hash) are
     // CPU-heavy narrow stages — repartition the shared scan once
-    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val docs = Tables.documents(s, d).spreadByKey(col("doc_id"))
     val gated = graft.text.TextAnalysis
       .gopherMetrics(docs, carry = Seq("text", "lang", "source"))
       .where(col("pass_gopher") && col("lang") === "en")

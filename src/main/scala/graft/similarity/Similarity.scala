@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.Tables.SpreadOps
 
 /** C18 — similarity search over `embeddings.embedding` (array<float>).
   *
@@ -203,7 +204,7 @@ object Similarity {
     // gate: 102 s at CPU/wall 1.0); with 32 stream partitions the same
     // baseline runs the loop partition-parallel. Build side broadcast as
     // before — it is the whole (small) corpus by this baseline's design.
-    val a = emb.repartition(col("vec_id"))
+    val a = emb.spreadByKey(col("vec_id"))
       .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -262,7 +263,7 @@ object Similarity {
     // narrow chain over a single-row-group parquet scan (one task), and
     // the O(n·tables·bits·d) SRP projection is the CPU-heavy stage.
     val bucketed = withBuckets(
-      emb.repartition(col("vec_id")).select(col("vec_id"), col("embedding")),
+      emb.spreadByKey(col("vec_id")).select(col("vec_id"), col("embedding")),
       "embedding", tables, bits)
       .localCheckpoint(false)
     val a = bucketed.select(
@@ -637,7 +638,7 @@ object Similarity {
     val books = pqCodebooks(sample.map(p => l2NormLocal(p._2)), m = M, k = K, iters = 3)
     // Index build: one map-side projection, then the raw embedding is GONE —
     // the inverted index is (list id, neighbor id, 8 codes) ≈ 12 bytes/row.
-    val index = emb.repartition(col("vec_id")).select(
+    val index = emb.spreadByKey(col("vec_id")).select(
       col("vec_id").as("neighbor_id"),
       element_at(graft.functions.VectorExprs.nearestCentroids(
         col("embedding"), coarse, keep = 1), 1).as("c_id"),
@@ -773,7 +774,7 @@ object Similarity {
     // per file. The checkpoint then materializes the assignment ONCE for
     // its three consumers (both pair-join sides + the final anti-join)
     // instead of recomputing it per branch.
-    val assigned = corpus.repartition(col("vec_id")).select(
+    val assigned = corpus.spreadByKey(col("vec_id")).select(
       col("vec_id"), col("embedding"),
       graft.functions.VectorExprs.nearestCentroids(col("embedding"), model, keep = 2).as("ncs"))
       .localCheckpoint(false)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.Tables.SpreadOps
 
 /** C19/C20 — byte-pair-encoding tokenizer TRAINING and ENCODING (Sennrich
   * et al. 2016, arXiv:1508.07909 — the algorithm behind GPT-2/RoBERTa
@@ -145,7 +146,7 @@ object Bpe {
     // repartition before the encode: the per-word merge loop is the CPU
     // stage, and a single-row-group scan would otherwise run it in one task
     Tables.documents(s, d)
-      .repartition(col("doc_id"))
+      .spreadByKey(col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

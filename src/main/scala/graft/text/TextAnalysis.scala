@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.Tables.SpreadOps
 
 /** C19 — text-analysis operators over `documents` (LLM-pipeline pillar,
   * BASELINE.json north_star): token counting, quality scoring, language ID,
@@ -163,7 +164,7 @@ object TextAnalysis {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     // repartition: the rolling-hash signature is pure per-row CPU; spread
     // it across cores instead of one single-row-group scan task
-    Tables.documents(s, d).repartition(col("doc_id")).select(
+    Tables.documents(s, d).spreadByKey(col("doc_id")).select(
       col("doc_id"),
       graft.functions.HashExprs.charMinhashSig(norm, 8, 16).as("fp"))
       .select(col("doc_id"),
@@ -188,7 +189,7 @@ object TextAnalysis {
   def winnowMd5Fingerprints(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     docs
-      .repartition(col("doc_id")) // per-row CPU: spread the gram hashing
+      .spreadByKey(col("doc_id")) // per-row CPU: spread the gram hashing
       .select(col("doc_id"), norm.as("norm"))
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(col("norm")) - 7, lit(1)))).as("i"),

@@ -538,6 +538,184 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Exact-arithmetic derivation anchor for the IVF k-means pipeline
+    * (round-14 verdict directive 1; the family naming follows the
+    * winnow/simhash/SRP md5 twins, though THIS twin needs no md5 draw —
+    * k-means has no random planes to derive, its init is data-determined):
+    * the scale path's float Lloyd ([[kmeansCentroids]]) cannot be
+    * reproduced in DuckDB — float means and cosine argmaxes are
+    * accumulation-order-sensitive at cell boundaries — so this twin runs
+    * the SAME pipeline shape (train → assign → probe → rerank) in exact
+    * integer arithmetic that both engines compute bit-identically:
+    *
+    *  - vector components quantize to nonnegative integers with
+    *    `floor(double(v) * 1000) + 1024` (components sit in ±0.6, so the
+    *    shift makes every value positive — truncating and flooring
+    *    division then agree between engines);
+    *  - init = the 16 lowest training-sample vec_ids' quantized vectors
+    *    (sample = vec_id % 4 == 0, mirroring [[annIvf]]);
+    *  - TWO unrolled Lloyd iterations, L2 distance over integers (integer
+    *    SUMs are order-independent, so dist is exact), argmin ties to the
+    *    lowest cell id, new centroid = floor(sum/count) per dimension
+    *    (sums < 2^53, so the double division is exact in both engines),
+    *    empty cells keep their previous centroid via COALESCE;
+    *  - final assignment of the WHOLE corpus to its nearest cell, queries
+    *    (vec_id < 5) probe their 2 nearest cells, candidates = probed
+    *    cells' members, reranked by the exact fused cosine rounded to the
+    *    repo's 1e-6 grid, ranked per query by (score DESC, neighbor_id).
+    *
+    * This makes cell assignment, the probe set, the candidate set AND the
+    * rerank a full-oracle row — converting the previously spec-trusted
+    * k-means train→assign→probe→rerank plumbing into a hash-checked
+    * pipeline. The float [[annIvf]] / [[annIvfPq]] paths stay the scale
+    * defaults; SimilaritySpec pins this twin against a driver-side exact
+    * recomputation and pins twin-vs-scale-path cell/recall agreement.
+    *
+    * Plan shape mirrors [[annIvf]]'s economics at every stage: the
+    * centroid table (1024 rows) is always the broadcast side, so each
+    * assignment pass is one map-side join + partial-aggregated groupBy of
+    * the exploded dims (n·64·16 rows, never a corpus shuffle of
+    * embeddings); dims materialize ONCE (localCheckpoint) for the three
+    * assignment passes, cents2 once for its two consumers; the rerank
+    * broadcasts the tiny probe set onto the assigned corpus. Training
+    * touches only the 1-in-4 sample; the corpus-sized work is the single
+    * final assignment pass — the IVF shape that holds at 100 TB. */
+  val annIvfMd5: QueryDef = QueryDef(
+    "c18_ann_ivf_md5", "C18",
+    """WITH dims AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
+      |  FROM embeddings
+      |), init AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
+      |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16)
+      |), cents0 AS (
+      |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
+      |), assign1 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c0.c, SUM((dm.q - c0.val) * (dm.q - c0.val)) AS dist
+      |    FROM dims dm JOIN cents0 c0 USING (d)
+      |    WHERE dm.vec_id % 4 = 0
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), means1 AS (
+      |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM assign1 a JOIN dims dm USING (vec_id)
+      |  GROUP BY 1, 2
+      |), cents1 AS (
+      |  SELECT c0.c, c0.d, COALESCE(m.val, c0.val) AS val
+      |  FROM cents0 c0 LEFT JOIN means1 m ON m.c = c0.c AND m.d = c0.d
+      |), assign2 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c1.c, SUM((dm.q - c1.val) * (dm.q - c1.val)) AS dist
+      |    FROM dims dm JOIN cents1 c1 USING (d)
+      |    WHERE dm.vec_id % 4 = 0
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), means2 AS (
+      |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM assign2 a JOIN dims dm USING (vec_id)
+      |  GROUP BY 1, 2
+      |), cents2 AS (
+      |  SELECT c1.c, c1.d, COALESCE(m.val, c1.val) AS val
+      |  FROM cents1 c1 LEFT JOIN means2 m ON m.c = c1.c AND m.d = c1.d
+      |), final_assign AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c2.c, SUM((dm.q - c2.val) * (dm.q - c2.val)) AS dist
+      |    FROM dims dm JOIN cents2 c2 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), probes AS (
+      |  SELECT vec_id AS q_id, c AS c_id FROM (
+      |    SELECT dm.vec_id, c2.c, SUM((dm.q - c2.val) * (dm.q - c2.val)) AS dist
+      |    FROM dims dm JOIN cents2 c2 USING (d)
+      |    WHERE dm.vec_id < 5
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= 2
+      |)
+      |SELECT p.q_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY p.q_id
+      |    ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) DESC,
+      |      f.vec_id) AS INT) AS rnk,
+      |  f.c AS c_id, f.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS score
+      |FROM probes p
+      |JOIN final_assign f ON f.c = p.c_id AND f.vec_id <> p.q_id
+      |JOIN embeddings ea ON ea.vec_id = p.q_id
+      |JOIN embeddings eb ON eb.vec_id = f.vec_id
+      |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val out = ivfMd5Candidates(emb, c = 16, iters = 2, sampleMod = 4,
+      nQueries = 5, probes = 2)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    out.select(col("q_id"), row_number().over(w).cast(IntegerType).as("rnk"),
+        col("c_id"), col("neighbor_id"), col("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The exact-integer IVF pipeline of [[annIvfMd5]] as a reusable form:
+    * returns the reranked candidate rows (q_id, c_id, neighbor_id, score)
+    * of the probed cells, score = exact fused cosine rounded to 1e-6.
+    * See [[annIvfMd5]] for the arithmetic contract; every assignment pass
+    * broadcasts the centroid table onto the exploded dims, so nothing
+    * corpus-sized ever shuffles except the one final groupBy on
+    * (vec_id, c) — partial-aggregated map-side. */
+  def ivfMd5Candidates(emb: DataFrame, c: Int, iters: Int, sampleMod: Int,
+      nQueries: Int, probes: Int): DataFrame = {
+    // dims: (vec_id, d, q) — reused by every assignment pass; spread so the
+    // explode + three joins run partition-parallel off a single-row-group scan
+    val dims = emb.spreadByKey(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
+        (floor(col("v").cast(DoubleType) * 1000).cast(LongType) + 1024).as("q"))
+      .localCheckpoint(false)
+    val sampleDims = dims.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    // init: the c lowest sample vec_ids' quantized vectors, cell id = rank
+    val wInit = Window.orderBy("vec_id")
+    val init = emb.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id")).orderBy("vec_id").limit(c)
+      .select((row_number().over(wInit) - 1).cast(IntegerType).as("c"), col("vec_id"))
+    val cents0 = init.join(dims, Seq("vec_id")).select(col("c"), col("d"), col("q").as("val"))
+    // one Lloyd step: integer-L2 argmin assignment (ties → lowest cell id),
+    // then per-dimension floor-mean; empty cells keep the previous centroid
+    def assign(src: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+      val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
+      src.join(broadcast(cents), Seq("d"))
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
+        .withColumn("rk", row_number().over(wA))
+        .where(col("rk") <= keep)
+        .select(col("vec_id"), col("c"))
+    }
+    def step(cents: DataFrame): DataFrame = {
+      val means = assign(sampleDims, cents, keep = 1)
+        .join(sampleDims, Seq("vec_id"))
+        .groupBy(col("c"), col("d"))
+        .agg(floor(sum(col("q")).cast(DoubleType) / count(lit(1))).cast(LongType).as("mval"))
+      cents.join(means, Seq("c", "d"), "left")
+        .select(col("c"), col("d"), coalesce(col("mval"), col("val")).as("val"))
+    }
+    // trained centroids materialize once for their two consumers (final
+    // assignment + query probes) — c·64 rows, the model-sized table
+    val cents = (1 to iters).foldLeft(cents0)((cs, _) => step(cs)).localCheckpoint(false)
+    val finalAssign = assign(dims, cents, keep = 1)
+    val probed = assign(dims.where(col("vec_id") < nQueries), cents, keep = probes)
+      .select(col("vec_id").as("q_id"), col("c").as("c_id"))
+    val qVecs = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // rerank: tiny probe set broadcast onto the assigned corpus; exact fused
+    // cosine on the refetched raw vectors, rounded to the 1e-6 grid
+    finalAssign.select(col("c").as("c_id"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(probed), Seq("c_id"))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+        Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("neighbor_id"),
+        round(graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")), 6)
+          .as("score"))
+  }
+
   /** Driver-local L2 normalization (mirror of the [[graft.functions.L2Normalize]]
     * expression) for preparing PQ training sub-vectors. */
   def l2NormLocal(v: Array[Float]): Array[Float] = {
@@ -799,5 +977,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(knnBrute, knnAgg, annLsh, annLshMd5, embNearDup, embNearDupLsh,
-      annIvf, annIvfPq, radiusSearch, semanticDedup)
+      annIvf, annIvfMd5, annIvfPq, radiusSearch, semanticDedup)
 }

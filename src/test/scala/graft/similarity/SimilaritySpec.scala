@@ -321,6 +321,109 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF exact-twin pipeline matches a driver-side recomputation; planted " +
+      "near-identicals co-locate under both the twin and the float scale scheme") {
+    import spark.implicits._
+    // 1. the distributed c18_ann_ivf_md5 pipeline == an independent
+    // driver-side recomputation from first principles (plain Scala integer
+    // arithmetic, no Spark) — the derivation-anchor property: every engine
+    // computing "floor-quantize → init from 16 lowest sample ids → 2
+    // integer-L2 Lloyd steps with floor-means → assign → 2-probe → rounded
+    // cosine rerank" gets THIS candidate list.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val local = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = // mirror of Spark round(_, 6): HALF_UP
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def twinCells(corpus: Array[(Long, Array[Float])])
+        : (Map[Long, Int], Map[Int, Array[Long]]) = {
+      val qv = corpus.map { case (id, v) => id -> quant(v) }.toMap
+      val sample = corpus.map(_._1).filter(_ % 4 == 0).sorted
+      var cents: Map[Int, Array[Long]] =
+        sample.take(16).zipWithIndex.map { case (id, c) => c -> qv(id) }.toMap
+      def ranked(id: Long, cs: Map[Int, Array[Long]]): Seq[Int] =
+        cs.toSeq.map { case (c, ct) => (dist(qv(id), ct), c) }.sorted.map(_._2)
+      (1 to 2).foreach { _ =>
+        val a = sample.map(id => id -> ranked(id, cents).head).toMap
+        cents = cents.map { case (c, old) =>
+          val members = sample.filter(a(_) == c)
+          c -> (if (members.isEmpty) old
+                else Array.tabulate(64)(d =>
+                  math.floor(members.map(qv(_)(d)).sum.toDouble / members.size).toLong))
+        }
+      }
+      (corpus.map { case (id, _) => id -> ranked(id, cents).head }.toMap, cents)
+    }
+    val (cells, cents) = twinCells(local)
+    val qvAll = local.map { case (id, v) => id -> quant(v) }.toMap
+    val vecs = local.toMap
+    def probes2(id: Long): Seq[Int] =
+      cents.toSeq.map { case (c, ct) => (dist(qvAll(id), ct), c) }
+        .sorted.take(2).map(_._2)
+    val expected = (for {
+      q <- local.map(_._1).filter(_ < 5)
+      cId <- probes2(q)
+      (n, _) <- local if cells(n) == cId && n != q
+    } yield (q, cId, n, r6(cosL(vecs(q), vecs(n)))))
+      .groupBy(_._1).toSeq.flatMap { case (q, cand) =>
+        cand.sortBy { case (_, _, n, s) => (-s, n) }.zipWithIndex
+          .map { case ((_, c, n, s), i) => (q, i + 1, c, n, s) }
+      }.toSet
+    val got = Similarity.annIvfMd5.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got.nonEmpty && got === expected)
+    // 2. twin/scale-path cell agreement on the planted near-identical
+    // copies (injectedCorpus: cosine 0.97–0.998 to their originals):
+    //  - twin (integer-L2) — every copy lands in its original's home cell
+    //    (measured deterministic on this corpus, pinned);
+    //  - float scale scheme (kmeansFromSample + cosine argmax, the annIvf
+    //    trainer) — at least 2 of 3 co-locate, and EVERY pair shares its
+    //    2-probe set both ways (copy's home ∈ original's probes and vice
+    //    versa): the multi-probe recovery that semanticDedupKept relies on
+    //    for exactly this flip mode (a zeroed last element can move the
+    //    argmax centroid; it cannot leave the probe neighborhood).
+    val injected = local ++ (0 until 3).map { i =>
+      (i + 1000000L, vecs(i.toLong).take(63) :+ 0.0f)
+    }
+    val (iCells, _) = twinCells(injected.sortBy(_._1))
+    (0 until 3).foreach { i =>
+      assert(iCells(i.toLong) === iCells(i + 1000000L),
+        s"twin: planted copy $i left its original's cell")
+    }
+    val iSample = injected.filter(_._1 % 4 == 0).sortBy(_._1)
+    val model = Similarity.kmeansFromSample(iSample.map(p => (p._1, p._2)), c = 16, iters = 3)
+    def floatRanked(v: Array[Float]): Seq[Int] =
+      model.zipWithIndex.map { case ((_, ct), k) =>
+        (-cosL(v, ct.map(_.toFloat).toArray), k)
+      }.sorted.map(_._2)
+    val iVecs = injected.toMap
+    val colocated = (0 until 3).count { i =>
+      floatRanked(iVecs(i.toLong)).head === floatRanked(iVecs(i + 1000000L)).head
+    }
+    assert(colocated >= 2, s"scale scheme: only $colocated/3 planted pairs co-locate")
+    (0 until 3).foreach { i =>
+      val o = floatRanked(iVecs(i.toLong)); val c = floatRanked(iVecs(i + 1000000L))
+      assert(c.take(2).contains(o.head) && o.take(2).contains(c.head),
+        s"scale scheme: planted pair $i not recovered by 2-probe")
+    }
+  }
+
   test("clusterCountFor scales C with the corpus, clamped to the spec and model bounds") {
     assert(Similarity.clusterCountFor(500) === 16)   // spec scale: pinned C
     assert(Similarity.clusterCountFor(4096) === 16)

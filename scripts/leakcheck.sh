@@ -11,6 +11,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND=${1:?usage: scripts/leakcheck.sh <round>}
+# the round number is interpolated into JSON — a non-numeric argument
+# would emit an invalid record that still exits 0 (round-14 advice)
+[[ "$ROUND" =~ ^[0-9]+$ ]] || { echo "round must be an integer, got: $ROUND" >&2; exit 2; }
 
 SCOPE=(src build.sbt scripts project/build.properties project/plugins.sbt README.md SURVEY.md)
 SCOPE=($(for p in "${SCOPE[@]}"; do [ -e "$p" ] && echo "$p"; done))

@@ -32,18 +32,25 @@ if [ -n "$SF1" ] && [ -d "$SF1" ]; then
   # keep their default in-child 3-rep median (do NOT export REPS=1 here:
   # a 1-rep fresh-JVM child measures JIT warmup, not the plan — the
   # r13→r14 "uniform 2.5×" iso-sf1 artifact).
+  # Each pass writes its own record file directly (SPARK_GRAFT_BENCH_OUT);
+  # the old write-then-mv left BENCHFULL.json holding sf1 numbers when the
+  # script died between the two steps (round-14 advice).
   echo "[refresh] sf1 in-suite (3-rep interleaved medians) from $SF1"
-  SPARK_GRAFT_SF_DIR=$SF1 sbt -batch "runMain graft.Bench"
-  mv BENCHFULL.json BENCH_SF1.json
+  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
+    sbt -batch "runMain graft.Bench"
   echo "[refresh] sf1 isolated (fresh JVM per headliner, in-child 3-rep median)"
-  SPARK_GRAFT_SF_DIR=$SF1 sbt -batch "runMain graft.BenchIsolated"
-  mv BENCHISO.json BENCHISO_SF1.json
+  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_OUT=BENCHISO_SF1.json \
+    sbt -batch "runMain graft.BenchIsolated"
 fi
 
 echo "[refresh] sf0.1 in-suite (3-rep interleaved medians) from $SF01"
 SPARK_GRAFT_SF_DIR=$SF01 sbt -batch "runMain graft.Bench"
 echo "[refresh] sf0.1 isolated (fresh JVM per headliner)"
 SPARK_GRAFT_SF_DIR=$SF01 sbt -batch "runMain graft.BenchIsolated"
+echo "[refresh] sf0.1 in-suite at local[8] (second-parallelism record:"
+echo "          same full registry + canary protocol, 8 cores/partitions)"
+SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL8.json \
+  sbt -batch "runMain graft.Bench"
 
 echo "[refresh] PERFTABLE.md (LAST — the table is generated from what was"
 echo "          just recorded, never from stale records)"

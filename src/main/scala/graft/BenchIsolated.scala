@@ -107,11 +107,14 @@ object BenchIsolated {
         s""""queries":${jmap(results.map(r => r._1 -> r._2))},""" +
         s""""cpu_s":${jmap(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
     println(line)
+    // SPARK_GRAFT_BENCH_OUT: same direct-write contract as graft.Bench —
+    // the sf1 refresh pass writes BENCHISO_SF1.json itself, no mv window
     if (!sys.env.contains("SPARK_GRAFT_BENCH_NOFILE"))
-      try Files.write(Paths.get("BENCHISO.json"),
+      try Files.write(
+        Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCHISO.json")),
         (line + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case e: Throwable =>
-        System.err.println(s"[bench-iso] BENCHISO.json write failed: ${e.getMessage}")
+        System.err.println(s"[bench-iso] record write failed: ${e.getMessage}")
       }
   }
 }

@@ -1,7 +1,9 @@
 package graft
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
 
 /** Guards on the COMMITTED bench records (repo-root JSON), closing the
   * recurring record-drift class structurally:
@@ -17,38 +19,42 @@ import java.nio.file.{Files, Paths}
   *    (no ghost/renamed queries carried forward) — always strict.
   *  - records must carry the canary pair (the round-14 drift-normalization
   *    contract) and the standing zero-spill claim.
+  *  - each record's embedded "sf" dir must match what its FILENAME
+  *    claims — the residual risk of any refresh-script mishap leaving,
+  *    say, sf1 numbers in an sf0.1-named file (round-14 advice; the
+  *    write-then-mv window itself is gone — SPARK_GRAFT_BENCH_OUT writes
+  *    each record directly).
+  *
+  * Records are parsed with jackson (on the test classpath via Spark), not
+  * substring probing — a nested object inside "queries" or a brace in a
+  * key can never silently truncate the guarded key set (round-14 advice).
   */
 class RecordsSpec extends SparkSpec {
 
-  private def record(name: String): Option[Map[String, Any]] = {
+  private val mapper = new ObjectMapper
+
+  private def record(name: String): Option[JsonNode] = {
     val p = Paths.get(name)
     if (!Files.exists(p)) None
-    else {
-      // minimal JSON probing without a JSON lib: extract the queries-map
-      // keys and scalar fields with regexes over the one-line record
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      Some(Map("raw" -> s))
-    }
+    else Some(mapper.readTree(Files.readAllBytes(p)))
   }
 
-  private def queryNames(raw: String): Set[String] = {
-    // keys of the "queries" object: the record is one JSON line whose
-    // "queries" value is a flat string->number map
-    val start = raw.indexOf("\"queries\":{")
-    require(start >= 0, "record has no queries map")
-    val end = raw.indexOf("}", start)
-    "\"([^\"]+)\":".r.findAllMatchIn(raw.substring(start + 10, end + 1))
-      .map(_.group(1)).toSet
+  private def queryNames(r: JsonNode, file: String): Set[String] = {
+    val q = r.get("queries")
+    assert(q != null && q.isObject, s"$file has no queries map")
+    q.fieldNames.asScala.toSet
   }
 
-  private val inSuite = Seq("BENCHFULL.json", "BENCH_SF1.json")
+  // in-suite records run the FULL registry (coverage + zero-spill apply);
+  // iso records time the headline subset from fresh JVMs
+  private val inSuite = Seq("BENCHFULL.json", "BENCH_SF1.json", "BENCH_LOCAL8.json")
   private val all = inSuite ++ Seq("BENCHISO.json", "BENCHISO_SF1.json")
 
   test("committed in-suite records cover the full registry (no silent gaps)") {
     val allow = sys.env.contains("SPARK_GRAFT_ALLOW_STALE_BENCH")
     inSuite.foreach { f =>
       record(f).foreach { r =>
-        val recorded = queryNames(r("raw").asInstanceOf[String])
+        val recorded = queryNames(r, f)
         val registry = Registry.defs.map(_.name).toSet
         val missing = registry -- recorded
         if (!allow)
@@ -63,7 +69,7 @@ class RecordsSpec extends SparkSpec {
     val registry = Registry.defs.map(_.name).toSet
     all.foreach { f =>
       record(f).foreach { r =>
-        val ghosts = queryNames(r("raw").asInstanceOf[String]) -- registry
+        val ghosts = queryNames(r, f) -- registry
         assert(ghosts.isEmpty, s"$f names unregistered queries: $ghosts")
       }
     }
@@ -72,17 +78,34 @@ class RecordsSpec extends SparkSpec {
   test("records carry the canary pair and the zero-spill claim") {
     all.foreach { f =>
       record(f).foreach { r =>
-        val raw = r("raw").asInstanceOf[String]
-        assert(raw.contains("\"range_mod_sum_s\":") &&
-          raw.contains("\"scan_sf01_lineitem_s\":"),
-          s"$f has no canary — captured outside scripts/refresh_bench.sh?")
+        val canary = r.get("canary")
+        assert(canary != null && canary.has("range_mod_sum_s") &&
+          canary.has("scan_sf01_lineitem_s"),
+          s"$f has no canary pair — captured outside scripts/refresh_bench.sh?")
       }
     }
     inSuite.foreach { f =>
       record(f).foreach { r =>
-        val raw = r("raw").asInstanceOf[String]
-        assert(raw.contains("\"spilled_bytes\":0"),
+        val spilled = r.get("spilled_bytes")
+        assert(spilled != null && spilled.asLong(-1L) == 0L,
           s"$f records spill — the committed zero-spill claim broke")
+      }
+    }
+  }
+
+  test("each record's sf dir matches its filename's claim") {
+    val expectedSfBase: Map[String, String => Boolean] = Map(
+      "BENCHFULL.json" -> (_ == "sf0.1"),
+      "BENCHISO.json" -> (_ == "sf0.1"),
+      "BENCH_LOCAL8.json" -> (_ == "sf0.1"),
+      "BENCH_SF1.json" -> (_.startsWith("sf1")),
+      "BENCHISO_SF1.json" -> (_.startsWith("sf1")))
+    all.foreach { f =>
+      record(f).foreach { r =>
+        val sf = Option(r.get("sf")).map(_.asText("")).getOrElse("")
+        val base = sf.split("/").last
+        assert(expectedSfBase(f)(base),
+          s"$f claims sf dir '$sf' — refresh wrote the wrong scale into this file")
       }
     }
   }

@@ -4,8 +4,15 @@
 # the driver's correctness machinery replicates.
 #
 # Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
-# Committed baseline: seeds 42/7/1337/2026 × 150 — 600/600 green at
-# sf0.01 (re-swept 2026-08-15 with direction-regime latest-row draws:
+# Committed baseline: seeds 42/7/1337/2026 × (150 relational + 18
+# dedup-parameter draws) — 672/672 green at sf0.01 (re-swept 2026-08-15
+# when graft.Fuzz gained the n/8 DedupParamGen draws: span-window size ×
+# df cap, ngram threshold × df cap, simhash 8/16/32-bit chunk splits ×
+# bucket cap × hamming cut, SRP 4–12-bit md5-Rademacher widths, winnow
+# 4–16-char gram lengths, and integer-IVF cluster/Lloyd-depth/probe
+# combinations with the oracle's Lloyd CTEs unrolled per draw — 72
+# parameter points hash-checked vs DuckDB on top of the prior protocol:
+# direction-regime latest-row draws:
 # rn<=1 picks now draw all-ASC/min_by, all-DESC/max_by, or MIXED
 # directions; fired draws [*_lrw] REQUIRE LatestByRule's argmax in the
 # optimized plan, mixed draws [*_lrg] REQUIRE the guard to decline —

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.fuzz.QueryGen
+import graft.fuzz.{DedupParamGen, QueryGen}
 import graft.util.JsonStr
 
 /** Differential-fuzz driver: generates `n` seeded random query pairs
@@ -36,7 +36,11 @@ object Fuzz {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val qs = QueryGen.generate(seed, n)
+    // every sweep also draws n/8 dedup-PARAMETER queries (shingle sizes,
+    // chunk splits, df caps, SRP widths, IVF depths — see DedupParamGen):
+    // the 4-seed × 150 baseline protocol yields 72 ≥ the directed 50
+    val qs = QueryGen.generate(seed, n) ++
+      DedupParamGen.generate(seed, math.max(1, n / 8))
     var sparkFailures = 0
     var empties = 0
     qs.foreach { q =>

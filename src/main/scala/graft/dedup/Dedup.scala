@@ -313,9 +313,15 @@ object Dedup {
     simhashMd5Pairs(Tables.documents(s, d))
   }.asBaseline("md5-keyed derivation anchor; scale path is c17_simhash (fused murmur SimHashSig expression)")
 
-  /** documents(doc_id, text) → (doc_a, doc_b, hamming, is_dup): the
-    * [[simhashMd5]] pipeline, factored for planted-corpus specs. */
-  def simhashMd5Pairs(documents: DataFrame): DataFrame = {
+  /** The md5-keyed signature derivation of [[simhashMd5]] chunked at a
+    * caller-chosen width: documents(doc_id, text) → (doc_id, c, chunk_val)
+    * with the 64 signature bits packed into 64/bitsPerChunk long-typed
+    * chunks. Factored out so the parameter fuzz (DedupParamGen) can
+    * differentially test the band/row split against DuckDB at widths other
+    * than the registered 4×16. */
+  def simhashMd5Chunks(documents: DataFrame, bitsPerChunk: Int): DataFrame = {
+    require(64 % bitsPerChunk == 0 && bitsPerChunk <= 32,
+      s"bitsPerChunk must divide 64 and fit a long shift, got $bitsPerChunk")
     val toks = documents
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .distinct()
@@ -337,11 +343,18 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "j", "col" -> "c"))
       .select(col("doc_id"), col("i"), col("j"),
         when(lit(2) * col("c") - col("n") >= 0, 1).otherwise(0).as("bit"))
-    val chunks = bits
+    bits
       .groupBy(col("doc_id"),
-        floor((col("i") * 4 + col("j")) / 16).cast(IntegerType).as("c"))
-      .agg(sum(col("bit") * expr("shiftleft(1, (i * 4 + j) % 16)"))
-        .cast(IntegerType).as("chunk_val"))
+        floor((col("i") * 4 + col("j")) / bitsPerChunk).cast(IntegerType).as("c"))
+      .agg(sum(col("bit") * expr(s"shiftleft(1L, (i * 4 + j) % $bitsPerChunk)"))
+        .as("chunk_val"))
+  }
+
+  /** documents(doc_id, text) → (doc_a, doc_b, hamming, is_dup): the
+    * [[simhashMd5]] pipeline, factored for planted-corpus specs. */
+  def simhashMd5Pairs(documents: DataFrame): DataFrame = {
+    val chunks = simhashMd5Chunks(documents, 16)
+      .withColumn("chunk_val", col("chunk_val").cast(IntegerType))
     val sigs = chunks.groupBy("doc_id").agg(
       max(when(col("c") === 0, col("chunk_val"))).as("s0"),
       max(when(col("c") === 1, col("chunk_val"))).as("s1"),

@@ -185,16 +185,19 @@ object TextAnalysis {
     * twin exists to anchor the algorithm, not to replace the scale hash. */
   /** documents(doc_id, text) → (doc_id, fp0..fp3): the md5-keyed
     * fingerprint selection of [[winnowMd5]], factored for planted-corpus
-    * specs. */
-  def winnowMd5Fingerprints(docs: DataFrame): DataFrame = {
+    * specs. `gramLen` (default 8 = the registered query) is the character
+    * window width — the parameter fuzz (DedupParamGen) hash-checks the
+    * selection at other widths. */
+  def winnowMd5Fingerprints(docs: DataFrame, gramLen: Int = 8): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     docs
       .spreadByKey(col("doc_id")) // per-row CPU: spread the gram hashing
       .select(col("doc_id"), norm.as("norm"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("norm")) - 7, lit(1)))).as("i"),
+        explode(sequence(lit(1),
+          greatest(length(col("norm")) - (gramLen - 1), lit(1)))).as("i"),
         col("norm"))
-      .select(col("doc_id"), md5(col("norm").substr(col("i"), lit(8))).as("h"))
+      .select(col("doc_id"), md5(col("norm").substr(col("i"), lit(gramLen))).as("h"))
       .groupBy("doc_id")
       .agg(
         min(substring(col("h"), 1, 8)).as("fp0"),

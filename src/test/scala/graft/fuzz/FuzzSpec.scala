@@ -69,6 +69,33 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("dedup-parameter generator is a pure function of the seed, pinned") {
+    val a = DedupParamGen.generate(42L, 20).map(_.sql)
+    val b = DedupParamGen.generate(42L, 20).map(_.sql)
+    assert(a === b)
+    // every family drawn within 20: span/ngram/simhash/srp/winnow/ivf
+    val bodies = DedupParamGen.generate(42L, 20)
+    assert(bodies.exists(_.sql.contains("shared_spans")))
+    assert(bodies.exists(_.sql.contains("jaccard")))
+    assert(bodies.exists(_.sql.contains("is_dup")))
+    assert(bodies.exists(_.sql.contains("AS bucket")))
+    assert(bodies.exists(_.sql.contains("fp0")))
+    assert(bodies.exists(_.sql.contains("final_assign")))
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val hex = md.digest(a.mkString("\n").getBytes("UTF-8"))
+      .map(b0 => f"$b0%02x").mkString
+    // update ONLY together with a fresh scripts/fuzz.sh green sweep (the
+    // 4-seed × 150 protocol now carries 18 dedup-parameter draws per seed)
+    assert(hex === "6ea2347295ea20ecba0c65beaf0664f3296c05b8")
+  }
+
+  test("every dedup-parameter draw executes on Spark (seed 42, first 8)") {
+    DedupParamGen.generate(42L, 8).foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0, s"${q.name} should execute")
+    }
+  }
+
   test("rerun-determinism: projection LIMIT cut is a stable multiset") {
     // fz_0008's shape regressed on non-unique (l_orderkey, l_linenumber):
     // with all output columns in the sort, two runs must agree exactly

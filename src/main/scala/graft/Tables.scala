@@ -84,7 +84,23 @@ object Tables {
     * (REPARTITION_BY_NUM, which AQE must respect) the same pipeline runs
     * partition-parallel. Use for every "spread the per-row CPU" shuffle;
     * plain `repartition(col)` remains right when byte-sized coalescing is
-    * wanted (e.g. write layout). */
+    * wanted (e.g. write layout).
+    *
+    * Sizing rule: the count is pinned to `defaultParallelism`, so
+    * per-partition bytes = input / cores — which GROWS as the core count
+    * shrinks or the input grows. That is safe here because a spreadByKey
+    * input is small-bytes by construction (that's exactly why AQE's
+    * byte-sized coalescing collapsed it) and downstream shuffle/agg
+    * operators spill gracefully rather than fail if a partition outgrows
+    * task memory. Measured at the second parallelism (sf1 corpus,
+    * local[8] vs local[32], 3-rep medians, 2026-08-15): the spread-heavy
+    * queries run with ZERO spill at 4× the per-partition bytes — the
+    * CPU-bound stage scales with cores (winnow-md5 12.6 s at 8 cores vs
+    * 4.6 s at 32) while the shuffle-bound ones stay flat (span dedup
+    * 4.2 vs 4.0 s, embedding near-dup 1.3 vs 1.4 s). If a FUTURE call
+    * site ever spreads a byte-heavy input, the right fix is a plain
+    * `repartition(col)` (AQE sizes by bytes), not a bigger constant
+    * here. SpreadOpsSpec pins the count-follows-parallelism contract. */
   implicit final class SpreadOps(private val df: DataFrame) extends AnyVal {
     def spreadByKey(keys: Column*): DataFrame =
       df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)

@@ -238,13 +238,12 @@ object DedupParamGen {
     def assignSql(cents: String, filter: String, keep: Int): String =
       s"""SELECT vec_id, c FROM (
         |    SELECT dm.vec_id, ct.c, SUM((dm.q - ct.val) * (dm.q - ct.val)) AS dist
-        |    FROM dims dm JOIN $cents ct USING (d)
-        |    $filter
+        |    FROM dims dm $filter JOIN $cents ct USING (d)
         |    GROUP BY 1, 2)
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= $keep""".stripMargin
     val lloyd = (1 to iters).map { it =>
       s"""assign$it AS (
-        |  ${assignSql(s"cents${it - 1}", "WHERE dm.vec_id % 4 = 0", 1)}
+        |  ${assignSql(s"cents${it - 1}", "JOIN sample USING (vec_id)", 1)}
         |), means$it AS (
         |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
         |  FROM assign$it a JOIN dims dm USING (vec_id)
@@ -260,9 +259,11 @@ object DedupParamGen {
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
         |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
         |  FROM embeddings
+        |), sample AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 4096
         |), init AS (
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
-        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT $c)
+        |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT $c)
         |), cents0 AS (
         |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
         |), $lloyd, final_assign AS (

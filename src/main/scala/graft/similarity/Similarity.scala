@@ -552,8 +552,10 @@ object Similarity {
     *    `floor(double(v) * 1000) + 1024` (components sit in ±0.6, so the
     *    shift makes every value positive — truncating and flooring
     *    division then agree between engines);
-    *  - init = the 16 lowest training-sample vec_ids' quantized vectors
-    *    (sample = vec_id % 4 == 0, mirroring [[annIvf]]);
+    *  - training sample = the ≤4096 lowest vec_ids of the vec_id % 4 == 0
+    *    subset (the bounded-collect contract every trainer here follows;
+    *    the oracle mirrors the cap with ORDER BY vec_id LIMIT 4096);
+    *    init = its 16 lowest ids' quantized vectors;
     *  - TWO unrolled Lloyd iterations, L2 distance over integers (integer
     *    SUMs are order-independent, so dist is exact), argmin ties to the
     *    lowest cell id, new centroid = floor(sum/count) per dimension
@@ -571,31 +573,33 @@ object Similarity {
     * defaults; SimilaritySpec pins this twin against a driver-side exact
     * recomputation and pins twin-vs-scale-path cell/recall agreement.
     *
-    * Plan shape mirrors [[annIvf]]'s economics at every stage: the
-    * centroid table (1024 rows) is always the broadcast side, so each
-    * assignment pass is one map-side join + partial-aggregated groupBy of
-    * the exploded dims (n·64·16 rows, never a corpus shuffle of
-    * embeddings); dims materialize ONCE (localCheckpoint) for the three
-    * assignment passes, cents2 once for its two consumers; the rerank
-    * broadcasts the tiny probe set onto the assigned corpus. Training
-    * touches only the 1-in-4 sample; the corpus-sized work is the single
-    * final assignment pass — the IVF shape that holds at 100 TB. */
+    * Plan shape mirrors [[annIvf]]'s economics at every stage: Lloyd
+    * trains driver-locally over the one bounded sample collect
+    * ([[ivfMd5Train]] — same integer arithmetic, bit-equal to the
+    * oracle's CTEs), the trained 16·64-row centroid table broadcasts onto
+    * the exploded dims, each assignment pass is one map-side join +
+    * partial-aggregated groupBy (n·64·16 rows, never a corpus shuffle of
+    * embeddings), dims materialize ONCE (localCheckpoint) for the two
+    * passes, and the rerank broadcasts the tiny probe set onto the
+    * assigned corpus. The corpus-sized work is the single final
+    * assignment pass — the IVF shape that holds at 100 TB. */
   val annIvfMd5: QueryDef = QueryDef(
     "c18_ann_ivf_md5", "C18",
     """WITH dims AS (
       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
       |  FROM embeddings
+      |), sample AS (
+      |  SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 4096
       |), init AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
-      |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16)
+      |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT 16)
       |), cents0 AS (
       |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
       |), assign1 AS (
       |  SELECT vec_id, c FROM (
       |    SELECT dm.vec_id, c0.c, SUM((dm.q - c0.val) * (dm.q - c0.val)) AS dist
-      |    FROM dims dm JOIN cents0 c0 USING (d)
-      |    WHERE dm.vec_id % 4 = 0
+      |    FROM dims dm JOIN sample USING (vec_id) JOIN cents0 c0 USING (d)
       |    GROUP BY 1, 2)
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
       |), means1 AS (
@@ -608,8 +612,7 @@ object Similarity {
       |), assign2 AS (
       |  SELECT vec_id, c FROM (
       |    SELECT dm.vec_id, c1.c, SUM((dm.q - c1.val) * (dm.q - c1.val)) AS dist
-      |    FROM dims dm JOIN cents1 c1 USING (d)
-      |    WHERE dm.vec_id % 4 = 0
+      |    FROM dims dm JOIN sample USING (vec_id) JOIN cents1 c1 USING (d)
       |    GROUP BY 1, 2)
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
       |), means2 AS (
@@ -656,50 +659,58 @@ object Similarity {
   /** The exact-integer IVF pipeline of [[annIvfMd5]] as a reusable form:
     * returns the reranked candidate rows (q_id, c_id, neighbor_id, score)
     * of the probed cells, score = exact fused cosine rounded to 1e-6.
-    * See [[annIvfMd5]] for the arithmetic contract; every assignment pass
-    * broadcasts the centroid table onto the exploded dims, so nothing
-    * corpus-sized ever shuffles except the one final groupBy on
-    * (vec_id, c) — partial-aggregated map-side. */
+    * See [[annIvfMd5]] for the arithmetic contract.
+    *
+    * Architecture mirrors the float scale path ([[kmeansCentroids]]):
+    * Lloyd trains DRIVER-LOCALLY over one bounded collect — the maxTrain
+    * lowest sample vec_ids' quantized vectors (≤ 4096 × 64 longs ≈ 2 MB,
+    * independent of corpus size; the oracle mirrors the cap with ORDER BY
+    * vec_id LIMIT) — then the trained c·64-row centroid table broadcasts
+    * onto the exploded dims, so the corpus-sized work is exactly two
+    * map-side joins + partial-aggregated groupBys (final assignment +
+    * query probes), never an iteration over the corpus. A previous
+    * formulation ran every Lloyd step distributed over the unbounded
+    * vec_id%mod sample: correct, but 5 sequential multi-stage jobs whose
+    * training cost GROWS with the corpus — the bounded-sample trainer is
+    * the shape that holds at 100 TB (and it measured 4.1 → ~2 s at
+    * sf0.1). */
   def ivfMd5Candidates(emb: DataFrame, c: Int, iters: Int, sampleMod: Int,
-      nQueries: Int, probes: Int): DataFrame = {
-    // dims: (vec_id, d, q) — reused by every assignment pass; spread so the
-    // explode + three joins run partition-parallel off a single-row-group scan
+      nQueries: Int, probes: Int, maxTrain: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // dims: (vec_id, d, q) — reused by both assignment passes; spread so
+    // the explode + joins run partition-parallel off a single-row-group scan
     val dims = emb.spreadByKey(col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
         (floor(col("v").cast(DoubleType) * 1000).cast(LongType) + 1024).as("q"))
       .localCheckpoint(false)
-    val sampleDims = dims.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
-    // init: the c lowest sample vec_ids' quantized vectors, cell id = rank
-    val wInit = Window.orderBy("vec_id")
-    val init = emb.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
-      .select(col("vec_id")).orderBy("vec_id").limit(c)
-      .select((row_number().over(wInit) - 1).cast(IntegerType).as("c"), col("vec_id"))
-    val cents0 = init.join(dims, Seq("vec_id")).select(col("c"), col("d"), col("q").as("val"))
-    // one Lloyd step: integer-L2 argmin assignment (ties → lowest cell id),
-    // then per-dimension floor-mean; empty cells keep the previous centroid
-    def assign(src: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    // the ONE bounded training collect (same contract as collectSample)
+    val sample: Array[(Long, Array[Long])] = emb
+      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(maxTrain)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+      }
+    val cents: Seq[(Int, Array[Long])] = ivfMd5Train(sample, c, iters)
+    val centsDf = broadcast(cents.flatMap { case (cid, vals) =>
+      vals.zipWithIndex.map { case (v, d) => (cid, d, v) }
+    }.toDF("c", "d", "val"))
+    // integer-L2 argmin assignment (ties → lowest cell id): one map-side
+    // join + one partial-aggregated groupBy + a per-vector window
+    def assign(src: DataFrame, keep: Int): DataFrame = {
       val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
-      src.join(broadcast(cents), Seq("d"))
+      src.join(centsDf, Seq("d"))
         .groupBy(col("vec_id"), col("c"))
         .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
         .withColumn("rk", row_number().over(wA))
         .where(col("rk") <= keep)
         .select(col("vec_id"), col("c"))
     }
-    def step(cents: DataFrame): DataFrame = {
-      val means = assign(sampleDims, cents, keep = 1)
-        .join(sampleDims, Seq("vec_id"))
-        .groupBy(col("c"), col("d"))
-        .agg(floor(sum(col("q")).cast(DoubleType) / count(lit(1))).cast(LongType).as("mval"))
-      cents.join(means, Seq("c", "d"), "left")
-        .select(col("c"), col("d"), coalesce(col("mval"), col("val")).as("val"))
-    }
-    // trained centroids materialize once for their two consumers (final
-    // assignment + query probes) — c·64 rows, the model-sized table
-    val cents = (1 to iters).foldLeft(cents0)((cs, _) => step(cs)).localCheckpoint(false)
-    val finalAssign = assign(dims, cents, keep = 1)
-    val probed = assign(dims.where(col("vec_id") < nQueries), cents, keep = probes)
+    val finalAssign = assign(dims, keep = 1)
+    val probed = assign(dims.where(col("vec_id") < nQueries), keep = probes)
       .select(col("vec_id").as("q_id"), col("c").as("c_id"))
     val qVecs = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -714,6 +725,49 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("neighbor_id"),
         round(graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")), 6)
           .as("score"))
+  }
+
+  /** Driver-local deterministic integer Lloyd over the collected
+    * quantized sample — the exact mirror of the [[annIvfMd5]] oracle's
+    * unrolled CTEs: init = the first `c` sample ids' vectors, assignment
+    * = integer-L2 argmin with ties to the lowest cell id, new centroid =
+    * per-dimension floor(sum/count) (sums < 2^53, so the double division
+    * is exact), empty cells keep their previous centroid. Bit-identical
+    * run-to-run: pure integer arithmetic over a vec_id-sorted sample. */
+  def ivfMd5Train(sample: Array[(Long, Array[Long])], c: Int, iters: Int): Seq[(Int, Array[Long])] = {
+    require(sample.length >= c, s"IVF twin needs at least $c training vectors, got ${sample.length}")
+    val dims = sample(0)._2.length
+    var cents: Array[Array[Long]] = sample.take(c).map(_._2.clone())
+    def bestCell(v: Array[Long]): Int = {
+      var best = 0; var bd = Long.MaxValue
+      var k = 0
+      while (k < c) {
+        val ct = cents(k)
+        var s = 0L; var i = 0
+        while (i < dims) { val d = v(i) - ct(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = k } // strict <: lowest cell id wins ties
+        k += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(c)(new Array[Long](dims))
+      val counts = new Array[Long](c)
+      sample.foreach { case (_, v) =>
+        val k = bestCell(v)
+        val acc = sums(k)
+        var i = 0
+        while (i < dims) { acc(i) += v(i); i += 1 }
+        counts(k) += 1
+      }
+      cents = Array.tabulate(c) { k =>
+        if (counts(k) == 0) cents(k)
+        else sums(k).map(s => math.floor(s.toDouble / counts(k)).toLong)
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (ct, k) => (k, ct) }.toSeq
   }
 
   /** Driver-local L2 normalization (mirror of the [[graft.functions.L2Normalize]]

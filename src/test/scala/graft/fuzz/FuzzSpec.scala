@@ -86,7 +86,10 @@ class FuzzSpec extends SparkSpec {
       .map(b0 => f"$b0%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep (the
     // 4-seed × 150 protocol now carries 18 dedup-parameter draws per seed)
-    assert(hex === "6ea2347295ea20ecba0c65beaf0664f3296c05b8")
+    // re-pinned when ivfDraw gained the bounded-sample CTE (LIMIT 4096,
+    // mirroring ivfMd5Candidates' driver-local bounded trainer); fresh
+    // 4-seed 672/672 sweep run with this pin
+    assert(hex === "1a4eec408b9b40e3d4fe59e6c374101bb1a76058")
   }
 
   test("every dedup-parameter draw executes on Spark (seed 42, first 8)") {

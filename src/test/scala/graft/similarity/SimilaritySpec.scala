@@ -353,7 +353,7 @@ class SimilaritySpec extends SparkSpec {
     def twinCells(corpus: Array[(Long, Array[Float])])
         : (Map[Long, Int], Map[Int, Array[Long]]) = {
       val qv = corpus.map { case (id, v) => id -> quant(v) }.toMap
-      val sample = corpus.map(_._1).filter(_ % 4 == 0).sorted
+      val sample = corpus.map(_._1).filter(_ % 4 == 0).sorted.take(4096)
       var cents: Map[Int, Array[Long]] =
         sample.take(16).zipWithIndex.map { case (id, c) => c -> qv(id) }.toMap
       def ranked(id: Long, cs: Map[Int, Array[Long]]): Seq[Int] =

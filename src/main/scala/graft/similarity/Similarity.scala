@@ -676,41 +676,11 @@ object Similarity {
     * sf0.1). */
   def ivfMd5Candidates(emb: DataFrame, c: Int, iters: Int, sampleMod: Int,
       nQueries: Int, probes: Int, maxTrain: Int = 4096): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // dims: (vec_id, d, q) — reused by both assignment passes; spread so
-    // the explode + joins run partition-parallel off a single-row-group scan
-    val dims = emb.spreadByKey(col("vec_id"))
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
-        (floor(col("v").cast(DoubleType) * 1000).cast(LongType) + 1024).as("q"))
-      .localCheckpoint(false)
-    // the ONE bounded training collect (same contract as collectSample)
-    val sample: Array[(Long, Array[Long])] = emb
-      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(maxTrain)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .map { case (id, v) =>
-        id -> v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
-      }
-    val cents: Seq[(Int, Array[Long])] = ivfMd5Train(sample, c, iters)
-    val centsDf = broadcast(cents.flatMap { case (cid, vals) =>
-      vals.zipWithIndex.map { case (v, d) => (cid, d, v) }
-    }.toDF("c", "d", "val"))
-    // integer-L2 argmin assignment (ties → lowest cell id): one map-side
-    // join + one partial-aggregated groupBy + a per-vector window
-    def assign(src: DataFrame, keep: Int): DataFrame = {
-      val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
-      src.join(centsDf, Seq("d"))
-        .groupBy(col("vec_id"), col("c"))
-        .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
-        .withColumn("rk", row_number().over(wA))
-        .where(col("rk") <= keep)
-        .select(col("vec_id"), col("c"))
-    }
-    val finalAssign = assign(dims, keep = 1)
-    val probed = assign(dims.where(col("vec_id") < nQueries), keep = probes)
+    val dims = intDims(emb)
+    val centsDf = intCentsDf(emb.sparkSession,
+      ivfMd5Train(intSample(emb, sampleMod, maxTrain), c, iters))
+    val finalAssign = intAssign(dims, centsDf, keep = 1)
+    val probed = intAssign(dims.where(col("vec_id") < nQueries), centsDf, keep = probes)
       .select(col("vec_id").as("q_id"), col("c").as("c_id"))
     val qVecs = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -768,6 +738,62 @@ object Similarity {
       it += 1
     }
     cents.zipWithIndex.map { case (ct, k) => (k, ct) }.toSeq
+  }
+
+  /** Quantized integer dims view shared by the integer-exact twins:
+    * (vec_id, d, q) with q = floor(v·1000) + 1024 (components sit in ±0.6,
+    * so the shift keeps every value positive and truncating vs flooring
+    * division agree between engines). Spread before the explode so the
+    * downstream joins run partition-parallel off a single-row-group scan,
+    * and materialized ONCE (localCheckpoint) for its multiple consumers. */
+  private def intDims(emb: DataFrame): DataFrame =
+    emb.spreadByKey(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
+        (floor(col("v").cast(DoubleType) * 1000).cast(LongType) + 1024).as("q"))
+      .localCheckpoint(false)
+
+  /** The ONE bounded training collect of the integer twins (the quantized
+    * mirror of [[collectSample]]'s contract): the maxTrain lowest vec_ids
+    * of the vec_id % sampleMod == 0 subset, ≤ maxTrain × dim longs ≈ 2 MB
+    * independent of corpus size. Oracles mirror the cap with
+    * `ORDER BY vec_id LIMIT maxTrain`. */
+  private def intSample(emb: DataFrame, sampleMod: Int,
+      maxTrain: Int): Array[(Long, Array[Long])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(maxTrain)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+      }
+  }
+
+  /** A driver-trained integer centroid model as the broadcastable
+    * (c, d, val) table every integer-twin assignment pass joins against. */
+  private def intCentsDf(spark: SparkSession,
+      cents: Seq[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.flatMap { case (cid, vals) =>
+      vals.zipWithIndex.map { case (v, d) => (cid, d, v) }
+    }.toDF("c", "d", "val"))
+  }
+
+  /** Integer-L2 argmin assignment against a broadcast (c, d, val) centroid
+    * table — one map-side join + one partial-aggregated groupBy + a
+    * per-vector window; ties break to the lowest cell id (integer SUMs are
+    * order-independent, so the argmin is exact under any partitioning). */
+  private def intAssign(dims: DataFrame, centsDf: DataFrame,
+      keep: Int): DataFrame = {
+    val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
+    dims.join(centsDf, Seq("d"))
+      .groupBy(col("vec_id"), col("c"))
+      .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
+      .withColumn("rk", row_number().over(wA))
+      .where(col("rk") <= keep)
+      .select(col("vec_id"), col("c"))
   }
 
   /** Driver-local L2 normalization (mirror of the [[graft.functions.L2Normalize]]
@@ -913,6 +939,255 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Integer PQ codebooks for the [[annIvfPqMd5]] twin: an independent
+    * [[ivfMd5Train]] per contiguous subspace over the quantized sample's
+    * slices — the same init / argmin / floor-mean contract as the coarse
+    * trainer, so the oracle's per-(s, j) CTEs reproduce every codeword
+    * bit-for-bit. Returns the (s, j, i, val) rows of the broadcast
+    * codebook table (m·k·dsub rows — ~1 KB of model at 8×16×8). */
+  def pqMd5Train(sample: Array[(Long, Array[Long])], m: Int, k: Int,
+      iters: Int): Seq[(Int, Int, Int, Long)] = {
+    val dims = sample(0)._2.length
+    require(dims % m == 0, s"PQ twin needs dims ($dims) divisible by m ($m)")
+    val dsub = dims / m
+    (0 until m).flatMap { s =>
+      val slices = sample.map { case (id, v) =>
+        (id, v.slice(s * dsub, (s + 1) * dsub))
+      }
+      ivfMd5Train(slices, k, iters).flatMap { case (j, vals) =>
+        vals.zipWithIndex.map { case (v, i) => (s, j, i, v) }
+      }
+    }
+  }
+
+  /** The exact-integer IVF-PQ pipeline of [[annIvfPqMd5]]: coarse-quantize
+    * the corpus ([[ivfMd5Train]] — the IVF twin's trainer), PQ-encode it
+    * (integer-L2 argmin codeword per 8-dim subspace against the
+    * [[pqMd5Train]] codebooks), build per-query LUTs (all k integer-L2
+    * code distances per subspace), score the probed lists' candidates by
+    * ADC (m LUT lookups summed — a BIGINT, so the approximate score itself
+    * is hash-checkable), keep a bounded ADC shortlist per query, and
+    * rerank the shortlist exactly on refetched raw embeddings (1e-6-rounded
+    * fused cosine — the same exactness contract as [[annIvfPq]]).
+    *
+    * Plan economics mirror the float scale path at every stage: both
+    * models train driver-locally over ONE bounded sample collect and ride
+    * broadcast; the corpus-sized work is exactly two map-side joins +
+    * partial-aggregated groupBys (coarse assignment + PQ encode); the ADC
+    * stage's only corpus-sized input is the (vec_id, s, code) table —
+    * candidates and LUTs are broadcast; and the rerank refetches raw
+    * vectors for shortlist rows only, never shuffling the corpus. The
+    * twin's ADC metric is integer L2 (the Jégou et al. 2011 formulation);
+    * the float path's ADC is a dot-product over normalized sub-vectors —
+    * the anchor hash-checks the derivation machinery (codebook training,
+    * encoding, LUT build, ADC accumulation, shortlist cut, rerank), not
+    * the metric choice, which SimilaritySpec covers on the float path. */
+  def ivfPqMd5Rows(emb: DataFrame, c: Int, iters: Int, sampleMod: Int,
+      nQueries: Int, probes: Int, m: Int, k: Int, shortlist: Int,
+      maxTrain: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = intDims(emb)
+    val sample = intSample(emb, sampleMod, maxTrain)
+    val dsub = sample(0)._2.length / m
+    // coarse quantizer: the IVF twin's bounded driver-local trainer
+    val centsDf = intCentsDf(spark, ivfMd5Train(sample, c, iters))
+    val finalAssign = intAssign(dims, centsDf, keep = 1)
+    val probed = intAssign(dims.where(col("vec_id") < nQueries), centsDf,
+      keep = probes)
+      .select(col("vec_id").as("q_id"), col("c").as("c_id"))
+    // PQ codebooks: one integer Lloyd per dsub-dim subspace, same sample
+    val booksDf = broadcast(
+      pqMd5Train(sample, m, k, iters).toDF("s", "j", "i", "val"))
+    // subspace view of the quantized dims: s = subspace, i = dim within it
+    val pdims = dims.selectExpr("vec_id", s"CAST(d DIV $dsub AS INT) AS s",
+      s"CAST(d % $dsub AS INT) AS i", "q")
+    // per-(vector, subspace) integer-L2 distance to every codeword:
+    // map-side broadcast join + partial-aggregated groupBy
+    def codeDists(src: DataFrame): DataFrame =
+      src.join(booksDf, Seq("s", "i"))
+        .groupBy(col("vec_id"), col("s"), col("j"))
+        .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
+    // encode: argmin codeword per (vector, subspace), ties to the lowest j —
+    // after this the raw embedding is gone from the approximate stage.
+    // min(struct(dist, j)) == "ORDER BY dist, j LIMIT 1" (struct ordering is
+    // lexicographic) but partial-aggregates map-side, so the corpus-sized
+    // encode shuffles n·m rows instead of window-sorting n·m·k
+    val codes = codeDists(pdims)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("j"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.j").as("code"))
+    // query LUTs: ALL k distances per (query, subspace) — nQueries·m·k rows
+    val lut = codeDists(pdims.where(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("s"),
+        col("j").as("code"), col("dist"))
+    // candidates: probed lists' members — a query scores |corpus|·probes/c
+    // entries, never the corpus (the IVF economics)
+    val cand = finalAssign
+      .select(col("c").as("c_id"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(probed), Seq("c_id"))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"))
+    // ADC: m LUT lookups summed per candidate; the codes table is the only
+    // corpus-sized input — candidate pairs and LUTs ride broadcast
+    val adc = codes.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum(col("dist")).as("adc"))
+    // bounded ADC shortlist per query (smallest integer L2 first)
+    val wSl = Window.partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
+    val sl = adc.withColumn("rk", row_number().over(wSl))
+      .where(col("rk") <= shortlist)
+      .select(col("q_id"), col("neighbor_id"), col("adc"))
+    // exact rerank on refetched raw vectors, rounded to the 1e-6 grid
+    val qVecs = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wR = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(sl), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .withColumn("score",
+        round(graft.functions.VectorExprs.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .select(col("q_id"), row_number().over(wR).cast(IntegerType).as("rnk"),
+        col("neighbor_id"), col("adc"), col("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Exact-arithmetic derivation anchor for the IVF-PQ pipeline — the last
+    * ANN path whose model training was spec-trusted only (the IVF twin
+    * [[annIvfMd5]] anchors the coarse quantizer; this twin additionally
+    * anchors PQ codebook training, encoding, the LUT build, the ADC
+    * accumulation and the shortlist cut, all in integer arithmetic both
+    * engines compute bit-identically; see [[ivfPqMd5Rows]]). The oracle
+    * unrolls BOTH Lloyd trainings as DuckDB CTEs: the coarse 16-centroid
+    * quantizer over the full 64-dim quantized vectors, and the per-subspace
+    * 16-codeword PQ books keyed by (s, j). Output includes the raw BIGINT
+    * `adc` column, so the hash check covers the approximate scores
+    * themselves, not just the final reranked ordering. */
+  val annIvfPqMd5: QueryDef = QueryDef(
+    "c18_ann_ivfpq_md5", "C18",
+    """WITH dims AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
+      |  FROM embeddings
+      |), sample AS (
+      |  SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 4096
+      |), init AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
+      |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT 16)
+      |), cents0 AS (
+      |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
+      |), assign1 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c0.c, SUM((dm.q - c0.val) * (dm.q - c0.val)) AS dist
+      |    FROM dims dm JOIN sample USING (vec_id) JOIN cents0 c0 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), means1 AS (
+      |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM assign1 a JOIN dims dm USING (vec_id)
+      |  GROUP BY 1, 2
+      |), cents1 AS (
+      |  SELECT c0.c, c0.d, COALESCE(m.val, c0.val) AS val
+      |  FROM cents0 c0 LEFT JOIN means1 m ON m.c = c0.c AND m.d = c0.d
+      |), assign2 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c1.c, SUM((dm.q - c1.val) * (dm.q - c1.val)) AS dist
+      |    FROM dims dm JOIN sample USING (vec_id) JOIN cents1 c1 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), means2 AS (
+      |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM assign2 a JOIN dims dm USING (vec_id)
+      |  GROUP BY 1, 2
+      |), cents2 AS (
+      |  SELECT c1.c, c1.d, COALESCE(m.val, c1.val) AS val
+      |  FROM cents1 c1 LEFT JOIN means2 m ON m.c = c1.c AND m.d = c1.d
+      |), final_assign AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c2.c, SUM((dm.q - c2.val) * (dm.q - c2.val)) AS dist
+      |    FROM dims dm JOIN cents2 c2 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), probes AS (
+      |  SELECT vec_id AS q_id, c AS c_id FROM (
+      |    SELECT dm.vec_id, c2.c, SUM((dm.q - c2.val) * (dm.q - c2.val)) AS dist
+      |    FROM dims dm JOIN cents2 c2 USING (d)
+      |    WHERE dm.vec_id < 5
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= 2
+      |), pdims AS (
+      |  SELECT vec_id, CAST(d // 8 AS INT) AS s, CAST(d % 8 AS INT) AS i, q FROM dims
+      |), pinit AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, vec_id
+      |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT 16)
+      |), books0 AS (
+      |  SELECT pd.s, pi.j, pd.i, pd.q AS val FROM pinit pi JOIN pdims pd USING (vec_id)
+      |), passign1 AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT pd.vec_id, pd.s, b.j, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+      |    FROM pdims pd JOIN sample USING (vec_id) JOIN books0 b ON b.s = pd.s AND b.i = pd.i
+      |    GROUP BY 1, 2, 3)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+      |), pmeans1 AS (
+      |  SELECT a.j, a.s, pd.i, CAST(FLOOR(CAST(SUM(pd.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM passign1 a JOIN pdims pd ON pd.vec_id = a.vec_id AND pd.s = a.s
+      |  GROUP BY 1, 2, 3
+      |), books1 AS (
+      |  SELECT b0.s, b0.j, b0.i, COALESCE(m.val, b0.val) AS val
+      |  FROM books0 b0 LEFT JOIN pmeans1 m ON m.s = b0.s AND m.j = b0.j AND m.i = b0.i
+      |), passign2 AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT pd.vec_id, pd.s, b.j, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+      |    FROM pdims pd JOIN sample USING (vec_id) JOIN books1 b ON b.s = pd.s AND b.i = pd.i
+      |    GROUP BY 1, 2, 3)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+      |), pmeans2 AS (
+      |  SELECT a.j, a.s, pd.i, CAST(FLOOR(CAST(SUM(pd.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM passign2 a JOIN pdims pd ON pd.vec_id = a.vec_id AND pd.s = a.s
+      |  GROUP BY 1, 2, 3
+      |), books2 AS (
+      |  SELECT b1.s, b1.j, b1.i, COALESCE(m.val, b1.val) AS val
+      |  FROM books1 b1 LEFT JOIN pmeans2 m ON m.s = b1.s AND m.j = b1.j AND m.i = b1.i
+      |), codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT pd.vec_id, pd.s, b.j, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+      |    FROM pdims pd JOIN books2 b ON b.s = pd.s AND b.i = pd.i
+      |    GROUP BY 1, 2, 3)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+      |), lut AS (
+      |  SELECT pd.vec_id AS q_id, pd.s, b.j AS code, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+      |  FROM pdims pd JOIN books2 b ON b.s = pd.s AND b.i = pd.i
+      |  WHERE pd.vec_id < 5
+      |  GROUP BY 1, 2, 3
+      |), cand AS (
+      |  SELECT p.q_id, f.vec_id AS neighbor_id
+      |  FROM probes p JOIN final_assign f ON f.c = p.c_id AND f.vec_id <> p.q_id
+      |), adc AS (
+      |  SELECT ca.q_id, ca.neighbor_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+      |  FROM cand ca
+      |  JOIN codes cd ON cd.vec_id = ca.neighbor_id
+      |  JOIN lut l ON l.q_id = ca.q_id AND l.s = cd.s AND l.code = cd.code
+      |  GROUP BY 1, 2
+      |), shortlist AS (
+      |  SELECT q_id, neighbor_id, adc FROM adc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) <= 20
+      |)
+      |SELECT sl.q_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY sl.q_id
+      |    ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) DESC,
+      |      sl.neighbor_id) AS INT) AS rnk,
+      |  sl.neighbor_id, sl.adc,
+      |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS score
+      |FROM shortlist sl
+      |JOIN embeddings ea ON ea.vec_id = sl.q_id
+      |JOIN embeddings eb ON eb.vec_id = sl.neighbor_id
+      |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ivfPqMd5Rows(emb, c = 16, iters = 2, sampleMod = 4, nQueries = 5,
+      probes = 2, m = 8, k = 16, shortlist = 20)
+  }
+
   /** Radius (threshold) search: every corpus neighbor with cosine ≥ τ for
     * each query vector — the retrieval mode dedup verification and
     * retrieval-augmented filtering actually use (a top-k cut discards
@@ -1029,7 +1304,128 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The SemDeDup pipeline in exact integer/rounded arithmetic: cluster
+    * with the integer Lloyd quantizer ([[ivfMd5Train]] over the bounded
+    * quantized sample), multi-probe each vector's `probes` nearest cells,
+    * and drop every vector with a lower-id same-cell member whose
+    * 1e-6-rounded fused cosine is ≥ τ (rounding BEFORE the threshold cut,
+    * as in [[radiusSearch]]: parity must not depend on the two engines'
+    * float accumulation agreeing bit-for-bit at the cut boundary).
+    * Returns kept (vec_id, c_id = home cell), ordered by vec_id.
+    *
+    * Same plan economics as [[semanticDedupKept]]: the model is broadcast,
+    * the within-cell pair join shuffles each row once on its cell id
+    * (shuffle_hash — partition-parallel across cells, nothing broadcast-
+    * built single-threaded), the ≥τ cut runs before the distinct shuffle,
+    * and the keep decision is a left-anti join under the "lower id wins"
+    * total order, so output is deterministic under any partitioning. */
+  def semanticMd5Kept(corpus: DataFrame, c: Int, iters: Int, sampleMod: Int,
+      probes: Int, tau: Double, maxTrain: Int = 4096): DataFrame = {
+    val dims = intDims(corpus)
+    val centsDf = intCentsDf(corpus.sparkSession,
+      ivfMd5Train(intSample(corpus, sampleMod, maxTrain), c, iters))
+    val home = intAssign(dims, centsDf, keep = 1)
+    // refetch raw embeddings onto the probed assignment for the verify
+    val probed = intAssign(dims, centsDf, keep = probes)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = probed.select(
+      col("c"), col("vec_id").as("keep_id"), col("embedding").as("e_a"))
+    val b = probed.select(
+      col("c"), col("vec_id").as("drop_id"), col("embedding").as("e_b"))
+    val drops = a.hint("shuffle_hash").join(b, Seq("c"))
+      .where(col("keep_id") < col("drop_id"))
+      .where(round(graft.functions.VectorExprs.cosineSim(
+        col("e_a"), col("e_b")), 6) >= tau)
+      .select(col("drop_id").as("vec_id")).distinct()
+    home.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c").as("c_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Exact-arithmetic derivation anchor for SemDeDup ([[semanticDedup]] —
+    * previously rows-only because the float k-means model is not
+    * SQL-expressible): the SAME cluster → multi-probe → within-cluster
+    * cosine-prune → keep-lowest-id pipeline over the injection-augmented
+    * corpus, with the quantizer replaced by the integer Lloyd the DuckDB
+    * oracle unrolls as CTEs and the prune cut taken on the 1e-6-rounded
+    * cosine. Cluster assignment, the probed pair space, the drop set and
+    * the kept remainder are all hash-checked. The float [[semanticDedup]]
+    * stays the scale path (its C scales with the corpus via
+    * [[clusterCountFor]]; the twin pins C = 16 because the oracle's
+    * unrolled init CTE bakes the count into `LIMIT 16`). */
+  val semanticDedupMd5: QueryDef = QueryDef(
+    "c17_semantic_dedup_md5", "C17 C18",
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_append(embedding[1:len(embedding)-1], CAST(0.0 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 3
+      |), dims AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
+      |  FROM corpus
+      |), sample AS (
+      |  SELECT vec_id FROM corpus WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 4096
+      |), init AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
+      |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT 16)
+      |), cents0 AS (
+      |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
+      |), assign1 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c0.c, SUM((dm.q - c0.val) * (dm.q - c0.val)) AS dist
+      |    FROM dims dm JOIN sample USING (vec_id) JOIN cents0 c0 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), means1 AS (
+      |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM assign1 a JOIN dims dm USING (vec_id)
+      |  GROUP BY 1, 2
+      |), cents1 AS (
+      |  SELECT c0.c, c0.d, COALESCE(m.val, c0.val) AS val
+      |  FROM cents0 c0 LEFT JOIN means1 m ON m.c = c0.c AND m.d = c0.d
+      |), assign2 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c1.c, SUM((dm.q - c1.val) * (dm.q - c1.val)) AS dist
+      |    FROM dims dm JOIN sample USING (vec_id) JOIN cents1 c1 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), means2 AS (
+      |  SELECT a.c, dm.d, CAST(FLOOR(CAST(SUM(dm.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      |  FROM assign2 a JOIN dims dm USING (vec_id)
+      |  GROUP BY 1, 2
+      |), cents2 AS (
+      |  SELECT c1.c, c1.d, COALESCE(m.val, c1.val) AS val
+      |  FROM cents1 c1 LEFT JOIN means2 m ON m.c = c1.c AND m.d = c1.d
+      |), home AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c2.c, SUM((dm.q - c2.val) * (dm.q - c2.val)) AS dist
+      |    FROM dims dm JOIN cents2 c2 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+      |), probed AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, c2.c, SUM((dm.q - c2.val) * (dm.q - c2.val)) AS dist
+      |    FROM dims dm JOIN cents2 c2 USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= 2
+      |), drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM probed a JOIN probed b ON a.c = b.c AND a.vec_id < b.vec_id
+      |  JOIN corpus ca ON ca.vec_id = a.vec_id
+      |  JOIN corpus cb ON cb.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]), 6) >= 0.9
+      |)
+      |SELECT h.vec_id, h.c AS c_id FROM home h
+      |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.vec_id = h.vec_id)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    semanticMd5Kept(injectedCorpus(Tables.embeddings(s, d)),
+      c = 16, iters = 2, sampleMod = 4, probes = 2, tau = 0.9)
+  }
+
   val all: Seq[QueryDef] =
     Seq(knnBrute, knnAgg, annLsh, annLshMd5, embNearDup, embNearDupLsh,
-      annIvf, annIvfMd5, annIvfPq, radiusSearch, semanticDedup)
+      annIvf, annIvfMd5, annIvfPq, annIvfPqMd5, radiusSearch,
+      semanticDedup, semanticDedupMd5)
 }

@@ -424,6 +424,104 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ exact-twin pipeline matches a driver-side recomputation " +
+      "from first principles") {
+    import spark.implicits._
+    // Independent reimplementation (plain Scala, no Spark, no library
+    // trainers): floor-quantize → coarse integer Lloyd (init from the 16
+    // lowest sample ids, 2 steps, floor-means) → per-subspace PQ Lloyd →
+    // encode → LUT → ADC over the 2-probe candidate lists → top-20 ADC
+    // shortlist → 1e-6-rounded cosine rerank. Any engine following the
+    // c18_ann_ivfpq_md5 derivation contract must produce THIS row set.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val local = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // generic integer Lloyd: ties to the lowest cell id via tuple order
+    def lloyd(sample: Seq[(Long, Array[Long])], k: Int,
+        iters: Int): IndexedSeq[Array[Long]] = {
+      var cents = sample.take(k).map(_._2).toIndexedSeq
+      def best(v: Array[Long]): Int =
+        cents.zipWithIndex.map { case (ct, c) => (dist(v, ct), c) }.min._2
+      (1 to iters).foreach { _ =>
+        val assign = sample.map { case (_, v) => best(v) }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          val members = sample.zip(assign).collect { case ((_, v), a) if a == c => v }
+          if (members.isEmpty) old
+          else Array.tabulate(old.length)(d =>
+            math.floor(members.map(_(d)).sum.toDouble / members.size).toLong)
+        }
+      }
+      cents
+    }
+    val qv = local.map { case (id, v) => id -> quant(v) }.toMap
+    val sample = local.map(_._1).filter(_ % 4 == 0).sorted.take(4096)
+      .map(id => id -> qv(id))
+    val coarse = lloyd(sample, 16, 2)
+    def rankedCells(id: Long): Seq[Int] =
+      coarse.zipWithIndex.map { case (ct, c) => (dist(qv(id), ct), c) }
+        .sorted.map(_._2)
+    val home = local.map(_._1).map(id => id -> rankedCells(id).head).toMap
+    val books = (0 until 8).map { s =>
+      lloyd(sample.map { case (id, v) => id -> v.slice(s * 8, s * 8 + 8) }, 16, 2)
+    }
+    def code(id: Long, s: Int): Int =
+      books(s).zipWithIndex
+        .map { case (cw, j) => (dist(qv(id).slice(s * 8, s * 8 + 8), cw), j) }
+        .min._2
+    def lutDist(q: Long, s: Int, j: Int): Long =
+      dist(qv(q).slice(s * 8, s * 8 + 8), books(s)(j))
+    val vecs = local.toMap
+    val expected = local.map(_._1).filter(_ < 5).flatMap { q =>
+      val probeSet = rankedCells(q).take(2).toSet
+      val adc = local.map(_._1)
+        .filter(n => n != q && probeSet.contains(home(n)))
+        .map(n => (n, (0 until 8).map(s => lutDist(q, s, code(n, s))).sum))
+      adc.sortBy { case (n, a) => (a, n) }.take(20)
+        .map { case (n, a) => (n, a, r6(cosL(vecs(q), vecs(n)))) }
+        .sortBy { case (n, _, sc) => (-sc, n) }.zipWithIndex
+        .map { case ((n, a, sc), i) => (q, i + 1, n, a, sc) }
+    }.toSet
+    val got = Similarity.annIvfPqMd5.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("semantic-dedup exact twin drops every planted copy, keeps the " +
+      "originals, and is deterministic") {
+    val kept = Similarity.semanticDedupMd5.fn(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val all = Similarity.injectedCorpus(graft.Tables.embeddings(spark, sf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (0 until 3).foreach { i =>
+      assert(kept(i.toLong), s"original $i was dropped")
+      assert(!kept(i + 1000000L), s"planted copy $i survived the prune")
+    }
+    assert(kept.subsetOf(all) && kept.size >= all.size - 16,
+      "twin pruned far more than the planted copies at spec scale")
+    val again = Similarity.semanticDedupMd5.fn(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
   test("clusterCountFor scales C with the corpus, clamped to the spec and model bounds") {
     assert(Similarity.clusterCountFor(500) === 16)   // spec scale: pinned C
     assert(Similarity.clusterCountFor(4096) === 16)

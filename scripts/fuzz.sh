@@ -10,8 +10,13 @@
 # df cap, ngram threshold × df cap, simhash 8/16/32-bit chunk splits ×
 # bucket cap × hamming cut, SRP 4–12-bit md5-Rademacher widths, winnow
 # 4–16-char gram lengths, and integer-IVF cluster/Lloyd-depth/probe
-# combinations with the oracle's Lloyd CTEs unrolled per draw — 72
-# parameter points hash-checked vs DuckDB on top of the prior protocol:
+# combinations with the oracle's Lloyd CTEs unrolled per draw; re-swept
+# again the same day when the family set grew to EIGHT with the
+# integer-exact SemDeDup draws (cluster count × Lloyd depth × probe
+# depth × rounded-cosine τ) and IVF-PQ draws (coarse count × shared
+# Lloyd depth × subspace split m ∈ {4,8,16} × codebook size × probe
+# depth × ADC-shortlist length, BOTH Lloyd chains unrolled per draw) —
+# 72 parameter points hash-checked vs DuckDB on top of the prior protocol:
 # direction-regime latest-row draws:
 # rn<=1 picks now draw all-ASC/min_by, all-DESC/max_by, or MIXED
 # directions; fired draws [*_lrw] REQUIRE LatestByRule's argmax in the

@@ -38,13 +38,15 @@ object DedupParamGen {
     val r = new Random(seed ^ 0x5eedd00dL) // decouple from QueryGen's stream
     (0 until n).map { i =>
       val name = f"fzd_$i%03d"
-      r.nextInt(6) match {
+      r.nextInt(8) match {
         case 0 => spanDraw(r, name)
         case 1 => ngramDraw(r, name)
         case 2 => simhashDraw(r, name)
         case 3 => srpDraw(r, name)
         case 4 => winnowDraw(r, name)
-        case _ => ivfDraw(r, name)
+        case 5 => ivfDraw(r, name)
+        case 6 => semanticDraw(r, name)
+        case _ => pqDraw(r, name)
       }
     }
   }
@@ -228,20 +230,24 @@ object DedupParamGen {
         .winnowMd5Fingerprints(Tables.documents(s, d), k).orderBy("doc_id"))
   }
 
-  /** Integer-exact IVF under random cluster count, Lloyd iteration count
-    * and probe depth — the c18_ann_ivf_md5 oracle with its Lloyd steps
-    * unrolled programmatically to the drawn depth. */
-  private def ivfDraw(r: Random, name: String): FuzzQuery = {
-    val c = Seq(4, 8, 16)(r.nextInt(3))
-    val iters = 1 + r.nextInt(3) // 1..3
-    val probes = 1 + r.nextInt(3) // 1..3
-    def assignSql(cents: String, filter: String, keep: Int): String =
-      s"""SELECT vec_id, c FROM (
-        |    SELECT dm.vec_id, ct.c, SUM((dm.q - ct.val) * (dm.q - ct.val)) AS dist
-        |    FROM dims dm $filter JOIN $cents ct USING (d)
-        |    GROUP BY 1, 2)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= $keep""".stripMargin
-    val lloyd = (1 to iters).map { it =>
+  /** One integer-L2 argmin/top-`keep` assignment subquery against the
+    * centroid CTE `cents`, over the shared `dims` CTE (optionally
+    * restricted by `filter`, e.g. to the training sample). */
+  private def assignSql(cents: String, filter: String, keep: Int): String =
+    s"""SELECT vec_id, c FROM (
+      |    SELECT dm.vec_id, ct.c, SUM((dm.q - ct.val) * (dm.q - ct.val)) AS dist
+      |    FROM dims dm $filter JOIN $cents ct USING (d)
+      |    GROUP BY 1, 2)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= $keep""".stripMargin
+
+  /** The unrolled coarse integer-Lloyd CTE chain over the `dims`/`sample`
+    * CTEs, to the drawn depth: returns ("assign1 AS …, cents$iters AS …",
+    * final centroid CTE name). Shared by the IVF, IVF-PQ and SemDeDup
+    * draws — each mirrors one registered twin's oracle with the Lloyd
+    * unrolling driven by the drawn iteration count instead of the
+    * registered 2. */
+  private def lloydCtes(iters: Int): (String, String) = {
+    val ctes = (1 to iters).map { it =>
       s"""assign$it AS (
         |  ${assignSql(s"cents${it - 1}", "JOIN sample USING (vec_id)", 1)}
         |), means$it AS (
@@ -253,7 +259,17 @@ object DedupParamGen {
         |  FROM cents${it - 1} cp LEFT JOIN means$it m ON m.c = cp.c AND m.d = cp.d
         |)""".stripMargin
     }.mkString(", ")
-    val last = s"cents$iters"
+    (ctes, s"cents$iters")
+  }
+
+  /** Integer-exact IVF under random cluster count, Lloyd iteration count
+    * and probe depth — the c18_ann_ivf_md5 oracle with its Lloyd steps
+    * unrolled programmatically to the drawn depth. */
+  private def ivfDraw(r: Random, name: String): FuzzQuery = {
+    val c = Seq(4, 8, 16)(r.nextInt(3))
+    val iters = 1 + r.nextInt(3) // 1..3
+    val probes = 1 + r.nextInt(3) // 1..3
+    val (lloyd, last) = lloydCtes(iters)
     val sql =
       s"""WITH dims AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
@@ -288,5 +304,158 @@ object DedupParamGen {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         c = c, iters = iters, sampleMod = 4, nQueries = 5, probes = probes)
         .orderBy("q_id", "c_id", "neighbor_id"))
+  }
+
+  /** Integer-exact SemDeDup under random cluster count, Lloyd depth,
+    * probe depth and prune threshold — the c17_semantic_dedup_md5 oracle
+    * with its Lloyd steps unrolled to the drawn depth. Exact for any
+    * parameter value: the prune cut is taken on the 1e-6-rounded cosine
+    * in both engines, so the drawn τ cannot sit between two engines'
+    * unrounded accumulations. */
+  private def semanticDraw(r: Random, name: String): FuzzQuery = {
+    val c = Seq(4, 8, 16)(r.nextInt(3))
+    val iters = 1 + r.nextInt(3) // 1..3
+    val probes = 1 + r.nextInt(2) // 1..2
+    val tau = Seq("0.85", "0.9", "0.95")(r.nextInt(3))
+    val (lloyd, last) = lloydCtes(iters)
+    val sql =
+      s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_append(embedding[1:len(embedding)-1], CAST(0.0 AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 3
+        |), dims AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
+        |  FROM corpus
+        |), sample AS (
+        |  SELECT vec_id FROM corpus WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 4096
+        |), init AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
+        |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT $c)
+        |), cents0 AS (
+        |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
+        |), $lloyd, home AS (
+        |  ${assignSql(last, "", 1)}
+        |), probed AS (
+        |  ${assignSql(last, "", probes)}
+        |), drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM probed a JOIN probed b ON a.c = b.c AND a.vec_id < b.vec_id
+        |  JOIN corpus ca ON ca.vec_id = a.vec_id
+        |  JOIN corpus cb ON cb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]), 6) >= $tau
+        |)
+        |SELECT h.vec_id, h.c AS c_id FROM home h
+        |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.vec_id = h.vec_id)
+        |ORDER BY vec_id""".stripMargin
+    FuzzQuery(name, sql, (s, d) =>
+      graft.similarity.Similarity.semanticMd5Kept(
+        graft.similarity.Similarity.injectedCorpus(Tables.embeddings(s, d)),
+        c = c, iters = iters, sampleMod = 4, probes = probes,
+        tau = tau.toDouble))
+  }
+
+  /** Integer-exact IVF-PQ under random coarse cluster count, shared Lloyd
+    * depth, subspace split, codebook size, probe depth and shortlist
+    * length — the c18_ann_ivfpq_md5 oracle with BOTH Lloyd chains (coarse
+    * + per-subspace PQ) unrolled to the drawn depth and the subspace
+    * geometry (s = d // dsub) templated from the drawn m. */
+  private def pqDraw(r: Random, name: String): FuzzQuery = {
+    val c = Seq(8, 16)(r.nextInt(2))
+    val iters = 1 + r.nextInt(2) // 1..2, shared by both chains (as registered)
+    val m = Seq(4, 8, 16)(r.nextInt(3))
+    val dsub = 64 / m
+    val k = Seq(4, 8, 16)(r.nextInt(3))
+    val probes = 1 + r.nextInt(2) // 1..2
+    val shortlist = Seq(5, 10, 20)(r.nextInt(3))
+    val (lloyd, last) = lloydCtes(iters)
+    def passignSql(books: String, filter: String): String =
+      s"""SELECT vec_id, s, j FROM (
+        |    SELECT pd.vec_id, pd.s, b.j, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+        |    FROM pdims pd $filter JOIN $books b ON b.s = pd.s AND b.i = pd.i
+        |    GROUP BY 1, 2, 3)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1""".stripMargin
+    val plloyd = (1 to iters).map { it =>
+      s"""passign$it AS (
+        |  ${passignSql(s"books${it - 1}", "JOIN sample USING (vec_id)")}
+        |), pmeans$it AS (
+        |  SELECT a.j, a.s, pd.i, CAST(FLOOR(CAST(SUM(pd.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+        |  FROM passign$it a JOIN pdims pd ON pd.vec_id = a.vec_id AND pd.s = a.s
+        |  GROUP BY 1, 2, 3
+        |), books$it AS (
+        |  SELECT bp.s, bp.j, bp.i, COALESCE(m.val, bp.val) AS val
+        |  FROM books${it - 1} bp LEFT JOIN pmeans$it m ON m.s = bp.s AND m.j = bp.j AND m.i = bp.i
+        |)""".stripMargin
+    }.mkString(", ")
+    val blast = s"books$iters"
+    val sql =
+      s"""WITH dims AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
+        |  FROM embeddings
+        |), sample AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 4096
+        |), init AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, vec_id
+        |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT $c)
+        |), cents0 AS (
+        |  SELECT i.c, dm.d, dm.q AS val FROM init i JOIN dims dm USING (vec_id)
+        |), $lloyd, final_assign AS (
+        |  ${assignSql(last, "", 1)}
+        |), probes AS (
+        |  SELECT vec_id AS q_id, c AS c_id FROM (
+        |    SELECT dm.vec_id, ct.c, SUM((dm.q - ct.val) * (dm.q - ct.val)) AS dist
+        |    FROM dims dm JOIN $last ct USING (d)
+        |    WHERE dm.vec_id < 5
+        |    GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) <= $probes
+        |), pdims AS (
+        |  SELECT vec_id, CAST(d // $dsub AS INT) AS s, CAST(d % $dsub AS INT) AS i, q FROM dims
+        |), pinit AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, vec_id
+        |  FROM (SELECT vec_id FROM sample ORDER BY vec_id LIMIT $k)
+        |), books0 AS (
+        |  SELECT pd.s, pi.j, pd.i, pd.q AS val FROM pinit pi JOIN pdims pd USING (vec_id)
+        |), $plloyd, codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT pd.vec_id, pd.s, b.j, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+        |    FROM pdims pd JOIN $blast b ON b.s = pd.s AND b.i = pd.i
+        |    GROUP BY 1, 2, 3)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+        |), lut AS (
+        |  SELECT pd.vec_id AS q_id, pd.s, b.j AS code, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
+        |  FROM pdims pd JOIN $blast b ON b.s = pd.s AND b.i = pd.i
+        |  WHERE pd.vec_id < 5
+        |  GROUP BY 1, 2, 3
+        |), cand AS (
+        |  SELECT p.q_id, f.vec_id AS neighbor_id
+        |  FROM probes p JOIN final_assign f ON f.c = p.c_id AND f.vec_id <> p.q_id
+        |), adc AS (
+        |  SELECT ca.q_id, ca.neighbor_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+        |  FROM cand ca
+        |  JOIN codes cd ON cd.vec_id = ca.neighbor_id
+        |  JOIN lut l ON l.q_id = ca.q_id AND l.s = cd.s AND l.code = cd.code
+        |  GROUP BY 1, 2
+        |), shortlist AS (
+        |  SELECT q_id, neighbor_id, adc FROM adc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) <= $shortlist
+        |)
+        |SELECT sl.q_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY sl.q_id
+        |    ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) DESC,
+        |      sl.neighbor_id) AS INT) AS rnk,
+        |  sl.neighbor_id, sl.adc,
+        |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS score
+        |FROM shortlist sl
+        |JOIN embeddings ea ON ea.vec_id = sl.q_id
+        |JOIN embeddings eb ON eb.vec_id = sl.neighbor_id
+        |ORDER BY q_id, rnk""".stripMargin
+    FuzzQuery(name, sql, (s, d) =>
+      graft.similarity.Similarity.ivfPqMd5Rows(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        c = c, iters = iters, sampleMod = 4, nQueries = 5, probes = probes,
+        m = m, k = k, shortlist = shortlist))
   }
 }

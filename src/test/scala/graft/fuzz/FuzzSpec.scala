@@ -70,26 +70,29 @@ class FuzzSpec extends SparkSpec {
   }
 
   test("dedup-parameter generator is a pure function of the seed, pinned") {
-    val a = DedupParamGen.generate(42L, 20).map(_.sql)
-    val b = DedupParamGen.generate(42L, 20).map(_.sql)
+    val a = DedupParamGen.generate(42L, 40).map(_.sql)
+    val b = DedupParamGen.generate(42L, 40).map(_.sql)
     assert(a === b)
-    // every family drawn within 20: span/ngram/simhash/srp/winnow/ivf
-    val bodies = DedupParamGen.generate(42L, 20)
+    // every family drawn within 40: span/ngram/simhash/srp/winnow/ivf/
+    // semantic/pq (8 families since the PQ + SemDeDup twins landed)
+    val bodies = DedupParamGen.generate(42L, 40)
     assert(bodies.exists(_.sql.contains("shared_spans")))
     assert(bodies.exists(_.sql.contains("jaccard")))
     assert(bodies.exists(_.sql.contains("is_dup")))
     assert(bodies.exists(_.sql.contains("AS bucket")))
     assert(bodies.exists(_.sql.contains("fp0")))
     assert(bodies.exists(_.sql.contains("final_assign")))
+    assert(bodies.exists(_.sql.contains("NOT EXISTS"))) // semanticDraw
+    assert(bodies.exists(_.sql.contains("shortlist")))  // pqDraw
     val md = java.security.MessageDigest.getInstance("SHA-1")
     val hex = md.digest(a.mkString("\n").getBytes("UTF-8"))
       .map(b0 => f"$b0%02x").mkString
     // update ONLY together with a fresh scripts/fuzz.sh green sweep (the
     // 4-seed × 150 protocol now carries 18 dedup-parameter draws per seed)
-    // re-pinned when ivfDraw gained the bounded-sample CTE (LIMIT 4096,
-    // mirroring ivfMd5Candidates' driver-local bounded trainer); fresh
-    // 4-seed 672/672 sweep run with this pin
-    assert(hex === "1a4eec408b9b40e3d4fe59e6c374101bb1a76058")
+    // re-pinned when the semanticDraw/pqDraw families landed (mirroring
+    // c17_semantic_dedup_md5 / c18_ann_ivfpq_md5); fresh 4-seed 672/672
+    // sweep run with this pin
+    assert(hex === "c56550ce774f8c0a4e6190c7b9c64c4a3b2ca364")
   }
 
   test("every dedup-parameter draw executes on Spark (seed 42, first 8)") {

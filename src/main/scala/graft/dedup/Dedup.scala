@@ -724,6 +724,154 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Exact-arithmetic derivation anchor for the text→vector bridge
+    * ([[textEmbedNearDup]] — previously rows-only "hash embeddings are
+    * engine-specific"): the SAME embed → SRP-bucket → within-bucket
+    * cosine-verify pipeline with every engine-specific ingredient replaced
+    * by an md5 derivation both engines compute bit-identically:
+    *
+    *  - the hashing-trick embedding is SPARSE INTEGER: token dim =
+    *    (md5 hex chars 1–2 as an integer) % 64, token sign = md5 hex char
+    *    3 parity, per-(doc, dim) value = Σ signs over token OCCURRENCES
+    *    (zero-sum dims dropped on both sides — they contribute nothing to
+    *    dots or norms but would differ representationally);
+    *  - 8 SRP tables × 16 planes with md5("t_p_d")-parity Rademacher
+    *    weights (the [[graft.similarity.Similarity.md5Buckets]] scheme
+    *    plus a table salt), bucket bit = sign of the integer dot;
+    *  - candidates = distinct pairs sharing any (table, bucket); verify =
+    *    1e-6-rounded cosine computed RELATIONALLY from the sparse dims
+    *    (integer dot over the shared dims ÷ exact integer norms — IEEE
+    *    sqrt/÷ are correctly rounded on identical integers, the
+    *    established rerank contract), cut at ≥ τ after rounding.
+    *
+    * The float path stays the scale default (fused FeatureHashEmbed +
+    * corpus-sized [[graft.similarity.Similarity.bitsFor]] signatures);
+    * this twin pins 16 planes — at 20k-corpus sf1 the bucket load is
+    * already < 1, and the oracle's cost is dominated by the dims×weights
+    * join (n·dims·128), linear in the corpus like every SRP build.
+    *
+    * Plan economics: the 8k-row weight table broadcasts onto the sparse
+    * dims (map-side join + partial-aggregated two-level groupBy — no
+    * corpus shuffle until the one bucket self-join, hinted shuffle_hash on
+    * its (t, bucket) key); the verify joins key on candidate pairs, whose
+    * count the bucketing bounds. */
+  val textEmbedNearDupMd5: QueryDef = QueryDef(
+    "c17_text_embed_neardup_md5", "C17 C18 C19",
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' appended'
+      |  FROM documents WHERE doc_id < 3
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+      |  FROM corpus
+      |), hdims AS (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS d,
+      |    CASE WHEN substr(h, 3, 1) IN ('0','2','4','6','8','a','c','e')
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+      |), sparse AS MATERIALIZED (
+      |  SELECT doc_id, CAST(d AS INT) AS d, CAST(SUM(sgn) AS BIGINT) AS v
+      |  FROM hdims GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+      |), norms AS MATERIALIZED (
+      |  SELECT doc_id, SUM(v * v) AS n2 FROM sparse GROUP BY 1
+      |), weights AS (
+      |  SELECT CAST(t.t AS INT) AS t, CAST(p.p AS INT) AS p, CAST(dd.d AS INT) AS d,
+      |    CASE WHEN substr(md5(t.t || '_' || p.p || '_' || dd.d), 1, 1)
+      |              IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+      |  FROM range(8) t(t), range(16) p(p), range(64) dd(d)
+      |), buckets AS MATERIALIZED (
+      |  SELECT doc_id, t, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+      |  FROM (
+      |    SELECT s.doc_id, w.t, w.p, SUM(w.w * s.v) AS dot
+      |    FROM sparse s JOIN weights w USING (d)
+      |    GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS vec_a, b.doc_id AS vec_b
+      |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    round(SUM(sa.v * sb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+      |  FROM cand c
+      |  JOIN sparse sa ON sa.doc_id = c.vec_a
+      |  JOIN sparse sb ON sb.doc_id = c.vec_b AND sb.d = sa.d
+      |  JOIN norms na ON na.doc_id = c.vec_a
+      |  JOIN norms nb ON nb.doc_id = c.vec_b
+      |  GROUP BY 1, 2, na.n2, nb.n2
+      |)
+      |SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.95
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    textEmbedMd5Pairs(Tables.documents(s, d), planes = 16, tables = 8,
+      tau = 0.95)
+  }
+
+  /** The Spark side of [[textEmbedNearDupMd5]] (see its scaladoc for the
+    * arithmetic contract). */
+  def textEmbedMd5Pairs(documents: DataFrame, planes: Int, tables: Int,
+      tau: Double): DataFrame = {
+    val spark = documents.sparkSession
+    val hexes = "0123456789abcdef"
+    val evens = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val docs = documents.select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(docs.where(col("doc_id") < 3).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" appended")).as("text")))
+    // sparse integer embedding: one map-side pass over exploded tokens,
+    // then a partial-aggregated (doc, dim) groupBy; spread first — the
+    // md5-per-token stage is the CPU-heavy part of a single-row-group scan
+    val h = md5(col("tok").cast(BinaryType))
+    val sparse = corpus.spreadByKey(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"),
+        (((instr(lit(hexes), substring(h, 1, 1)) - 1) * 16 +
+          (instr(lit(hexes), substring(h, 2, 1)) - 1)) % 64)
+          .cast(IntegerType).as("d"),
+        when(substring(h, 3, 1).isin(evens: _*), lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("d"))
+      .agg(sum(col("sgn")).as("v"))
+      .where(col("v") =!= 0L)
+      .localCheckpoint(false) // three consumers: buckets + both verify sides
+    val norms = sparse.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
+    val weights = spark.range(tables.toLong * planes * 64)
+      .select(expr(s"CAST(id DIV ${planes * 64} AS INT) AS t"),
+        expr(s"CAST((id DIV 64) % $planes AS INT) AS p"),
+        expr("CAST(id % 64 AS INT) AS d"))
+      .withColumn("w", when(
+        substring(md5(concat_ws("_",
+          col("t").cast(StringType), col("p").cast(StringType),
+          col("d").cast(StringType)).cast(BinaryType)), 1, 1)
+          .isin(evens: _*), lit(1L)).otherwise(lit(-1L)))
+    val buckets = sparse.join(broadcast(weights), Seq("d"))
+      .groupBy(col("doc_id"), col("t"), col("p"))
+      .agg(sum(col("w") * col("v")).as("dot"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, p)")).otherwise(lit(0L)))
+        .cast(IntegerType).as("bucket"))
+    val a = buckets.select(col("t"), col("bucket"), col("doc_id").as("vec_a"))
+    val b = buckets.select(col("t"), col("bucket"), col("doc_id").as("vec_b"))
+    val cand = a.hint("shuffle_hash").join(b, Seq("t", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val sa = sparse.select(col("doc_id").as("vec_a"), col("d"), col("v").as("va"))
+    val sb = sparse.select(col("doc_id").as("vec_b"), col("d"), col("v").as("vb"))
+    val na = norms.select(col("doc_id").as("vec_a"), col("n2").as("na2"))
+    val nb = norms.select(col("doc_id").as("vec_b"), col("n2").as("nb2"))
+    cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b", "d"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+      .join(na, Seq("vec_a")).join(nb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("score"))
+      .where(col("score") >= tau)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** C17/C18: edit-distance similarity join (ed ≤ 1) over an id-like string
     * column — the fuzzy-key matching step of entity resolution and
     * near-dup title/URL dedup. Candidate generation is the DELETION
@@ -957,5 +1105,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, keepFirst, minhashLsh, incrementalDedup, simhashPairs,
       simhashMd5, ngramJaccard, dedupClusters,
-      spanDedup, textEmbedNearDup, editDistJoin, passageDedup, containment)
+      spanDedup, textEmbedNearDup, textEmbedNearDupMd5, editDistJoin,
+      passageDedup, containment)
 }

@@ -123,10 +123,76 @@ object Bpe {
   val dictCap = 4096
   val numMerges = 50
 
+  /** DuckDB oracle for [[bpeTrain]]: the dictionary cut plus `merges`
+    * UNROLLED merge rounds — each round one pair-count CTE (adjacent
+    * symbols weighted by word frequency), one argmax CTE (count desc,
+    * left asc, right asc, `c >= 2` mirroring the no-compression stop) and
+    * one RECURSIVE left-to-right greedy-apply CTE (the position scan that
+    * makes "aaa" + (a,a) → [aa, a], whose feedback later rounds' counts
+    * depend on). Every stateful CTE is MATERIALIZED: DuckDB inlines CTEs
+    * by default, so the chained rounds would otherwise re-expand the whole
+    * prefix — corpus scan included — once per round (measured: the
+    * inlined form dies on file-handle exhaustion; materialized, the
+    * 50-round oracle runs in ~3 s at ANY scale, because after the one
+    * corpus-sized word count the dict cap bounds every round — the same
+    * scale-independence the Spark side gets from driver-local training).
+    *
+    * Fixed-unroll premise: the oracle always emits exactly `merges` rows,
+    * while [[trainMerges]] stops early if no pair repeats — on a corpus
+    * that dries up early the compare fails LOUDLY on row count (never
+    * silently); BpeSpec pins that the spec corpus sustains all
+    * [[numMerges]] rounds, and the sf0.01/sf1/skew gate corpora were all
+    * verified to (50 valid merges each). */
+  def bpeTrainOracleSql(cap: Int, merges: Int): String = {
+    val rounds = (0 until merges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l, r, SUM(cnt) AS c FROM (
+         |    SELECT cnt, syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r
+         |    FROM w$k, unnest(range(1, len(syms))) t(i))
+         |  GROUP BY 1, 2
+         |), b$k AS MATERIALIZED (
+         |  SELECT l, r FROM p$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+         |), a$k AS (
+         |  SELECT wid, cnt, syms, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM w$k
+         |  UNION ALL
+         |  SELECT wid, cnt, syms,
+         |    CASE WHEN pos < len(syms) AND syms[CAST(pos AS INT)] = (SELECT l FROM b$k)
+         |              AND syms[CAST(pos AS INT) + 1] = (SELECT r FROM b$k)
+         |         THEN pos + 2 ELSE pos + 1 END,
+         |    CASE WHEN pos < len(syms) AND syms[CAST(pos AS INT)] = (SELECT l FROM b$k)
+         |              AND syms[CAST(pos AS INT) + 1] = (SELECT r FROM b$k)
+         |         THEN list_append(out, syms[CAST(pos AS INT)] || syms[CAST(pos AS INT) + 1])
+         |         ELSE list_append(out, syms[CAST(pos AS INT)]) END
+         |  FROM a$k WHERE pos <= len(syms)
+         |), w${k + 1} AS MATERIALIZED (
+         |  SELECT wid, cnt, out AS syms FROM a$k WHERE pos > len(syms)
+         |)""".stripMargin
+    }.mkString(", ")
+    val bests = (0 until merges)
+      .map(k => s"SELECT $k AS rank, l, r FROM b$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE dict AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+       |    FROM documents)
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $cap
+       |), w0 AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY word) AS wid, cnt,
+       |    [word[i:i] for i in range(1, length(word) + 1)] AS syms
+       |  FROM dict
+       |), $rounds
+       |SELECT CAST(rank AS INT) AS rank, l AS left, r AS right, l || r AS merged
+       |FROM ($bests) ORDER BY rank""".stripMargin
+  }
+
   /** The learned merge table over `documents` — rank, pair, merged symbol.
-    * noOracle: a learned vocabulary has no SQL equivalent; BpeSpec pins the
-    * algorithm on the textbook corpus and determinism on real data. */
-  val bpeTrain: QueryDef = QueryDef.noOracle("c19_bpe_train", "C19 C20") { (s, d) =>
+    * FULL ORACLE (previously rows-only "a learned vocabulary has no SQL
+    * equivalent" — wrong once the merge loop is unrolled:
+    * [[bpeTrainOracleSql]] reproduces the dictionary cut, the weighted
+    * pair counts, the (count desc, left, right) argmax and the greedy
+    * non-overlapping merge application exactly, so the learned vocabulary
+    * itself is hash-checked against DuckDB at every gate scale). */
+  val bpeTrain: QueryDef = QueryDef(
+    "c19_bpe_train", "C19 C20", bpeTrainOracleSql(dictCap, numMerges)) { (s, d) =>
     import s.implicits._
     val merges = trainMerges(boundedDict(Tables.documents(s, d), dictCap), numMerges)
     merges.zipWithIndex

@@ -232,6 +232,36 @@ class DedupSpec extends SparkSpec {
       s"planted pair for doc $id missing"))
   }
 
+  test("md5 text-embed twin finds the planted pairs at score ~1, " +
+      "is deterministic, and exact copies score exactly 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // registered query on real data: planted (id, id+1e6) pairs found
+    val r1 = Dedup.textEmbedNearDupMd5.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(r1.contains((id, id + 1000000L)),
+        s"planted pair for doc $id missing from the md5 twin")
+      assert(r1((id, id + 1000000L)) >= 0.95)
+    }
+    val r2 = Dedup.textEmbedNearDupMd5.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(r1 === r2)
+    // identical token multisets -> identical sparse vectors -> cosine
+    // exactly 1 through the integer pipeline (doc 7 is a verbatim copy of
+    // doc 5's text; both share no 0.95-neighbor with doc 9)
+    val docs = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9L, "totally different vocabulary everywhere here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.textEmbedMd5Pairs(docs, planes = 16, tables = 8, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet.exists { case (a, b) => a == 5L && b == 7L })
+    assert(out((5L, 7L)) === 1.0)
+    assert(!out.keySet.exists { case (a, b) => a == 9L || b == 9L })
+  }
+
   test("span dedup finds exactly the planted aligned 16-token overlap") {
     import spark.implicits._
     val words = (1 to 24).map(i => s"w$i")

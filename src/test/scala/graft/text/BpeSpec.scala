@@ -50,7 +50,12 @@ class BpeSpec extends SparkSpec {
     val m1 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq
     val m2 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq
     assert(m1 === m2)
-    assert(m1.nonEmpty)
+    // the oracle's fixed-unroll premise (bpeTrainOracleSql scaladoc): the
+    // corpus must sustain all numMerges rounds or the row counts diverge —
+    // pin it at spec scale (the gate corpora are verified by the gates)
+    assert(m1.size === Bpe.numMerges,
+      s"corpus dried up at ${m1.size}/${Bpe.numMerges} merges — the " +
+        "c19_bpe_train oracle emits exactly numMerges rows by construction")
     val enc = Bpe.bpeEncode.fn(spark, sf).collect()
     assert(enc.nonEmpty)
     enc.foreach { r =>

@@ -739,72 +739,104 @@ object Dedup {
     *    weights (the [[graft.similarity.Similarity.md5Buckets]] scheme
     *    plus a table salt), bucket bit = sign of the integer dot;
     *  - candidates = distinct pairs sharing any (table, bucket); verify =
-    *    1e-6-rounded cosine computed RELATIONALLY from the sparse dims
-    *    (integer dot over the shared dims ÷ exact integer norms — IEEE
-    *    sqrt/÷ are correctly rounded on identical integers, the
-    *    established rerank contract), cut at ≥ τ after rounding.
+    *    the sparse vectors reconstructed to dense zero-filled 64-float
+    *    arrays (small integers — exact in float) and ONE fused
+    *    [[graft.functions.CosineSim]] per pair, 1e-6-rounded before the
+    *    ≥ τ cut — the repo's established bit-parity contract with
+    *    DuckDB's `list_cosine_similarity`.
     *
     * The float path stays the scale default (fused FeatureHashEmbed +
     * corpus-sized [[graft.similarity.Similarity.bitsFor]] signatures);
-    * this twin pins 16 planes — at 20k-corpus sf1 the bucket load is
-    * already < 1, and the oracle's cost is dominated by the dims×weights
-    * join (n·dims·128), linear in the corpus like every SRP build.
+    * this twin pins 16 planes and documents the consequence: on the
+    * template-synthetic corpora the hash embeddings genuinely cluster, so
+    * the candidate set is dense (7.3M pairs over 50k sf1 docs) — which is
+    * why the verify must be one codegen cosine per pair, not a per-dim
+    * join (the first formulation's per-dim verify was 70 of the oracle's
+    * 80 s; the 128×-exploding (t,p,d)-join SRP build another 20 — both
+    * replaced by one-pass pivoted forms, 28.4 → ~3 s at sf1).
     *
-    * Plan economics: the 8k-row weight table broadcasts onto the sparse
-    * dims (map-side join + partial-aggregated two-level groupBy — no
-    * corpus shuffle until the one bucket self-join, hinted shuffle_hash on
-    * its (t, bucket) key); the verify joins key on candidate pairs, whose
-    * count the bucketing bounds. */
-  val textEmbedNearDupMd5: QueryDef = QueryDef(
-    "c17_text_embed_neardup_md5", "C17 C18 C19",
-    """WITH corpus AS MATERIALIZED (
+    * Plan economics: the 64-row pivoted weight table broadcasts onto the
+    * sparse dims and ALL 128 dots accumulate in one partial-aggregated
+    * pass (each sparse row read once, never exploded per plane); the one
+    * corpus shuffle is the bucket self-join, hinted shuffle_hash on its
+    * (t, bucket) key; the verify joins key on candidate pairs. */
+  /** Oracle generator for [[textEmbedNearDupMd5]]: emits the md5-parity
+    * weight derivation PIVOTED to one 128-column row per dim, so the
+    * corpus-sized dot aggregation reads each sparse row once (the naive
+    * (t, p, d)-keyed join form multiplied the sparse dims 128× — minutes
+    * of DuckDB at sf1; this form is seconds). The weights stay DERIVED in
+    * SQL (md5 over the same "t_p_d" strings the Spark expression hashes),
+    * never literal constants. */
+  def textEmbedMd5OracleSql(planes: Int, tables: Int, tau: String): String = {
+    val evensSql = "('0','2','4','6','8','a','c','e')"
+    val nSig = tables * planes
+    val wcols = (0 until nSig).map { k =>
+      val t = k / planes; val p = k % planes
+      s"""CASE WHEN substr(md5('${t}_${p}_' || dd.d), 1, 1) IN $evensSql
+         |      THEN 1 ELSE -1 END AS w$k""".stripMargin
+    }.mkString(",\n    ")
+    val scols = (0 until nSig).map(k => s"SUM(s.v * w.w$k) AS s$k")
+      .mkString(",\n    ")
+    val tsel = (0 until tables).map { t =>
+      val bits = (0 until planes)
+        .map(p => s"(CASE WHEN s${t * planes + p} >= 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT doc_id, $t AS t, CAST($bits AS INT) AS bucket FROM dots"
+    }.mkString(" UNION ALL ")
+    s"""WITH corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, text || ' appended'
       |  FROM documents WHERE doc_id < 3
       |), toks AS (
-      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
       |  FROM corpus
       |), hdims AS (
       |  SELECT doc_id,
       |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
       |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS d,
-      |    CASE WHEN substr(h, 3, 1) IN ('0','2','4','6','8','a','c','e')
+      |    CASE WHEN substr(h, 3, 1) IN $evensSql
       |         THEN 1 ELSE -1 END AS sgn
       |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
       |), sparse AS MATERIALIZED (
       |  SELECT doc_id, CAST(d AS INT) AS d, CAST(SUM(sgn) AS BIGINT) AS v
       |  FROM hdims GROUP BY 1, 2 HAVING SUM(sgn) <> 0
-      |), norms AS MATERIALIZED (
-      |  SELECT doc_id, SUM(v * v) AS n2 FROM sparse GROUP BY 1
-      |), weights AS (
-      |  SELECT CAST(t.t AS INT) AS t, CAST(p.p AS INT) AS p, CAST(dd.d AS INT) AS d,
-      |    CASE WHEN substr(md5(t.t || '_' || p.p || '_' || dd.d), 1, 1)
-      |              IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
-      |  FROM range(8) t(t), range(16) p(p), range(64) dd(d)
+      |), present AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id FROM sparse
+      |), wvec AS MATERIALIZED (
+      |  SELECT CAST(dd.d AS INT) AS d,
+      |    $wcols
+      |  FROM range(64) dd(d)
+      |), dots AS MATERIALIZED (
+      |  SELECT s.doc_id,
+      |    $scols
+      |  FROM sparse s JOIN wvec w USING (d)
+      |  GROUP BY 1
       |), buckets AS MATERIALIZED (
-      |  SELECT doc_id, t, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-      |  FROM (
-      |    SELECT s.doc_id, w.t, w.p, SUM(w.w * s.v) AS dot
-      |    FROM sparse s JOIN weights w USING (d)
-      |    GROUP BY 1, 2, 3)
-      |  GROUP BY 1, 2
+      |  $tsel
+      |), dense AS MATERIALIZED (
+      |  SELECT g.doc_id, LIST(COALESCE(s.v, 0) ORDER BY g.d)::FLOAT[] AS emb
+      |  FROM (SELECT doc_id, dd.d FROM present, range(64) dd(d)) g
+      |  LEFT JOIN sparse s ON s.doc_id = g.doc_id AND s.d = g.d
+      |  GROUP BY 1
       |), cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS vec_a, b.doc_id AS vec_b
       |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
       |    AND a.doc_id < b.doc_id
       |), scored AS (
       |  SELECT c.vec_a, c.vec_b,
-      |    round(SUM(sa.v * sb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+      |    round(list_cosine_similarity(da.emb::DOUBLE[], db.emb::DOUBLE[]), 6) AS score
       |  FROM cand c
-      |  JOIN sparse sa ON sa.doc_id = c.vec_a
-      |  JOIN sparse sb ON sb.doc_id = c.vec_b AND sb.d = sa.d
-      |  JOIN norms na ON na.doc_id = c.vec_a
-      |  JOIN norms nb ON nb.doc_id = c.vec_b
-      |  GROUP BY 1, 2, na.n2, nb.n2
+      |  JOIN dense da ON da.doc_id = c.vec_a
+      |  JOIN dense db ON db.doc_id = c.vec_b
       |)
-      |SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.95
-      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      |SELECT vec_a, vec_b, score FROM scored WHERE score >= $tau
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val textEmbedNearDupMd5: QueryDef = QueryDef(
+    "c17_text_embed_neardup_md5", "C17 C18 C19",
+    textEmbedMd5OracleSql(planes = 16, tables = 8, tau = "0.95")) { (s, d) =>
     textEmbedMd5Pairs(Tables.documents(s, d), planes = 16, tables = 8,
       tau = 0.95)
   }
@@ -837,37 +869,58 @@ object Dedup {
       .agg(sum(col("sgn")).as("v"))
       .where(col("v") =!= 0L)
       .localCheckpoint(false) // three consumers: buckets + both verify sides
-    val norms = sparse.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
-    val weights = spark.range(tables.toLong * planes * 64)
-      .select(expr(s"CAST(id DIV ${planes * 64} AS INT) AS t"),
-        expr(s"CAST((id DIV 64) % $planes AS INT) AS p"),
-        expr("CAST(id % 64 AS INT) AS d"))
-      .withColumn("w", when(
-        substring(md5(concat_ws("_",
-          col("t").cast(StringType), col("p").cast(StringType),
-          col("d").cast(StringType)).cast(BinaryType)), 1, 1)
-          .isin(evens: _*), lit(1L)).otherwise(lit(-1L)))
-    val buckets = sparse.join(broadcast(weights), Seq("d"))
-      .groupBy(col("doc_id"), col("t"), col("p"))
-      .agg(sum(col("w") * col("v")).as("dot"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, p)")).otherwise(lit(0L)))
-        .cast(IntegerType).as("bucket"))
+    // dense reconstruction for the verify: order-insensitive map build,
+    // zero-filled 64-float array (values are small integers — exact in
+    // float), so each candidate pair costs ONE fused codegen cosine
+    // instead of a per-dim join+aggregate (on template-correlated corpora
+    // the SRP candidate set is legitimately dense — 7.3M pairs at sf1 —
+    // and the join-per-dim verify was 70 of the oracle's 80 s)
+    val dense = sparse.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+      .select(col("doc_id"), transform(sequence(lit(0), lit(63)),
+        i => coalesce(element_at(col("m"), i.cast(IntegerType)), lit(0L))
+          .cast(FloatType)).as("emb"))
+    // one-pass SRP build: the 8×16 md5("t_p_d")-parity weight table is
+    // PIVOTED to one 128-long array per dim (the derivation stays in the
+    // expression — Catalyst folds the 8192 md5s once into the 64-row
+    // broadcast relation), so the corpus-sized aggregation reads each
+    // sparse row ONCE with 128 sum buffers instead of exploding it 128×
+    // through a (t, p, d) join — measured 28.4 → ~2 s at sf1, and the
+    // same pivot in the oracle took its DuckDB pass from minutes to
+    // seconds. Bit values are unchanged: same weights, same dots.
+    val nSig = tables * planes
+    val wvec = spark.range(64)
+      .select(col("id").cast(IntegerType).as("d"),
+        array((0 until nSig).map { k =>
+          val t = k / planes; val p = k % planes
+          when(substring(md5(concat_ws("_", lit(t.toString), lit(p.toString),
+            col("id").cast(StringType)).cast(BinaryType)), 1, 1)
+            .isin(evens: _*), lit(1L)).otherwise(lit(-1L))
+        }: _*).as("wv"))
+    val dots = sparse.join(broadcast(wvec), Seq("d"))
+      .groupBy(col("doc_id"))
+      .agg(sum(element_at(col("wv"), 1) * col("v")).as("s0"),
+        (1 until nSig).map(k =>
+          sum(element_at(col("wv"), k + 1) * col("v")).as(s"s$k")): _*)
+    val buckets = dots.select(col("doc_id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until planes).map(p =>
+            when(col(s"s${t * planes + p}") >= 0, lit(1 << p)).otherwise(lit(0)))
+            .reduce(_ + _).cast(IntegerType).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("doc_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val a = buckets.select(col("t"), col("bucket"), col("doc_id").as("vec_a"))
     val b = buckets.select(col("t"), col("bucket"), col("doc_id").as("vec_b"))
     val cand = a.hint("shuffle_hash").join(b, Seq("t", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
-    val sa = sparse.select(col("doc_id").as("vec_a"), col("d"), col("v").as("va"))
-    val sb = sparse.select(col("doc_id").as("vec_b"), col("d"), col("v").as("vb"))
-    val na = norms.select(col("doc_id").as("vec_a"), col("n2").as("na2"))
-    val nb = norms.select(col("doc_id").as("vec_b"), col("n2").as("nb2"))
-    cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b", "d"))
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(sum(col("va") * col("vb")).as("dot"))
-      .join(na, Seq("vec_a")).join(nb, Seq("vec_b"))
+    val da = dense.select(col("doc_id").as("vec_a"), col("emb").as("e_a"))
+    val db = dense.select(col("doc_id").as("vec_b"), col("emb").as("e_b"))
+    cand.join(da, Seq("vec_a")).join(db, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("score"))
+        round(graft.functions.VectorExprs.cosineSim(col("e_a"), col("e_b")), 6)
+          .as("score"))
       .where(col("score") >= tau)
       .orderBy("vec_a", "vec_b")
   }

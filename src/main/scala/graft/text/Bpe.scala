@@ -203,7 +203,20 @@ object Bpe {
 
   /** Per-document token count under the LEARNED vocabulary (vs the char
     * count it compresses): train once on the bounded dictionary, broadcast
-    * the merge ranks inside the closure, encode distributedly. */
+    * the merge ranks inside the closure, encode distributedly.
+    *
+    * Stays rows-only DELIBERATELY (tried, not assumed): [[bpeTrain]]'s
+    * oracle unrolls the merge LEARNING because each round's greedy apply
+    * is ONE recursive position scan over the dictionary words; the ENCODE
+    * loop ([[encodeWord]]) is a per-word FIXPOINT — repeat "find the
+    * lowest-rank applicable pair, merge all its occurrences" until none
+    * applies — whose body is itself that positional scan, i.e. a
+    * recursive CTE nested inside a recursive CTE, which SQL (DuckDB
+    * included) cannot express, and whose pass count is data-dependent so
+    * it cannot be unrolled to a fixed CTE depth either. The vocabulary
+    * the encode applies IS hash-checked (bpeTrain's oracle), and BpeSpec
+    * pins encodeWord's replay semantics on the textbook corpus plus the
+    * compression invariant on real data. */
   val bpeEncode: QueryDef = QueryDef.noOracle("c19_bpe_encode", "C19 C20") { (s, d) =>
     import s.implicits._
     val ranks: Map[(String, String), Int] =

@@ -16,7 +16,10 @@
 # depth × rounded-cosine τ) and IVF-PQ draws (coarse count × shared
 # Lloyd depth × subspace split m ∈ {4,8,16} × codebook size × probe
 # depth × ADC-shortlist length, BOTH Lloyd chains unrolled per draw) —
-# 72 parameter points hash-checked vs DuckDB on top of the prior protocol:
+# 72 parameter points hash-checked vs DuckDB on top of the prior protocol;
+# an extra-assurance DEEP sweep at 4 × (250 relational + 31 dedup
+# draws) = 1124/1124 also ran green the same day, covering additional
+# PQ/SemDeDup parameter points beyond the committed 4×168 baseline:
 # direction-regime latest-row draws:
 # rn<=1 picks now draw all-ASC/min_by, all-DESC/max_by, or MIXED
 # directions; fired draws [*_lrw] REQUIRE LatestByRule's argmax in the

@@ -43,7 +43,10 @@ TOTAL=0
   echo "  \"round\": $ROUND,"
   echo "  \"scanned_at\": \"$(date -u +%Y-%m-%dT%H:%M:%SZ)\","
   echo "  \"head_sha\": \"$(git rev-parse HEAD)\","
-  echo "  \"tree_dirty\": $(if git diff --quiet && git diff --cached --quiet; then echo false; else echo true; fi),"
+  # exclude this script's own output: rewriting LEAKCHECK.json is what a
+  # scan DOES, so counting it as dirt made every post-commit re-scan claim
+  # a dirty tree (round-15 nit)
+  echo "  \"tree_dirty\": $(if git diff --quiet -- . ':(exclude)LEAKCHECK.json' && git diff --cached --quiet -- . ':(exclude)LEAKCHECK.json'; then echo false; else echo true; fi),"
   echo "  \"grep_version\": \"$(grep --version | head -1)\","
   echo '  "hits": {'
   emit_hits "internal-import" 'import (anthropic|claude)' ; echo ','

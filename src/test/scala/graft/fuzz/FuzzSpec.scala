@@ -102,6 +102,24 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("one draw of EVERY dedup family executes on Spark (seed 42)") {
+    // the first-8 test covers whatever families the prefix happens to
+    // draw; this one picks the FIRST draw of each of the eight families
+    // from the pinned 40-draw window, so a family whose Spark fn breaks
+    // cannot hide behind draw order
+    val markers = Seq(
+      "shared_spans" -> "span", "jaccard" -> "ngram", "is_dup" -> "simhash",
+      "AS bucket" -> "srp", "fp0" -> "winnow", "final_assign" -> "ivf/pq",
+      "NOT EXISTS" -> "semantic", "shortlist" -> "pq")
+    val draws = DedupParamGen.generate(42L, 40)
+    markers.foreach { case (marker, family) =>
+      val q = draws.find(_.sql.contains(marker))
+        .getOrElse(fail(s"family $family absent from the pinned window"))
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0, s"${q.name} ($family) should execute")
+    }
+  }
+
   test("rerun-determinism: projection LIMIT cut is a stable multiset") {
     // fz_0008's shape regressed on non-unique (l_orderkey, l_linenumber):
     // with all output columns in the sort, two runs must agree exactly

@@ -90,7 +90,9 @@ object Bpe {
 
   /** Apply learned merges to one word: repeatedly merge the present pair
     * with the LOWEST merge rank (the standard BPE encode order — identical
-    * output to replaying training merges in sequence). */
+    * output to replaying training merges in sequence; see
+    * [[encodeWordReplay]] for the replay form and the one way the
+    * equivalence can break). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
     var syms: Array[String] = word.map(_.toString).toArray
     var continue = syms.length >= 2
@@ -120,6 +122,40 @@ object Bpe {
     syms
   }
 
+  /** Replay form of encoding: apply the learned merges IN TRAINING ORDER,
+    * one greedy left-to-right pass each — the form the DuckDB encode
+    * oracle unrolls ([[bpeEncodeOracleSql]]), because each pass is one
+    * recursive position scan at a FIXED depth (numMerges), where the
+    * fixpoint form ([[encodeWord]]) nests a data-dependent loop around it.
+    *
+    * Equivalence with the fixpoint: applying pair k can only create new
+    * adjacencies involving the merged symbol `l+r`, and a pair of rank
+    * j < k can reference that symbol only if it already existed as a
+    * symbol at training round j — impossible when merges are the sole
+    * symbol constructor, UNLESS two different merge paths collide on the
+    * same symbol STRING (e.g. ("a","bc") at rank j' < j and ("ab","c") at
+    * rank k both yield "abc"): then replay misses a late-created rank-j
+    * occurrence the fixpoint would take. BpeSpec pins replay == fixpoint
+    * over the full corpus vocabulary at spec scale, and the oracle compare
+    * itself fails LOUDLY at every gate scale if a corpus ever ships such
+    * colliding merges. */
+  def encodeWordReplay(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
   val dictCap = 4096
   val numMerges = 50
 
@@ -143,7 +179,31 @@ object Bpe {
     * silently); BpeSpec pins that the spec corpus sustains all
     * [[numMerges]] rounds, and the sf0.01/sf1/skew gate corpora were all
     * verified to (50 valid merges each). */
-  def bpeTrainOracleSql(cap: Int, merges: Int): String = {
+  /** One greedy-apply recursive CTE: left-to-right position scan over
+    * `src` (carrying `carry` columns), merging adjacent (l,r) from `b$k`,
+    * emitting `dst`. Shared by the train chain (dictionary words) and the
+    * encode oracle's replay chain (corpus vocabulary). */
+  private def greedyApplyCte(k: Int, src: String, scan: String, dst: String,
+      carry: String): String =
+    s"""$scan AS (
+       |  SELECT $carry, syms, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM $src
+       |  UNION ALL
+       |  SELECT $carry, syms,
+       |    CASE WHEN pos < len(syms) AND syms[CAST(pos AS INT)] = (SELECT l FROM b$k)
+       |              AND syms[CAST(pos AS INT) + 1] = (SELECT r FROM b$k)
+       |         THEN pos + 2 ELSE pos + 1 END,
+       |    CASE WHEN pos < len(syms) AND syms[CAST(pos AS INT)] = (SELECT l FROM b$k)
+       |              AND syms[CAST(pos AS INT) + 1] = (SELECT r FROM b$k)
+       |         THEN list_append(out, syms[CAST(pos AS INT)] || syms[CAST(pos AS INT) + 1])
+       |         ELSE list_append(out, syms[CAST(pos AS INT)]) END
+       |  FROM $scan WHERE pos <= len(syms)
+       |), $dst AS MATERIALIZED (
+       |  SELECT $carry, out AS syms FROM $scan WHERE pos > len(syms)
+       |)""".stripMargin
+
+  /** The dict cut + `merges` unrolled training rounds (p/b/a/w CTE chain),
+    * shared by the train and encode oracles. Emits b0..b{merges-1}. */
+  private def trainChainCtes(cap: Int, merges: Int): String = {
     val rounds = (0 until merges).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT l, r, SUM(cnt) AS c FROM (
@@ -152,25 +212,9 @@ object Bpe {
          |  GROUP BY 1, 2
          |), b$k AS MATERIALIZED (
          |  SELECT l, r FROM p$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
-         |), a$k AS (
-         |  SELECT wid, cnt, syms, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out FROM w$k
-         |  UNION ALL
-         |  SELECT wid, cnt, syms,
-         |    CASE WHEN pos < len(syms) AND syms[CAST(pos AS INT)] = (SELECT l FROM b$k)
-         |              AND syms[CAST(pos AS INT) + 1] = (SELECT r FROM b$k)
-         |         THEN pos + 2 ELSE pos + 1 END,
-         |    CASE WHEN pos < len(syms) AND syms[CAST(pos AS INT)] = (SELECT l FROM b$k)
-         |              AND syms[CAST(pos AS INT) + 1] = (SELECT r FROM b$k)
-         |         THEN list_append(out, syms[CAST(pos AS INT)] || syms[CAST(pos AS INT) + 1])
-         |         ELSE list_append(out, syms[CAST(pos AS INT)]) END
-         |  FROM a$k WHERE pos <= len(syms)
-         |), w${k + 1} AS MATERIALIZED (
-         |  SELECT wid, cnt, out AS syms FROM a$k WHERE pos > len(syms)
-         |)""".stripMargin
+         |), ${greedyApplyCte(k, s"w$k", s"a$k", s"w${k + 1}", "wid, cnt")}""".stripMargin
     }.mkString(", ")
-    val bests = (0 until merges)
-      .map(k => s"SELECT $k AS rank, l, r FROM b$k").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE dict AS MATERIALIZED (
+    s"""dict AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS cnt FROM (
        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
        |    FROM documents)
@@ -179,9 +223,52 @@ object Bpe {
        |  SELECT ROW_NUMBER() OVER (ORDER BY word) AS wid, cnt,
        |    [word[i:i] for i in range(1, length(word) + 1)] AS syms
        |  FROM dict
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  def bpeTrainOracleSql(cap: Int, merges: Int): String = {
+    val bests = (0 until merges)
+      .map(k => s"SELECT $k AS rank, l, r FROM b$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${trainChainCtes(cap, merges)}
        |SELECT CAST(rank AS INT) AS rank, l AS left, r AS right, l || r AS merged
        |FROM ($bests) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the train chain (b0..b{merges-1})
+    * plus `merges` MORE unrolled greedy-apply rounds over the DISTINCT
+    * corpus vocabulary — the REPLAY form of encoding ([[encodeWordReplay]]:
+    * apply merges in rank order, one pass each), which equals the Spark
+    * side's lowest-rank-first fixpoint on any corpus whose merges don't
+    * collide on a symbol string (see [[encodeWordReplay]]'s scaladoc;
+    * BpeSpec pins the equivalence over the full vocabulary, and a
+    * violating corpus fails this oracle compare loudly, never silently).
+    * Per-doc token counts then join the word multiset against the encoded
+    * vocabulary: n_bpe_tokens = Σ n·len(syms), n_word_chars = Σ n·len(word)
+    * (LEFT JOIN + COALESCE so an all-whitespace doc keeps its 0,0 row,
+    * mirroring the Spark side's empty split). Cost is vocabulary-bounded,
+    * not corpus-bounded — the same scale-independence as training. */
+  def bpeEncodeOracleSql(cap: Int, merges: Int): String = {
+    val vrounds = (0 until merges)
+      .map(k => greedyApplyCte(k, s"v$k", s"va$k", s"v${k + 1}", "word"))
+      .mkString(", ")
+    s"""WITH RECURSIVE ${trainChainCtes(cap, merges)},
+       |doc_words AS MATERIALIZED (
+       |  SELECT doc_id, word, COUNT(*) AS n FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+       |    FROM documents)
+       |  GROUP BY doc_id, word
+       |), v0 AS MATERIALIZED (
+       |  SELECT word, [word[i:i] for i in range(1, length(word) + 1)] AS syms
+       |  FROM (SELECT DISTINCT word FROM doc_words)
+       |), $vrounds
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(SUM(dw.n * len(v.syms)), 0) AS INT) AS n_bpe_tokens,
+       |  CAST(COALESCE(SUM(dw.n * length(dw.word)), 0) AS INT) AS n_word_chars
+       |FROM documents d
+       |LEFT JOIN doc_words dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN v$merges v ON dw.word = v.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   /** The learned merge table over `documents` — rank, pair, merged symbol.
@@ -205,19 +292,19 @@ object Bpe {
     * count it compresses): train once on the bounded dictionary, broadcast
     * the merge ranks inside the closure, encode distributedly.
     *
-    * Stays rows-only DELIBERATELY (tried, not assumed): [[bpeTrain]]'s
-    * oracle unrolls the merge LEARNING because each round's greedy apply
-    * is ONE recursive position scan over the dictionary words; the ENCODE
-    * loop ([[encodeWord]]) is a per-word FIXPOINT — repeat "find the
-    * lowest-rank applicable pair, merge all its occurrences" until none
-    * applies — whose body is itself that positional scan, i.e. a
-    * recursive CTE nested inside a recursive CTE, which SQL (DuckDB
-    * included) cannot express, and whose pass count is data-dependent so
-    * it cannot be unrolled to a fixed CTE depth either. The vocabulary
-    * the encode applies IS hash-checked (bpeTrain's oracle), and BpeSpec
-    * pins encodeWord's replay semantics on the textbook corpus plus the
-    * compression invariant on real data. */
-  val bpeEncode: QueryDef = QueryDef.noOracle("c19_bpe_encode", "C19 C20") { (s, d) =>
+    * FULL ORACLE as of round 16 (previously rows-only: the fixpoint loop
+    * — "merge the lowest-rank applicable pair until none applies" — is a
+    * recursive CTE nested inside a recursive CTE with data-dependent
+    * depth, which SQL cannot express). The unlock is the REPLAY identity:
+    * the fixpoint equals applying the merges in training order, one
+    * greedy pass each ([[encodeWordReplay]]), and the replay form IS a
+    * fixed unroll — numMerges more greedy-apply rounds over the distinct
+    * vocabulary, reusing the train chain's b$k argmax CTEs
+    * ([[bpeEncodeOracleSql]]). Verified green at sf0.01/sf0.1/sf1/sf1skew
+    * standalone before wiring (the round-15 prototype-first protocol);
+    * BpeSpec pins replay == fixpoint over the full corpus vocabulary. */
+  val bpeEncode: QueryDef = QueryDef(
+    "c19_bpe_encode", "C19 C20", bpeEncodeOracleSql(dictCap, numMerges)) { (s, d) =>
     import s.implicits._
     val ranks: Map[(String, String), Int] =
       trainMerges(boundedDict(Tables.documents(s, d), dictCap), numMerges)

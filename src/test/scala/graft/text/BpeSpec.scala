@@ -46,6 +46,42 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(dict, numMerges = 10) === Seq.empty)
   }
 
+  test("replay encode == fixpoint encode over the full corpus vocabulary") {
+    // the c19_bpe_encode oracle unrolls the REPLAY form (apply merges in
+    // training order); the Spark side runs the lowest-rank-first FIXPOINT.
+    // They diverge only when two merge paths collide on a symbol string
+    // (encodeWordReplay scaladoc) — pin that this corpus' merges don't,
+    // over every distinct word the registered query actually encodes
+    val docsDf = graft.Tables.documents(spark, sf)
+    val merges = Bpe.trainMerges(Bpe.boundedDict(docsDf, Bpe.dictCap), Bpe.numMerges)
+    val ranks = merges.zipWithIndex.toMap
+    import spark.implicits._
+    val vocab = docsDf
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .where(col("word") =!= "").distinct().as[String].collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      assert(Bpe.encodeWord(w, ranks).toSeq === Bpe.encodeWordReplay(w, merges).toSeq,
+        s"replay/fixpoint divergence on '$w' — the corpus learned " +
+          "string-colliding merges; the encode oracle's replay premise broke")
+    }
+  }
+
+  test("replay diverges from fixpoint exactly on string-colliding merges") {
+    // the documented boundary case, kept as a living counter-example:
+    // ranks 2 ("a","bc") and 4 ("ab","c") both mint the symbol string
+    // "abc". On "dabc" the fixpoint goes d|ab|c (rank 0), d|abc (rank 4),
+    // then takes the rank-3 ("d","abc") the late collision just created →
+    // [dabc]; the replay's rank-3 pass already ran before "abc" existed,
+    // so it ends at [d, abc]. If an engine change ever makes these equal,
+    // the oracle's premise documentation is stale — revisit
+    // encodeWordReplay's scaladoc
+    val merges = Seq(("a", "b"), ("b", "c"), ("a", "bc"), ("d", "abc"), ("ab", "c"))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encodeWordReplay("dabc", merges).toSeq === Seq("d", "abc"))
+    assert(Bpe.encodeWord("dabc", ranks).toSeq === Seq("dabc"))
+  }
+
   test("registered train/encode queries are deterministic and consistent on real data") {
     val m1 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq
     val m2 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq

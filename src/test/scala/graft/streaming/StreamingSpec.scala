@@ -192,6 +192,91 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted === Seq(1L, 2L))
   }
 
+  /** Latest state-store row count across the run's progress events (the
+    * no-data micro-batch after processAllAvailable counts too — it is the
+    * one that applies the final watermark-driven eviction). */
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty && p.stateOperators.exists(_.numRowsTotal >= 0) =>
+        p.stateOperators.map(_.numRowsTotal).sum
+    }.getOrElse(0L)
+
+  test("C17 streaming dedup state stays bounded by the watermark horizon " +
+    "across many micro-batches — the 100 TB continuous-ingestion question") {
+    // dropDuplicatesWithinWatermark's 100 TB contract is that state holds
+    // only ids younger than the horizon. Functionally that was always
+    // asserted; this pins it QUANTITATIVELY via stateOperators metrics:
+    // 8 batches x 50 fresh ids, 20 min apart under a 10 min watermark —
+    // every id passes through (nothing wrongly dropped), yet state never
+    // exceeds ~2 horizons' worth of keys, so an unbounded feed cannot
+    // grow the store. (An id expires once watermark > its ts + 10 min;
+    // with 20-min batch spacing that keeps <= 2 batches of keys live plus
+    // the one being ingested.)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("event_id", "ts")
+    val q = StreamingJobs.dedupWithinWatermark(events).writeStream
+      .format("memory").queryName("dedup_bounded").outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_dedup_bounded").toString)
+      .start()
+    val k = 50
+    val nBatches = 8
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val sizes = (0 until nBatches).map { b =>
+      val batchTs = new Timestamp(t0 + b.toLong * 20 * 60 * 1000)
+      in.addData((0 until k).map(i => (b.toLong * k + i, batchTs)): _*)
+      q.processAllAvailable()
+      lastStateRows(q)
+    }
+    q.stop()
+    assert(spark.table("dedup_bounded").count() === (k * nBatches).toLong,
+      "every unique id must survive the dedup — eviction must not drop live keys")
+    assert(sizes.max <= 3L * k,
+      s"state grew past the horizon bound: per-batch sizes $sizes " +
+        s"(fed ${k * nBatches} keys total — unbounded growth would show here)")
+    assert(sizes.last <= 2L * k,
+      s"final state must hold at most the last ~2 horizons' keys: $sizes")
+  }
+
+  test("C16 transformWithState state is O(live keys), not O(events), " +
+    "across event-heavy batches on RocksDB") {
+    // perUserRunningTotalsV2 keeps ONE ValueState row per user; 6 batches
+    // x 200 events over the same 20 users must leave exactly 20 state
+    // rows — state scales with the key space, never with the feed volume
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamingJobs.perUserRunningTotalsV2(in.toDS()).writeStream
+        .format("memory").queryName("totals_bounded").outputMode(OutputMode.Update())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_totals_bounded").toString)
+        .start()
+      val users = 20
+      val sizes = (0 until 6).map { b =>
+        in.addData((0 until 200).map(i =>
+          Ev((i % users).toLong, ts("2024-01-01 10:00:00"), "click")): _*)
+        q.processAllAvailable()
+        lastStateRows(q)
+      }
+      q.stop()
+      assert(sizes.last === users.toLong,
+        s"1200 events over $users users must leave exactly $users state rows: $sizes")
+      assert(sizes.forall(_ <= users.toLong),
+        s"state exceeded the live-key bound at some batch: $sizes")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("C16 stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -4,6 +4,9 @@
 # the driver's correctness machinery replicates.
 #
 # Usage: scripts/fuzz.sh [seed] [n] [sfDir] [outDir]
+# Round-16 dedicated dedup sweep: SPARK_GRAFT_FUZZ_DEDUP_ONLY=1 makes all
+# n draws DedupParamGen draws — ran 4 seeds (42/7/1337/2026) × 50 at
+# sf0.01: 200/200 green, 0 spark failures, 0 empties (SURVEY §5).
 # Committed baseline: seeds 42/7/1337/2026 × (150 relational + 18
 # dedup-parameter draws) — 672/672 green at sf0.01 (re-swept 2026-08-15
 # when graft.Fuzz gained the n/8 DedupParamGen draws: span-window size ×

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Generate SCALECHECK10.md — the sf1 -> sf10 scaling-exponent table —
+from the four committed records (round-15 verdict directive 1).
+
+Inputs: BENCH_SF1.json / BENCHISO_SF1.json (full-registry / headline
+records at sf1) and BENCH_SF10.json / BENCHISO_SF10.json (the declared
+scale-critical subset at sf10, captured by scripts/bench_sf10.sh).
+
+For every query in the sf10 subset:
+  raw ratio      = t_sf10 / t_sf1                      (per protocol)
+  norm ratio     = raw ratio / (canary10 / canary1)    (box-drift removed
+                   via each record's pinned range_mod_sum_s CPU canary)
+  exponent       = log10(norm ratio)   -- 1.0 = linear in data, <1 sub-
+                   linear, >1 super-linear per decade
+Queries whose IN-SUITE normalized exponent exceeds 1.2 are flagged: each
+flag needs a plan fix or a documented bound in SCALECHECK10.md (the
+round-15 verdict's done-criterion).
+
+Usage: python3 scripts/scalecheck10.py <round>
+Writes SCALECHECK10.md (the table section between the AUTOGEN markers is
+replaced; prose outside them is preserved so documented bounds survive
+regeneration).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "?"
+ROOT = Path(__file__).resolve().parent.parent
+EXPONENT_FLAG = 1.2
+
+def load(name):
+    with open(ROOT / name) as f:
+        return json.load(f)
+
+sf1_full, sf1_iso = load("BENCH_SF1.json"), load("BENCHISO_SF1.json")
+sf10_full, sf10_iso = load("BENCH_SF10.json"), load("BENCHISO_SF10.json")
+
+def canary(rec):
+    return rec["canary"]["range_mod_sum_s"]
+
+drift_full = canary(sf10_full) / canary(sf1_full)
+drift_iso = canary(sf10_iso) / canary(sf1_iso)
+
+def row(q):
+    out = {"query": q}
+    for tag, lo, hi, drift in (("suite", sf1_full, sf10_full, drift_full),
+                               ("iso", sf1_iso, sf10_iso, drift_iso)):
+        t1, t10 = lo["queries"].get(q), hi["queries"].get(q)
+        if t1 is None or t10 is None or t1 <= 0:
+            out[tag] = None
+            continue
+        raw = t10 / t1
+        norm = raw / drift
+        out[tag] = {"t1": t1, "t10": t10, "raw": raw, "norm": norm,
+                    "exp": math.log10(norm) if norm > 0 else float("nan")}
+    return out
+
+queries = sorted(sf10_full["queries"].keys())
+rows = [row(q) for q in queries]
+flags = [r for r in rows if r["suite"] and r["suite"]["exp"] > EXPONENT_FLAG]
+
+lines = []
+lines.append(f"<!-- AUTOGEN round {ROUND} scripts/scalecheck10.py -->")
+lines.append("")
+lines.append("## Canary drift between the sf1 and sf10 captures")
+lines.append("")
+lines.append("| record pair | range_mod_sum_s sf1 | sf10 | drift x |")
+lines.append("|---|---|---|---|")
+lines.append(f"| in-suite | {canary(sf1_full):.2f} | {canary(sf10_full):.2f} | {drift_full:.2f} |")
+lines.append(f"| iso | {canary(sf1_iso):.2f} | {canary(sf10_iso):.2f} | {drift_iso:.2f} |")
+lines.append("")
+lines.append("All ratios below are canary-normalized (divided by the drift")
+lines.append("column), so they compare PLANS, not box states.")
+lines.append("")
+lines.append("## Per-query scaling, sf1 -> sf10 (10x data)")
+lines.append("")
+lines.append("exp = log10(normalized ratio): 1.0 = linear per decade, < 1")
+lines.append(f"sublinear, > {EXPONENT_FLAG} flagged (plan fix or documented bound).")
+lines.append("")
+lines.append("| query | suite sf1 s | suite sf10 s | suite ratio | suite exp | iso sf1 s | iso sf10 s | iso ratio | iso exp |")
+lines.append("|---|---|---|---|---|---|---|---|---|")
+for r in rows:
+    s, i = r["suite"], r["iso"]
+    def cells(d):
+        if d is None:
+            return ["-"] * 4
+        return [f"{d['t1']:.2f}", f"{d['t10']:.2f}", f"{d['norm']:.2f}x", f"{d['exp']:.2f}"]
+    flag = " **FLAG**" if s and s["exp"] > EXPONENT_FLAG else ""
+    lines.append("| `" + r["query"] + "`" + flag + " | " +
+                 " | ".join(cells(s) + cells(i)) + " |")
+lines.append("")
+total1 = sum(sf1_full["queries"][q] for q in queries if q in sf1_full["queries"])
+total10 = sum(sf10_full["queries"][q] for q in queries)
+lines.append(f"Subset totals (in-suite): {total1:.1f} s at sf1 -> {total10:.1f} s "
+             f"at sf10 raw ({total10 / total1:.2f}x for 10x data; "
+             f"{total10 / total1 / drift_full:.2f}x canary-normalized).")
+lines.append("")
+if flags:
+    lines.append(f"**Flagged (suite exp > {EXPONENT_FLAG}):** " +
+                 ", ".join("`" + r["query"] + "`" for r in flags) +
+                 " — each needs a plan fix or a documented bound below.")
+else:
+    lines.append(f"**No query exceeds the {EXPONENT_FLAG} exponent flag.**")
+lines.append("")
+lines.append("<!-- /AUTOGEN -->")
+
+md = ROOT / "SCALECHECK10.md"
+block = "\n".join(lines)
+if md.exists():
+    text = md.read_text()
+    start = text.find("<!-- AUTOGEN")
+    end = text.find("<!-- /AUTOGEN -->")
+    if start >= 0 and end >= 0:
+        text = text[:start] + block + text[end + len("<!-- /AUTOGEN -->"):]
+    else:
+        text += "\n" + block + "\n"
+else:
+    text = block + "\n"
+md.write_text(text)
+print(f"SCALECHECK10.md written ({len(rows)} queries, {len(flags)} flagged)")

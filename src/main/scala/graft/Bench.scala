@@ -168,9 +168,13 @@ object Bench {
     // Canary BEFORE the suite (post-warmup, so codegen/JIT constants are
     // shared with the suite's own steady state). Skipped in BENCH_ONLY
     // dev-loop/iso-child runs — partial records never carry a canary that
-    // could be mistaken for the committed one.
+    // could be mistaken for the committed one — EXCEPT when
+    // SPARK_GRAFT_BENCH_FORCE_CANARY opts in: the SCALECHECK10 subset
+    // records are deliberate committed partials and need the drift
+    // normalizer like any other record.
     val canary: Seq[(String, Double)] =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_FORCE_CANARY")) Seq.empty
       else runCanary(spark)
     // Median-of-reps per query: a single timing right after an sbt compile
     // (or next to any concurrent load) can be several × off — the median

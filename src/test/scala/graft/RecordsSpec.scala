@@ -46,9 +46,12 @@ class RecordsSpec extends SparkSpec {
   }
 
   // in-suite records run the FULL registry (coverage + zero-spill apply);
-  // iso records time the headline subset from fresh JVMs
+  // iso records time the headline subset from fresh JVMs; the SF10 pair
+  // (SCALECHECK10.md) deliberately times only the scale-critical subset —
+  // ghost/canary/sf guards apply, coverage and the zero-spill claim don't
   private val inSuite = Seq("BENCHFULL.json", "BENCH_SF1.json", "BENCH_LOCAL8.json")
-  private val all = inSuite ++ Seq("BENCHISO.json", "BENCHISO_SF1.json")
+  private val all = inSuite ++ Seq("BENCHISO.json", "BENCHISO_SF1.json",
+    "BENCH_SF10.json", "BENCHISO_SF10.json")
 
   test("committed in-suite records cover the full registry (no silent gaps)") {
     val allow = sys.env.contains("SPARK_GRAFT_ALLOW_STALE_BENCH")
@@ -121,8 +124,12 @@ class RecordsSpec extends SparkSpec {
       "BENCHFULL.json" -> (_ == "sf0.1"),
       "BENCHISO.json" -> (_ == "sf0.1"),
       "BENCH_LOCAL8.json" -> (_ == "sf0.1"),
-      "BENCH_SF1.json" -> (_.startsWith("sf1")),
-      "BENCHISO_SF1.json" -> (_.startsWith("sf1")))
+      // exact names: startsWith("sf1") would let sf10 numbers hide in an
+      // sf1-named record now that both scales exist
+      "BENCH_SF1.json" -> (_ == "sf1"),
+      "BENCHISO_SF1.json" -> (_ == "sf1"),
+      "BENCH_SF10.json" -> (_ == "sf10"),
+      "BENCHISO_SF10.json" -> (_ == "sf10"))
     all.foreach { f =>
       record(f).foreach { r =>
         val sf = Option(r.get("sf")).map(_.asText("")).getOrElse("")

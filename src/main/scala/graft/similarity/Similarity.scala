@@ -278,30 +278,48 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b") // pairs colliding in >1 table
   }
 
-  /** Registered scale path for embedding near-dup: 8 LSH tables × 8-bit SRP
-    * signatures bucket the candidates, then the identical ≥0.9 exact-cosine
-    * verify runs on bucket collisions only — over the same
+  /** Registered scale path for embedding near-dup: SRP-bucketed
+    * candidates + the identical ≥0.9 exact-cosine verify, over the same
     * injection-augmented corpus as [[embNearDup]].
+    *
+    * Signature width is CORPUS-SIZED ([[bitsFor]], bucket load ~64) with
+    * the table count scaled alongside (`tables = max(8, bits)`) — the
+    * round-16 sf10 rung caught the previous fixed 8-bit width as the
+    * registry's one genuinely super-linear plan (SCALECHECK10.md:
+    * in-suite exponent 1.29/decade, iso 16.6 s at sf10 — bucket load
+    * grew linearly with the corpus, so Σ bucket² candidate work grew
+    * quadratically, exactly the trap [[bitsFor]]'s scaladoc names and
+    * the text-embed twin had already dodged). At the gate scales the
+    * plan is unchanged (bitsFor ≤ minBits=8 at sf0.01/sf0.1) or one bit
+    * wider (9 at sf1); at sf10 it runs 12 bits / 12 tables and candidate
+    * generation is linear again.
     *
     * Oracle = the exact all-pairs result (same SQL as [[embNearDup]]).
     * Why an exact oracle is sound for an LSH query: the verify filter is the
     * exact cosine, so false positives are impossible (LSH ⊆ exact always);
     * equality additionally requires recall = 1 on this corpus. The planted
-    * pairs make that check non-vacuous: a pair is missed only if EVERY one
-    * of the 8 tables has at least one of its 8 hyperplanes splitting the
-    * pair — for the planted pairs (angle ≤ 15°, split probability ≈ θ/π
-    * per plane) that is ~1e-6 per pair, and since the planes are
-    * deterministic the outcome is fixed, not re-rolled per run: it is
-    * verified green against DuckDB on the current testdata and stays green
-    * until the testdata changes. If testdata is ever regenerated, re-verify
-    * recall before trusting this oracle (a pair engineered to sit just at
-    * 0.9 can legitimately split across all 8 tables — that residual miss is
-    * the documented LSH trade). SimilaritySpec additionally asserts exact
-    * pair-set parity on planted near-dups and subset-of-brute on real data. */
+    * pairs (3 base vectors re-emitted, cosine 0.97–0.998) make that check
+    * non-vacuous, and scaling tables WITH bits holds their miss envelope
+    * flat: a pair is missed only if every table splits it, and the worst
+    * planted pair (θ ≈ 14°, split ≈ θ/π per plane) misses one b-bit table
+    * with probability 1−(1−θ/π)^b — at 8/8 that compounds to ~3e-3, at
+    * 9/9 (sf1) ~3e-3, at 12/12 (sf10) ~3e-3: the same deterministic
+    * envelope the 8/8 configuration always ran, re-verified green at the
+    * sf0.01, uniform-sf1 and skewed-sf1 gates after this change. If
+    * testdata is ever regenerated, re-verify recall before trusting this
+    * oracle (a pair engineered to sit just at 0.9 can legitimately split
+    * across all tables — that residual miss is the documented LSH trade).
+    * SimilaritySpec additionally asserts exact pair-set parity on planted
+    * near-dups and subset-of-brute on real data.
+    *
+    * The metadata-cheap `count()` sizing the signature reads one parquet
+    * footer, not data — same pattern as the text-embed bridge
+    * (Dedup.textEmbedNearDup). */
   val embNearDupLsh: QueryDef = QueryDef(
     "c17_embedding_neardup_lsh", "C17 C18", nearDupOracleSql) { (s, d) =>
+    val bits = bitsFor(Tables.embeddings(s, d).count() + 3)
     nearDupPairs(injectedCorpus(Tables.embeddings(s, d)),
-      tables = 8, bits = 8, threshold = 0.9)
+      tables = math.max(8, bits), bits = bits, threshold = 0.9)
       .orderBy("vec_a", "vec_b")
   }
 

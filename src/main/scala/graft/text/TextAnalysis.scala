@@ -78,7 +78,13 @@ object TextAnalysis {
     val nTokens = size(split(trim(col("text")), "\\s+"))
     val alphaCnt = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
     val stopCnt = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0)))
-    Tables.documents(s, d).select(
+    // spread before the regex projection: the per-row regex CPU is the
+    // whole query, and the documents parquet arrives under
+    // maxPartitionBytes as ONE scan task — the round-16 sf10 rung
+    // measured this plan at 49 s wall / 51 s process-CPU on 32 cores
+    // (single-threaded; SCALECHECK10.md). Same spreadByKey pattern as
+    // the fingerprint/bpe-encode CPU stages two queries down.
+    Tables.documents(s, d).spreadByKey(col("doc_id")).select(
       col("doc_id"),
       length(col("text")).as("n_len"),
       nTokens.as("n_tokens"),

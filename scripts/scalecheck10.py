@@ -12,9 +12,17 @@ For every query in the sf10 subset:
                    via each record's pinned range_mod_sum_s CPU canary)
   exponent       = log10(norm ratio)   -- 1.0 = linear in data, <1 sub-
                    linear, >1 super-linear per decade
-Queries whose IN-SUITE normalized exponent exceeds 1.2 are flagged: each
-flag needs a plan fix or a documented bound in SCALECHECK10.md (the
-round-15 verdict's done-criterion).
+Queries whose normalized exponent exceeds 1.2 in EITHER column (suite or
+iso) are flagged: each flag needs a plan fix or a documented bound in
+SCALECHECK10.md (the round-15 verdict's done-criterion; round-17 widened
+the flag from suite-only to max(suite, iso) because a canary-hot in-suite
+capture deflates suite exponents — the iso column is the trustworthy one).
+
+A record pair whose canary drift deviates from 1.0 beyond CANARY_DRIFT_MAX
+(1.3x either way) gets a loud WARNING in the output and the generated
+table: normalization corrects first-order box drift but a 1.3x+ hot/cold
+capture is outside the band where that correction is trustworthy —
+recapture instead of trusting the normalized numbers.
 
 Usage: python3 scripts/scalecheck10.py <round>
 Writes SCALECHECK10.md (the table section between the AUTOGEN markers is
@@ -29,6 +37,7 @@ from pathlib import Path
 ROUND = sys.argv[1] if len(sys.argv) > 1 else "?"
 ROOT = Path(__file__).resolve().parent.parent
 EXPONENT_FLAG = 1.2
+CANARY_DRIFT_MAX = 1.3  # beyond this, normalization is untrustworthy: recapture
 
 def load(name):
     with open(ROOT / name) as f:
@@ -42,6 +51,20 @@ def canary(rec):
 
 drift_full = canary(sf10_full) / canary(sf1_full)
 drift_iso = canary(sf10_iso) / canary(sf1_iso)
+
+# ADVICE r16 #1: a drift far from 1.0 means one capture of the pair ran on
+# a much hotter/colder box than the other; the linear normalization below
+# is only a first-order correction, so warn loudly instead of silently
+# normalizing it away.
+drift_warnings = []
+for tag, drift in (("in-suite", drift_full), ("iso", drift_iso)):
+    if drift > CANARY_DRIFT_MAX or drift < 1.0 / CANARY_DRIFT_MAX:
+        drift_warnings.append(
+            f"WARNING: {tag} record pair canary drift {drift:.2f}x exceeds the "
+            f"{CANARY_DRIFT_MAX}x trust band — normalized numbers below are "
+            f"suspect; recapture the drifted record instead of trusting them.")
+for w in drift_warnings:
+    print(w, file=sys.stderr)
 
 def row(q):
     out = {"query": q}
@@ -59,7 +82,18 @@ def row(q):
 
 queries = sorted(sf10_full["queries"].keys())
 rows = [row(q) for q in queries]
-flags = [r for r in rows if r["suite"] and r["suite"]["exp"] > EXPONENT_FLAG]
+
+def flagged(r):
+    # ADVICE r16 #1: flag on the max of the suite and iso exponents — a
+    # canary-hot in-suite capture deflates suite exponents, so a plan can
+    # only pass if BOTH views stay under the bar.
+    exps = [r[tag]["exp"] for tag in ("suite", "iso") if r[tag]]
+    return bool(exps) and max(exps) > EXPONENT_FLAG
+
+flags = [r for r in rows if flagged(r)]
+# ADVICE r16 #2: a query missing from either record renders '-' and could
+# never be flagged — surface it instead of skipping it.
+incomplete = [r["query"] for r in rows if r["suite"] is None or r["iso"] is None]
 
 lines = []
 lines.append(f"<!-- AUTOGEN round {ROUND} scripts/scalecheck10.py -->")
@@ -71,6 +105,9 @@ lines.append("|---|---|---|---|")
 lines.append(f"| in-suite | {canary(sf1_full):.2f} | {canary(sf10_full):.2f} | {drift_full:.2f} |")
 lines.append(f"| iso | {canary(sf1_iso):.2f} | {canary(sf10_iso):.2f} | {drift_iso:.2f} |")
 lines.append("")
+for w in drift_warnings:
+    lines.append(f"**{w}**")
+    lines.append("")
 lines.append("All ratios below are canary-normalized (divided by the drift")
 lines.append("column), so they compare PLANS, not box states.")
 lines.append("")
@@ -87,22 +124,33 @@ for r in rows:
         if d is None:
             return ["-"] * 4
         return [f"{d['t1']:.2f}", f"{d['t10']:.2f}", f"{d['norm']:.2f}x", f"{d['exp']:.2f}"]
-    flag = " **FLAG**" if s and s["exp"] > EXPONENT_FLAG else ""
+    flag = " **FLAG**" if flagged(r) else ""
     lines.append("| `" + r["query"] + "`" + flag + " | " +
                  " | ".join(cells(s) + cells(i)) + " |")
 lines.append("")
-total1 = sum(sf1_full["queries"][q] for q in queries if q in sf1_full["queries"])
-total10 = sum(sf10_full["queries"][q] for q in queries)
-lines.append(f"Subset totals (in-suite): {total1:.1f} s at sf1 -> {total10:.1f} s "
+# ADVICE r16 #2: compute both totals over the intersection of queries
+# present in ALL FOUR records so the headline ratio compares the same set.
+common = [q for q in queries
+          if all(q in rec["queries"] for rec in (sf1_full, sf1_iso, sf10_full, sf10_iso))]
+total1 = sum(sf1_full["queries"][q] for q in common)
+total10 = sum(sf10_full["queries"][q] for q in common)
+lines.append(f"Subset totals (in-suite, over the {len(common)}-query intersection "
+             f"present in all four records): {total1:.1f} s at sf1 -> {total10:.1f} s "
              f"at sf10 raw ({total10 / total1:.2f}x for 10x data; "
              f"{total10 / total1 / drift_full:.2f}x canary-normalized).")
 lines.append("")
+if incomplete:
+    lines.append("**Incomplete coverage (present in BENCH_SF10 but missing an "
+                 "sf1 or iso counterpart, so never flaggable):** " +
+                 ", ".join("`" + q + "`" for q in incomplete) +
+                 " — capture the missing record or drop the query from the subset.")
+    lines.append("")
 if flags:
-    lines.append(f"**Flagged (suite exp > {EXPONENT_FLAG}):** " +
+    lines.append(f"**Flagged (max(suite, iso) exp > {EXPONENT_FLAG}):** " +
                  ", ".join("`" + r["query"] + "`" for r in flags) +
                  " — each needs a plan fix or a documented bound below.")
 else:
-    lines.append(f"**No query exceeds the {EXPONENT_FLAG} exponent flag.**")
+    lines.append(f"**No query exceeds the {EXPONENT_FLAG} exponent flag in either column.**")
 lines.append("")
 lines.append("<!-- /AUTOGEN -->")
 

@@ -1017,26 +1017,10 @@ object Similarity {
     // PQ codebooks: one integer Lloyd per dsub-dim subspace, same sample
     val booksDf = broadcast(
       pqMd5Train(sample, m, k, iters).toDF("s", "j", "i", "val"))
-    // subspace view of the quantized dims: s = subspace, i = dim within it
-    val pdims = dims.selectExpr("vec_id", s"CAST(d DIV $dsub AS INT) AS s",
-      s"CAST(d % $dsub AS INT) AS i", "q")
-    // per-(vector, subspace) integer-L2 distance to every codeword:
-    // map-side broadcast join + partial-aggregated groupBy
-    def codeDists(src: DataFrame): DataFrame =
-      src.join(booksDf, Seq("s", "i"))
-        .groupBy(col("vec_id"), col("s"), col("j"))
-        .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
-    // encode: argmin codeword per (vector, subspace), ties to the lowest j —
-    // after this the raw embedding is gone from the approximate stage.
-    // min(struct(dist, j)) == "ORDER BY dist, j LIMIT 1" (struct ordering is
-    // lexicographic) but partial-aggregates map-side, so the corpus-sized
-    // encode shuffles n·m rows instead of window-sorting n·m·k
-    val codes = codeDists(pdims)
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("dist"), col("j"))).as("best"))
-      .select(col("vec_id"), col("s"), col("best.j").as("code"))
+    val pdims = intPdims(dims, dsub)
+    val codes = intPqEncode(pdims, booksDf)
     // query LUTs: ALL k distances per (query, subspace) — nQueries·m·k rows
-    val lut = codeDists(pdims.where(col("vec_id") < nQueries))
+    val lut = intCodeDists(pdims.where(col("vec_id") < nQueries), booksDf)
       .select(col("vec_id").as("q_id"), col("s"),
         col("j").as("code"), col("dist"))
     // candidates: probed lists' members — a query scores |corpus|·probes/c
@@ -1052,12 +1036,44 @@ object Similarity {
       .join(broadcast(lut), Seq("q_id", "s", "code"))
       .groupBy(col("q_id"), col("neighbor_id"))
       .agg(sum(col("dist")).as("adc"))
-    // bounded ADC shortlist per query (smallest integer L2 first)
+    intShortlistRerank(emb, adc, nQueries, shortlist)
+  }
+
+  /** Subspace view of the quantized dims (s = subspace, i = dim within it)
+    * shared by the IVF-PQ twin and the persisted-index build/query paths. */
+  private def intPdims(dims: DataFrame, dsub: Int): DataFrame =
+    dims.selectExpr("vec_id", s"CAST(d DIV $dsub AS INT) AS s",
+      s"CAST(d % $dsub AS INT) AS i", "q")
+
+  /** Per-(vector, subspace) integer-L2 distance to every codeword of a
+    * broadcast (s, j, i, val) codebook table: map-side broadcast join +
+    * partial-aggregated groupBy. */
+  private def intCodeDists(src: DataFrame, booksDf: DataFrame): DataFrame =
+    src.join(booksDf, Seq("s", "i"))
+      .groupBy(col("vec_id"), col("s"), col("j"))
+      .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
+
+  /** PQ encode: argmin codeword per (vector, subspace), ties to the lowest
+    * j — after this the raw embedding is gone from the approximate stage.
+    * min(struct(dist, j)) == "ORDER BY dist, j LIMIT 1" (struct ordering is
+    * lexicographic) but partial-aggregates map-side, so the corpus-sized
+    * encode shuffles n·m rows instead of window-sorting n·m·k. */
+  private def intPqEncode(pdims: DataFrame, booksDf: DataFrame): DataFrame =
+    intCodeDists(pdims, booksDf)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("j"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.j").as("code"))
+
+  /** Bounded ADC shortlist (smallest integer L2 first) + exact 1e-6-rounded
+    * cosine rerank on refetched raw vectors — the tail shared by the IVF-PQ
+    * twin and the persisted-index query path. The shortlist is broadcast
+    * onto the corpus for the refetch, so the corpus is never shuffled. */
+  private def intShortlistRerank(emb: DataFrame, adc: DataFrame,
+      nQueries: Int, shortlist: Int): DataFrame = {
     val wSl = Window.partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
     val sl = adc.withColumn("rk", row_number().over(wSl))
       .where(col("rk") <= shortlist)
       .select(col("q_id"), col("neighbor_id"), col("adc"))
-    // exact rerank on refetched raw vectors, rounded to the 1e-6 grid
     val qVecs = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wR = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
@@ -1071,19 +1087,12 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Exact-arithmetic derivation anchor for the IVF-PQ pipeline — the last
-    * ANN path whose model training was spec-trusted only (the IVF twin
-    * [[annIvfMd5]] anchors the coarse quantizer; this twin additionally
-    * anchors PQ codebook training, encoding, the LUT build, the ADC
-    * accumulation and the shortlist cut, all in integer arithmetic both
-    * engines compute bit-identically; see [[ivfPqMd5Rows]]). The oracle
-    * unrolls BOTH Lloyd trainings as DuckDB CTEs: the coarse 16-centroid
-    * quantizer over the full 64-dim quantized vectors, and the per-subspace
-    * 16-codeword PQ books keyed by (s, j). Output includes the raw BIGINT
-    * `adc` column, so the hash check covers the approximate scores
-    * themselves, not just the final reranked ordering. */
-  val annIvfPqMd5: QueryDef = QueryDef(
-    "c18_ann_ivfpq_md5", "C18",
+  /** CTE prefix shared by the oracles of [[annIvfPqMd5]], the persisted-
+    * index build ([[annIndexBuild]]) and the from-index query
+    * ([[annIvfPqFromIndex]]): quantized dims → coarse quantizer (two
+    * unrolled integer Lloyd steps) → final_assign / probes → per-subspace
+    * PQ codebooks (two unrolled Lloyd steps each) → integer PQ codes. */
+  private val ivfPqIndexCtes: String =
     """WITH dims AS (
       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) + 1024 AS q
@@ -1173,7 +1182,16 @@ object Similarity {
       |    FROM pdims pd JOIN books2 b ON b.s = pd.s AND b.i = pd.i
       |    GROUP BY 1, 2, 3)
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
-      |), lut AS (
+      |)""".stripMargin
+
+  /** Full IVF-PQ oracle — the index CTEs plus LUT/ADC/shortlist/rerank.
+    * Shared VERBATIM by [[annIvfPqMd5]] (index derived in-query) and
+    * [[annIvfPqFromIndex]] (index read from parquet): the two paths must
+    * produce identical rows at the fixed index params, so one oracle
+    * hash-checks both and the driver's compare doubles as the
+    * build/query-split parity gate. */
+  private val ivfPqQueryOracle: String = ivfPqIndexCtes +
+    """, lut AS (
       |  SELECT pd.vec_id AS q_id, pd.s, b.j AS code, SUM((pd.q - b.val) * (pd.q - b.val)) AS dist
       |  FROM pdims pd JOIN books2 b ON b.s = pd.s AND b.i = pd.i
       |  WHERE pd.vec_id < 5
@@ -1200,10 +1218,210 @@ object Similarity {
       |FROM shortlist sl
       |JOIN embeddings ea ON ea.vec_id = sl.q_id
       |JOIN embeddings eb ON eb.vec_id = sl.neighbor_id
-      |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** Exact-arithmetic derivation anchor for the IVF-PQ pipeline — the last
+    * ANN path whose model training was spec-trusted only (the IVF twin
+    * [[annIvfMd5]] anchors the coarse quantizer; this twin additionally
+    * anchors PQ codebook training, encoding, the LUT build, the ADC
+    * accumulation and the shortlist cut, all in integer arithmetic both
+    * engines compute bit-identically; see [[ivfPqMd5Rows]]). The oracle
+    * unrolls BOTH Lloyd trainings as DuckDB CTEs: the coarse 16-centroid
+    * quantizer over the full 64-dim quantized vectors, and the per-subspace
+    * 16-codeword PQ books keyed by (s, j). Output includes the raw BIGINT
+    * `adc` column, so the hash check covers the approximate scores
+    * themselves, not just the final reranked ordering. */
+  val annIvfPqMd5: QueryDef = QueryDef(
+    "c18_ann_ivfpq_md5", "C18", ivfPqQueryOracle) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     ivfPqMd5Rows(emb, c = 16, iters = 2, sampleMod = 4, nQueries = 5,
       probes = 2, m = 8, k = 16, shortlist = 20)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted ANN index (round 17): build-once / query-many split.
+  //
+  // Every other ANN query in this file derives its index (quantizer,
+  // codebooks, assignments, codes) INSIDE the query — fine for a
+  // correctness anchor, but the one shape that does not survive 100 TB:
+  // a production pipeline builds the index once per corpus snapshot and
+  // answers thousands of queries from the stored artifact. The split
+  // below persists the integer IVF-PQ index (the md5-twin arithmetic, so
+  // the STORED index itself is hash-checkable) as parquet partitioned by
+  // coarse cell, and the query path scans ONLY the probed cells' code
+  // partitions plus the bounded rerank refetch — never re-training, never
+  // re-encoding, never touching unprobed cells.
+  // ------------------------------------------------------------------
+
+  /** Fixed index-model parameters — identical to [[annIvfPqMd5]]'s, so the
+    * from-index query is row-identical to the in-query twin and both share
+    * [[ivfPqQueryOracle]] verbatim. */
+  private val IdxC = 16
+  private val IdxIters = 2
+  private val IdxSampleMod = 4
+  private val IdxM = 8
+  private val IdxK = 16
+  private val IdxMaxTrain = 4096
+
+  /** On-disk root of the persisted index for a data dir: keyed by the
+    * (sanitized) corpus path and the model params, so different corpora
+    * and param draws never collide. Lives under java.io.tmpdir — on a real
+    * cluster this would be a warehouse/object-store URI; the layout
+    * (cells-partitioned codes + tiny model tables + a staleness meta row)
+    * is identical either way. */
+  def annIndexRoot(dataDir: String): String = {
+    val tag = dataDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_ann_index/$tag/c${IdxC}_m${IdxM}_k${IdxK}_i$IdxIters"
+  }
+
+  /** Build the integer IVF-PQ index for a corpus and persist it
+    * (overwrite). One pass of corpus-sized work — the cost a 100 TB
+    * deployment pays once per corpus snapshot, amortized over every query:
+    *
+    *  - `codes/`  (vec_id, s, code) long-form PQ codes PARTITIONED BY the
+    *    coarse cell c_id and sorted by (vec_id, s) within partitions —
+    *    queries prune to their probed cells at the parquet-partition level.
+    *  - `cents/`  (c, d, val) — the 16×64-row integer coarse quantizer.
+    *  - `books/`  (s, j, i, val) — the 8×16×8-row integer PQ codebooks.
+    *  - `meta/`   (corpus_count, dims) — the staleness fingerprint
+    *    [[ensureAnnIndex]] checks before trusting a stored index.
+    *
+    * All arithmetic is the md5-twin integer pipeline ([[ivfMd5Train]] /
+    * [[pqMd5Train]] / [[intPqEncode]]), so the persisted artifact is
+    * bit-deterministic and the build output is a full-oracle row
+    * ([[annIndexBuild]]). Model training collects the same bounded sample
+    * as every other trainer here (≤ 4096 × 64 longs, corpus-independent). */
+  def buildAnnIndex(spark: SparkSession, dataDir: String): String = {
+    import spark.implicits._
+    val root = annIndexRoot(dataDir)
+    val emb = Tables.embeddings(spark, dataDir).select(col("vec_id"), col("embedding"))
+    val sample = intSample(emb, IdxSampleMod, IdxMaxTrain)
+    val dims0 = sample(0)._2.length
+    val dsub = dims0 / IdxM
+    val coarse = ivfMd5Train(sample, IdxC, IdxIters)
+    val books = pqMd5Train(sample, IdxM, IdxK, IdxIters)
+    val centsDf = intCentsDf(spark, coarse)
+    val booksDf = broadcast(books.toDF("s", "j", "i", "val"))
+    val dims = intDims(emb)
+    // corpus-sized work: one assignment pass + one encode pass, joined on
+    // vec_id (both partial-aggregated; the join is the build's only
+    // corpus-sized shuffle) — then ONE write clustered by coarse cell
+    val assign = intAssign(dims, centsDf, keep = 1)
+      .select(col("vec_id"), col("c").as("c_id"))
+    val codes = intPqEncode(intPdims(dims, dsub), booksDf)
+    codes.join(assign, Seq("vec_id"))
+      .repartition(col("c_id"))
+      .sortWithinPartitions("vec_id", "s")
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$root/codes")
+    coarse.flatMap { case (c, vals) =>
+      vals.zipWithIndex.map { case (v, d) => (c, d, v) }
+    }.toDF("c", "d", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
+    books.toDF("s", "j", "i", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
+    Seq((emb.count(), dims0)).toDF("corpus_count", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    root
+  }
+
+  /** Query-many side of the staleness contract: trust a stored index only
+    * if its meta fingerprint matches the live corpus row count; otherwise
+    * (missing or stale) rebuild. The count is parquet-metadata cheap, and
+    * a stale index can therefore never silently serve a changed corpus. */
+  def ensureAnnIndex(spark: SparkSession, dataDir: String): String = {
+    val root = annIndexRoot(dataDir)
+    val fresh =
+      try {
+        val meta = spark.read.parquet(s"$root/meta").head()
+        meta.getLong(0) == Tables.embeddings(spark, dataDir).count()
+      } catch { case _: Exception => false }
+    if (!fresh) buildAnnIndex(spark, dataDir)
+    root
+  }
+
+  /** Answer IVF-PQ queries FROM the persisted index — the 100 TB hot path.
+    * Corpus-sized inputs touched: the probed cells' partitions of the
+    * stored code table (parquet partition pruning on c_id — the unprobed
+    * 14 of 16 cells are never read) and the rerank's raw-vector refetch
+    * (broadcast shortlist onto the corpus — map-side, no corpus shuffle).
+    * Everything else is query-sized: the stored models broadcast
+    * (16×64 + 8×16×8 integer rows), query dims come off a vec_id-pushdown
+    * scan, and the probed (q_id, c_id) pairs are a bounded driver collect
+    * (≤ nQueries·probes rows — the partition-pruning literals).
+    * No training, no corpus encode: identical rows to [[ivfPqMd5Rows]] at
+    * the same params, enforced by the shared oracle + AnnIndexSpec parity. */
+  def ivfPqFromIndexRows(spark: SparkSession, dataDir: String,
+      nQueries: Int, probes: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val root = ensureAnnIndex(spark, dataDir)
+    val emb = Tables.embeddings(spark, dataDir).select(col("vec_id"), col("embedding"))
+    val meta = spark.read.parquet(s"$root/meta").head()
+    val dsub = meta.getInt(1) / IdxM
+    val centsDf = broadcast(spark.read.parquet(s"$root/cents"))
+    val booksDf = broadcast(spark.read.parquet(s"$root/books"))
+    val codes = spark.read.parquet(s"$root/codes") // (vec_id, s, code) + c_id partition
+    // query dims: ONLY the query vectors — vec_id pushdown reaches the scan
+    val qdims = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
+        (floor(col("v").cast(DoubleType) * 1000).cast(LongType) + 1024).as("q"))
+    // probed (q_id, c_id) pairs: BOUNDED driver collect (nQueries·probes
+    // rows) — these literals drive the code-table partition pruning
+    val probedPairs = intAssign(qdims, centsDf, keep = probes)
+      .select(col("vec_id").as("q_id"), col("c").as("c_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val cells = probedPairs.map(_._2).distinct.sorted
+    val pruned = codes.where(col("c_id").isin(cells: _*))
+    // candidates: the probed cells' member lists, read straight off the
+    // pruned index (s = 0 picks one row per vector — a pushed filter, no
+    // distinct shuffle)
+    val probedDf = broadcast(probedPairs.toDF("q_id", "c_id"))
+    val cand = pruned.where(col("s") === 0)
+      .select(col("c_id"), col("vec_id").as("neighbor_id"))
+      .join(probedDf, Seq("c_id"))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"))
+    // query LUTs from the STORED books: nQueries·m·k rows
+    val lut = intCodeDists(intPdims(qdims, dsub), booksDf)
+      .select(col("vec_id").as("q_id"), col("s"),
+        col("j").as("code"), col("dist"))
+    // ADC over the pruned stored codes — same economics as [[ivfPqMd5Rows]]
+    val adc = pruned.select(col("vec_id"), col("s"), col("code"))
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum(col("dist")).as("adc"))
+    intShortlistRerank(emb, adc, nQueries, shortlist)
+  }
+
+  /** Index build as a registered, full-oracle query: builds + persists the
+    * index, then returns the PERSISTED code table (read back from parquet,
+    * not the in-memory frame) — so the driver's hash compare checks the
+    * stored artifact itself against the oracle's CTE-unrolled derivation.
+    * The stored index is MORE oracle-able than the in-query one: every row
+    * is integer, and a corrupted write or layout drift fails the hash. */
+  val annIndexBuild: QueryDef = QueryDef(
+    "c18_ann_index_build", "C18",
+    ivfPqIndexCtes +
+      """
+        |SELECT cd.vec_id, f.c AS c_id, cd.s, cd.code
+        |FROM codes cd JOIN final_assign f USING (vec_id)
+        |ORDER BY vec_id, s""".stripMargin) { (s, d) =>
+    val root = buildAnnIndex(s, d)
+    s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("c_id"), col("s"), col("code"))
+      .orderBy("vec_id", "s")
+  }
+
+  /** IVF-PQ answered from the persisted index ([[ivfPqFromIndexRows]]) —
+    * same fixed params as [[annIvfPqMd5]], same oracle VERBATIM: the
+    * driver's hash compare doubles as the build/query-split parity gate.
+    * First execution against a corpus builds the index ([[ensureAnnIndex]]);
+    * every subsequent execution answers from the stored artifact alone —
+    * the build-once/query-many split a 100 TB deployment actually runs. */
+  val annIvfPqFromIndex: QueryDef = QueryDef(
+    "c18_ann_ivfpq_from_index", "C18", ivfPqQueryOracle) { (s, d) =>
+    ivfPqFromIndexRows(s, d, nQueries = 5, probes = 2, shortlist = 20)
   }
 
   /** Radius (threshold) search: every corpus neighbor with cosine ≥ τ for
@@ -1444,6 +1662,6 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(knnBrute, knnAgg, annLsh, annLshMd5, embNearDup, embNearDupLsh,
-      annIvf, annIvfMd5, annIvfPq, annIvfPqMd5, radiusSearch,
-      semanticDedup, semanticDedupMd5)
+      annIvf, annIvfMd5, annIvfPq, annIvfPqMd5, annIndexBuild,
+      annIvfPqFromIndex, radiusSearch, semanticDedup, semanticDedupMd5)
 }

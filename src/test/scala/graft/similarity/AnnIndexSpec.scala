@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted ANN index (round 17): the build-once/query-many split.
+  *
+  * The contract under test: `c18_ann_index_build` persists the integer
+  * IVF-PQ index (codes partitioned by coarse cell + model tables + meta),
+  * and `c18_ann_ivfpq_from_index` answers queries by scanning ONLY the
+  * probed cells of the stored code table plus the bounded rerank refetch —
+  * never retraining, never re-encoding the corpus, and row-identical to
+  * the in-query twin `c18_ann_ivfpq_md5` at the same params. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def freshIndex(): String = {
+    val root = Similarity.annIndexRoot(sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  // recurse through AQE wrappers / query stages to every file scan
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+
+  test("build persists the index and is bit-deterministic across rebuilds") {
+    freshIndex()
+    val a = Similarity.annIndexBuild.fn(spark, sf).collect().map(_.toString).toSeq
+    val b = Similarity.annIndexBuild.fn(spark, sf).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a === b, "rebuild changed the persisted index content")
+    // the persisted layout: codes partitioned by coarse cell + model tables
+    val root = Similarity.annIndexRoot(sf)
+    assert(new java.io.File(s"$root/codes").list().exists(_.startsWith("c_id=")),
+      "codes table is not partitioned by c_id")
+    Seq("cents", "books", "meta").foreach { t =>
+      assert(new java.io.File(s"$root/$t").exists(), s"missing index table $t")
+    }
+  }
+
+  test("from-index query is row-identical to the in-query IVF-PQ twin") {
+    freshIndex()
+    val fromIndex = Similarity.annIvfPqFromIndex.fn(spark, sf)
+      .collect().map(_.toString).toSeq
+    val inQuery = Similarity.annIvfPqMd5.fn(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex === inQuery,
+      "persisted-index path diverged from the in-query derivation")
+  }
+
+  test("query path scans only the probed cells of the stored code table") {
+    freshIndex()
+    Similarity.buildAnnIndex(spark, sf)
+    val root = Similarity.annIndexRoot(sf)
+    val codes = spark.read.parquet(s"$root/codes")
+    val nCells = codes.select("c_id").distinct().count()
+    assert(nCells > 2, s"corpus landed in only $nCells cells — pruning untestable")
+    val df = Similarity.ivfPqFromIndexRows(spark, sf,
+      nQueries = 5, probes = 2, shortlist = 20)
+    df.collect()
+    val codeScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty, "no scan of the stored code table in the plan")
+    codeScans.foreach { scan =>
+      assert(scan.partitionFilters.exists(_.toString.contains("c_id")),
+        s"code-table scan lacks a c_id partition filter: ${scan.partitionFilters}")
+      assert(scan.selectedPartitions.partitionCount < nCells,
+        s"scan read ${scan.selectedPartitions.partitionCount} of $nCells cells — no pruning")
+    }
+  }
+
+  test("query path never scans raw embeddings except queries and the rerank refetch") {
+    freshIndex()
+    Similarity.buildAnnIndex(spark, sf)
+    val df = Similarity.ivfPqFromIndexRows(spark, sf,
+      nQueries = 5, probes = 2, shortlist = 20)
+    df.collect()
+    val embScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("embeddings.parquet")))
+    assert(embScans.nonEmpty)
+    // every embeddings scan must be query-sized (vec_id pushdown) except
+    // EXACTLY ONE: the rerank's raw-vector refetch, which streams the
+    // corpus map-side against the broadcast shortlist
+    val unfiltered = embScans.filterNot(_.dataFilters.exists(_.toString.contains("vec_id")))
+    assert(unfiltered.size <= 1,
+      s"${unfiltered.size} corpus-sized embeddings scans — the index is being bypassed")
+    // and no training/encode machinery: a corpus-sized posexplode of the
+    // embedding column exists only in the build, never in the query plan
+    val plan = df.queryExecution.optimizedPlan.toString
+    val explodes = "(?i)generate posexplode".r.findAllIn(plan).size
+    assert(explodes <= 1, s"query plan re-explodes the corpus ($explodes explodes):\n" +
+      plan.take(800))
+  }
+
+  test("a stale index (corpus fingerprint mismatch) triggers a rebuild") {
+    freshIndex()
+    val root = Similarity.buildAnnIndex(spark, sf)
+    import spark.implicits._
+    // tamper the fingerprint: claim the index was built over a different
+    // corpus row count — ensure must refuse the stored artifact and rebuild
+    Seq((1L, 64)).toDF("corpus_count", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    Similarity.ensureAnnIndex(spark, sf)
+    val count = spark.read.parquet(s"$root/meta").head().getLong(0)
+    assert(count > 1L, "stale index was trusted — no rebuild happened")
+    // and the rebuilt index still answers correctly
+    val fromIndex = Similarity.annIvfPqFromIndex.fn(spark, sf)
+      .collect().map(_.toString).toSeq
+    val inQuery = Similarity.annIvfPqMd5.fn(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex === inQuery)
+  }
+}

@@ -156,6 +156,25 @@ object Bpe {
     syms
   }
 
+  /** Guard for the replay≡fixpoint identity [[bpeEncode]]'s oracle rests
+    * on (round-17 directive: checked, not just pinned). The identity
+    * breaks exactly when two different merges collide on the same merged-
+    * symbol STRING (e.g. ("a","bc") and ("ab","c") both yielding "abc" —
+    * see [[encodeWordReplay]]'s scaladoc and the BpeSpec counter-example):
+    * replay would then miss late-created occurrences of the earlier-rank
+    * pair. The registered encode query calls this on its freshly-learned
+    * merge list, so a future corpus change that ships colliding merges
+    * fails LOUDLY at execution instead of silently invalidating the
+    * oracle identity and surfacing as an opaque hash mismatch. */
+  def requireNoMergeCollisions(merges: Seq[(String, String)]): Unit = {
+    val collided = merges.groupBy { case (l, r) => l + r }
+      .filter(_._2.distinct.size > 1)
+    require(collided.isEmpty,
+      s"BPE merge list collides on merged-symbol string(s) " +
+        s"${collided.keys.toSeq.sorted.take(5).mkString(", ")} — the " +
+        "replay≡fixpoint encode-oracle identity does not hold on this corpus")
+  }
+
   val dictCap = 4096
   val numMerges = 50
 
@@ -306,9 +325,11 @@ object Bpe {
   val bpeEncode: QueryDef = QueryDef(
     "c19_bpe_encode", "C19 C20", bpeEncodeOracleSql(dictCap, numMerges)) { (s, d) =>
     import s.implicits._
-    val ranks: Map[(String, String), Int] =
-      trainMerges(boundedDict(Tables.documents(s, d), dictCap), numMerges)
-        .zipWithIndex.toMap
+    val merges = trainMerges(boundedDict(Tables.documents(s, d), dictCap), numMerges)
+    // fail loudly if this corpus learned string-colliding merges — the one
+    // case where the replay-form oracle diverges from the fixpoint encode
+    requireNoMergeCollisions(merges)
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
     // repartition before the encode: the per-word merge loop is the CPU
     // stage, and a single-row-group scan would otherwise run it in one task
     Tables.documents(s, d)

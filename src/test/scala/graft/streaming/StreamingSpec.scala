@@ -688,4 +688,101 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.count() === 3L)
     assert(replayed.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
+
+  test("C17 restart-from-checkpoint: watermark-dedup state survives a stop/start " +
+    "and keeps dropping pre-restart duplicates") {
+    // round-17 directive: the one recovery path the other tests don't
+    // cover — a stateful query STOPPED mid-stream and a NEW query started
+    // over the SAME checkpoint dir. The dedup state must carry: a
+    // duplicate of a pre-restart id arriving after the restart is dropped
+    // by the restored state, and nothing already committed re-emits.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_dedup_restart").toString
+    val in = MemoryStream[(Long, Timestamp)]
+    val plan = StreamingJobs.dedupWithinWatermark(in.toDF().toDF("event_id", "ts"))
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // restartable sink surface (same as the idempotent parquet sink)
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, event_id)
+    def start() = plan.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ids = batch.select("event_id").collect().map(_.getLong(0))
+        emitted.synchronized { emitted ++= ids.map(id -> _) }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")),
+      (1L, ts("2024-01-01 10:02:00"))) // in-batch dup
+    q1.processAllAvailable()
+    q1.stop()
+    val preRestart = emitted.synchronized(emitted.toSeq)
+    assert(preRestart.map(_._2).sorted === Seq(1L, 2L))
+    val maxBatchPre = preRestart.map(_._1).max
+    // post-restart feed: a duplicate of pre-restart id 1 (still inside the
+    // 10-minute horizon) plus a genuinely new id 3
+    in.addData((1L, ts("2024-01-01 10:03:00")), (3L, ts("2024-01-01 10:04:00")))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val afterRestart = emitted.synchronized(emitted.toSeq)
+      .filter(_._1 > maxBatchPre).map(_._2).sorted
+    assert(afterRestart === Seq(3L),
+      s"restart broke dedup state: expected only the new id 3, got " +
+        s"${afterRestart.mkString(",")} (1 = state lost, 1/2 re-emitted = " +
+        "offsets replayed past the commit)")
+  }
+
+  test("C16 restart-from-checkpoint: transformWithState running totals continue " +
+    "across a stop/start on RocksDB") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_totals_restart").toString
+      val in = MemoryStream[Ev]
+      val plan = StreamingJobs.perUserRunningTotalsV2(in.toDS())
+      val emitted = new scala.collection.mutable.ArrayBuffer[(Long, (Long, Long, Long))]()
+      def start() = plan.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingJobs.SessionAgg], id: Long) =>
+          val rs = batch.collect().map(a => (a.user_id, a.n_events, a.n_purchases))
+          emitted.synchronized { emitted ++= rs.map(id -> _) }
+          ()
+        }.start()
+      val q1 = start()
+      in.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click"),
+        Ev(1L, ts("2024-01-01 10:01:00"), "purchase"),
+        Ev(2L, ts("2024-01-01 10:02:00"), "click"))
+      q1.processAllAvailable()
+      q1.stop()
+      val maxBatchPre = emitted.synchronized(emitted.toSeq).map(_._1).max
+      // restart over the same checkpoint; feed more events for an existing
+      // user and a brand-new one
+      in.addData(
+        Ev(1L, ts("2024-01-01 10:05:00"), "purchase"),
+        Ev(9L, ts("2024-01-01 10:06:00"), "click"))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = emitted.synchronized(emitted.toSeq)
+        .filter(_._1 > maxBatchPre).map(_._2).toSet
+      // user 1 CONTINUES from the restored state (2 events + 1 purchase
+      // pre-restart → 3 events, 2 purchases after), user 9 starts fresh,
+      // and user 2 (no post-restart rows) must not re-emit in Update mode
+      assert(rows === Set((1L, 3L, 2L), (9L, 1L, 0L)),
+        s"restart broke running-total state: $rows (user 1 at (1,1) = " +
+          "state lost; user 2 present = stale re-emission)")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -82,6 +82,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("dabc", ranks).toSeq === Seq("dabc"))
   }
 
+  test("the collision guard fires on planted string-colliding merges") {
+    // round-17 directive: the oracle identity's boundary is CHECKED in the
+    // registered query, not just pinned here — prove the guard actually
+    // fires on the exact counter-example the identity breaks on
+    val planted = Seq(("a", "b"), ("b", "c"), ("a", "bc"), ("d", "abc"), ("ab", "c"))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.requireNoMergeCollisions(planted)
+    }
+    assert(e.getMessage.contains("abc") && e.getMessage.contains("replay"),
+      s"guard fired with an undiagnostic message: ${e.getMessage}")
+    // a duplicate of the SAME pair is not a collision (same merge path) —
+    // the guard must not fire on it
+    Bpe.requireNoMergeCollisions(Seq(("a", "b"), ("a", "b")))
+  }
+
+  test("the real corpus' learned merges pass the collision guard") {
+    val merges = Bpe.trainMerges(
+      Bpe.boundedDict(graft.Tables.documents(spark, sf), Bpe.dictCap), Bpe.numMerges)
+    Bpe.requireNoMergeCollisions(merges) // throws = this corpus broke the premise
+  }
+
   test("registered train/encode queries are deterministic and consistent on real data") {
     val m1 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq
     val m2 = Bpe.bpeTrain.fn(spark, sf).collect().map(_.toString).toSeq

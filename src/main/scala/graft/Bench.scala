@@ -38,7 +38,10 @@ object Bench {
     // the queries whose in-suite/isolated gap has been flagged across
     // rounds — the isolated record exists to adjudicate exactly these —
     // plus the round-11 triangle join, the other multi-stage graph shape
-    "c14_pagerank", "c14_recursive_cte", "c14_triangle_count")
+    "c14_pagerank", "c14_recursive_cte", "c14_triangle_count",
+    // round 17: the persisted-layout query path, measured against
+    // c14_pagerank (the in-query twin) — the build-once/query-many split
+    "c14_pagerank_from_layout")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

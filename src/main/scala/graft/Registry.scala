@@ -9,6 +9,7 @@ object Registry {
 
   val defs: Seq[QueryDef] =
     graft.queries.Relational.all ++
+      graft.queries.PageRankLayout.all ++
       graft.queries.EtlQueries.all ++
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++

@@ -1959,28 +1959,35 @@ object Relational {
       |r3 AS (SELECT nodes.id, round(0.15 / nn.cnt + 0.85 * coalesce(c3.c, 0.0), 9) AS r
       |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
       |SELECT id AS part_id, r AS rank FROM r3 ORDER BY part_id""".stripMargin) { (s, d) =>
+    pageRankRanks(coPurchaseEdges(s, d), iters = 3)
+      .select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")
+  }
+
+  /** Weighted co-purchase multi-edge list (src, dst, w) over parts — the
+    * graph both PageRank formulations ([[c14PageRank]] and the persisted
+    * layout in [[PageRankLayout]]) iterate over.
+    *
+    * Pair generation as a same-key self-join — the oracle's own e0 shape:
+    * one exchange on l_orderkey that AQE reuses for both sides
+    * (ReusedExchange), pairs emitted by a fully-codegen'd shuffled hash
+    * join. Lineitem rows are PRE-AGGREGATED to per-(order, part)
+    * multiplicities m BEFORE the self-join (partial map-side combine on
+    * the same l_orderkey exchange), so the join streams one row per
+    * distinct part per order instead of one per lineitem row and emits
+    * the pair weight m_src·m_dst directly — the identical multiset total
+    * (Σ_orders m_a·m_b, exact small-integer arithmetic) through a
+    * quadratically narrower pair stream. Row pairs with equal parts
+    * (including a row paired with itself) are excluded by src ≠ dst. */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select("l_orderkey", "l_partkey")
-    // pair generation as a same-key self-join — the oracle's own e0 shape:
-    // one exchange on l_orderkey that AQE reuses for both sides
-    // (ReusedExchange), pairs emitted by a fully-codegen'd shuffled hash
-    // join. Lineitem rows are PRE-AGGREGATED to per-(order, part)
-    // multiplicities m BEFORE the self-join (partial map-side combine on
-    // the same l_orderkey exchange), so the join streams one row per
-    // distinct part per order instead of one per lineitem row and emits
-    // the pair weight m_src·m_dst directly — the identical multiset total
-    // (Σ_orders m_a·m_b, exact small-integer arithmetic) through a
-    // quadratically narrower pair stream. Row pairs with equal parts
-    // (including a row paired with itself) are excluded by src ≠ dst.
     val lim = li.groupBy(col("l_orderkey").as("k"), col("l_partkey").as("p"))
       .agg(count(lit(1)).as("m"))
-    val edges = lim.select(col("k"), col("p").as("src"), col("m").as("ma"))
+    lim.select(col("k"), col("p").as("src"), col("m").as("ma"))
       .join(lim.select(col("k"), col("p").as("dst"), col("m").as("mb"))
         .hint("shuffle_hash"), "k")
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (col("ma") * col("mb")).cast(DoubleType).as("w"))
-    pageRankRanks(edges, iters = 3)
-      .select(col("id").as("part_id"), col("r").as("rank")).orderBy("part_id")
   }
 
   /** Damped (d = 0.85) power iteration over a directed edge list: either a

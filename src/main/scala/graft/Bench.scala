@@ -41,7 +41,12 @@ object Bench {
     "c14_pagerank", "c14_recursive_cte", "c14_triangle_count",
     // round 17: the persisted-layout query path, measured against
     // c14_pagerank (the in-query twin) — the build-once/query-many split
-    "c14_pagerank_from_layout")
+    "c14_pagerank_from_layout",
+    // round 17: the pair-generating plans the sf10 rung now tracks
+    // (r16 verdict directive 4) — headliner status gives them the iso
+    // sf0.1/sf1 counterparts the scaling exponents are computed from
+    "pipeline_span_dedup_apply", "c17_passage_dedup", "c17_containment",
+    "c17_editdist_join", "c17_incremental_dedup")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

@@ -51,7 +51,11 @@ class RecordsSpec extends SparkSpec {
   // ghost/canary/sf guards apply, coverage and the zero-spill claim don't
   private val inSuite = Seq("BENCHFULL.json", "BENCH_SF1.json", "BENCH_LOCAL8.json")
   private val all = inSuite ++ Seq("BENCHISO.json", "BENCHISO_SF1.json",
-    "BENCH_SF10.json", "BENCHISO_SF10.json")
+    "BENCH_SF10.json", "BENCHISO_SF10.json",
+    // the skewed decade (scripts/bench_sf10skew.sh) — subset records like
+    // the SF10 pair: ghost/canary/sf guards apply, coverage doesn't
+    "BENCH_SF1SKEW.json", "BENCHISO_SF1SKEW.json",
+    "BENCH_SF10SKEW.json", "BENCHISO_SF10SKEW.json")
 
   test("committed in-suite records cover the full registry (no silent gaps)") {
     val allow = sys.env.contains("SPARK_GRAFT_ALLOW_STALE_BENCH")
@@ -133,7 +137,11 @@ class RecordsSpec extends SparkSpec {
       "BENCH_SF1.json" -> (_ == "sf1"),
       "BENCHISO_SF1.json" -> (_ == "sf1"),
       "BENCH_SF10.json" -> (_ == "sf10"),
-      "BENCHISO_SF10.json" -> (_ == "sf10"))
+      "BENCHISO_SF10.json" -> (_ == "sf10"),
+      "BENCH_SF1SKEW.json" -> (_ == "sf1skew"),
+      "BENCHISO_SF1SKEW.json" -> (_ == "sf1skew"),
+      "BENCH_SF10SKEW.json" -> (_ == "sf10skew"),
+      "BENCHISO_SF10SKEW.json" -> (_ == "sf10skew"))
     all.foreach { f =>
       record(f).foreach { r =>
         val sf = Option(r.get("sf")).map(_.asText("")).getOrElse("")

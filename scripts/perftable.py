@@ -138,6 +138,14 @@ lines += [
     "propagation. c14_pagerank itself stays registered as the",
     "no-precomputation form at its documented Theta(edges*iters) floor.",
     "",
+    "from_layout anatomy (graft.ProfileQuery, sf0.1, warm layout, round",
+    "17): reps 2-3 read 2.1-2.2 s wall / 8.8-9.8 s proc-cpu / 2.6-2.7 s",
+    "executor task-cpu vs the in-query twin's 4.3-4.6 / 48-53 / 35.6-35.9",
+    "above - 13x less distributed work, because the ~33 s the twin spends",
+    "regenerating and caching the pair join is simply absent; what",
+    "remains is the three iterations' bucketed scans + contribution",
+    "aggregates and their rank-table writes.",
+    "",
     f"Suite totals: in-suite sf0.1 {full.get('value', '—')} s over "
     f"{len(full.get('queries', {}))} queries (reps={full.get('reps', '?')}, "
     f"spill={full.get('spilled_bytes', '?')} B, "

@@ -31,12 +31,16 @@ c12_window_funcs,c8_asof_join,c16_session_window,b3_per_user_stats,\
 c17_minhash_lsh,c17_ngram_jaccard,c17_dedup_clusters,\
 c17_embedding_neardup_lsh,c18_knn_agg,c18_ann_ivf,c19_quality_score,\
 pipeline_curate,c14_pagerank,c14_triangle_count,\
-c14_pagerank_from_layout,\
+c14_pagerank_from_layout,c14_pagerank_layout_build,\
+c18_ann_index_build,c18_ann_ivfpq_from_index,\
 pipeline_span_dedup_apply,c17_passage_dedup,c17_containment,\
 c17_editdist_join,c17_incremental_dedup"
 # round-17 additions: the persisted-layout PageRank query path (measured
 # against c14_pagerank, the in-query twin) and the five pair-generating
 # plans the r16 verdict flagged as unmeasured past sf1 (directive 4).
+# round-18 additions (r17 verdict directive 4): the persisted-artifact
+# BUILD paths and the ANN from-index query, so both artifacts' build-vs-
+# amortize claims carry a full decade of evidence.
 
 echo "[sf10] compile gate"
 sbt -batch Test/compile

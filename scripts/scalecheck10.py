@@ -168,11 +168,13 @@ def section(tag_suffix, title, sf1_full, sf1_iso, sf10_full, sf10_iso):
 
 
 def splice(text, tag_suffix, block):
-    start_marker = f"<!-- AUTOGEN{tag_suffix}"
+    # ADVICE r17 #2: the uniform start marker must not be a PREFIX of the
+    # skew one ("<!-- AUTOGEN" matches "<!-- AUTOGEN-SKEW" first if the
+    # skew block ever precedes the uniform block) — anchor on the space
+    # before "round", which the suffixed marker never has at that offset
+    start_marker = f"<!-- AUTOGEN{tag_suffix} round"
     end_marker = f"<!-- /AUTOGEN{tag_suffix} -->"
     start = text.find(start_marker)
-    # the uniform markers ("AUTOGEN ") must not match the skew ones
-    # ("AUTOGEN-SKEW"), so anchor the end search from the start hit
     end = text.find(end_marker, start if start >= 0 else 0)
     if start >= 0 and end >= 0:
         return text[:start] + block + text[end + len(end_marker):]

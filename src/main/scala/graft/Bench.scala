@@ -42,6 +42,12 @@ object Bench {
     // round 17: the persisted-layout query path, measured against
     // c14_pagerank (the in-query twin) — the build-once/query-many split
     "c14_pagerank_from_layout",
+    // round 18: the other persisted-artifact legs, so BOTH artifacts'
+    // build AND query paths carry iso sf0.1/sf1 counterparts for the sf10
+    // scaling exponents (r17 verdict directive 4 — the "benched at every
+    // rung" claim now holds for the ANN pair too)
+    "c14_pagerank_layout_build", "c18_ann_index_build",
+    "c18_ann_ivfpq_from_index",
     // round 17: the pair-generating plans the sf10 rung now tracks
     // (r16 verdict directive 4) — headliner status gives them the iso
     // sf0.1/sf1 counterparts the scaling exponents are computed from

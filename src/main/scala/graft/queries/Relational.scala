@@ -1978,8 +1978,16 @@ object Relational {
     * (Σ_orders m_a·m_b, exact small-integer arithmetic) through a
     * quadratically narrower pair stream. Row pairs with equal parts
     * (including a row paired with itself) are excluded by src ≠ dst. */
-  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchaseEdgesFrom(lineitem(s, d).select("l_orderkey", "l_partkey"))
+
+  /** Same pair pipeline over a CALLER-SUPPLIED (l_orderkey, l_partkey)
+    * frame — the incremental-maintenance entry ([[PageRankLayout
+    * .appendLayout]] feeds ONLY an appended batch of whole orders through
+    * it, so the delta pair join never touches the already-indexed corpus;
+    * pairs never span orders, so an order-complete batch yields exactly
+    * the full rebuild's new pairs). */
+  private[graft] def coPurchaseEdgesFrom(li: DataFrame): DataFrame = {
     val lim = li.groupBy(col("l_orderkey").as("k"), col("l_partkey").as("p"))
       .agg(count(lit(1)).as("m"))
     lim.select(col("k"), col("p").as("src"), col("m").as("ma"))

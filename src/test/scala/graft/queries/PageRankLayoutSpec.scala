@@ -54,6 +54,107 @@ class PageRankLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("append ≡ from-scratch rebuild; only the delta touches raw lineitem") {
+    // expectation: the full-corpus build (stored src,dst,w,wn)
+    PageRankLayout.buildLayout(spark, sf)
+    val full = spark.table(PageRankLayout.edgesTable(sf))
+      .orderBy("src", "dst").collect().map(_.toString).toSeq
+    // old snapshot: built from a DELETABLE lineitem copy under its own root
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_append").toFile
+    val key = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(key)))
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val oldPath = s"$key/old_lineitem.parquet"
+    li.where(pmod(col("l_orderkey"), lit(8)) =!= 0).write.parquet(oldPath)
+    PageRankLayout.buildLayoutFrom(spark, key, spark.read.parquet(oldPath))
+    // batch held IN MEMORY (order-complete: whole orders), then the old
+    // snapshot's file is DELETED — any append-path rescan of the already-
+    // indexed corpus now fails loudly
+    val batchRows = li.where(pmod(col("l_orderkey"), lit(8)) === 0).collect().toSeq
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows, 2), li.schema)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oldPath))
+    PageRankLayout.appendLayout(spark, key, batch)
+    val appended = spark.table(PageRankLayout.edgesTable(key))
+      .orderBy("src", "dst").collect().map(_.toString).toSeq
+    assert(appended === full,
+      "append-maintained layout diverged from the from-scratch rebuild")
+    // folded fingerprint equals the full corpus' — ensure would reuse it
+    val meta = spark.read.parquet(s"${PageRankLayout.layoutRoot(key)}/meta").head()
+    val liveFp = graft.util.CorpusFingerprint.of(li, col("l_orderkey"), col("l_partkey"))
+    assert(meta.getAs[Long]("lineitem_count") === liveFp.count)
+    assert(meta.getAs[Long]("fp_xor") === liveFp.xorFp)
+    assert(new java.math.BigDecimal(meta.getAs[String]("fp_sum"))
+      .compareTo(liveFp.sumFp) === 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  test("a same-count content change triggers a layout rebuild; an unchanged corpus does not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_mut").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(dir)))
+    val src = graft.Tables.lineitem(spark, sf)
+    src.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    PageRankLayout.buildLayout(spark, dir)
+    val root = PageRankLayout.layoutRoot(dir)
+    def metaXor: Long = spark.read.parquet(s"$root/meta").head().getAs[Long]("fp_xor")
+    def edgeListing: Set[(String, Long)] =
+      new java.io.File(s"$root/edges").listFiles()
+        .map(f => f.getName -> f.lastModified).toSet
+    val xorBefore = metaXor
+    val before = edgeListing
+    PageRankLayout.ensureLayout(spark, dir)
+    assert(edgeListing === before, "fresh layout was rebuilt needlessly")
+    // swap one row's l_partkey — count preserved, graph changed
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet").collect().toSeq
+    val mutKey = rows.head.getAs[Long]("l_orderkey")
+    val mutPart = rows.head.getAs[Long]("l_partkey")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), src.schema)
+      .withColumn("l_partkey",
+        when(col("l_orderkey") === mutKey && col("l_partkey") === mutPart,
+          col("l_partkey") + 1000000L).otherwise(col("l_partkey")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(spark.read.parquet(s"$dir/lineitem.parquet").count() === rows.size.toLong)
+    PageRankLayout.ensureLayout(spark, dir)
+    assert(metaXor !== xorBefore,
+      "same-count content change did not trigger a rebuild — stale graph served")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("fresh-catalog redeclaration over surviving files: no rebuild, zero-Exchange " +
+    "iteration join, bit-identical ranks") {
+    PageRankLayout.ensureLayout(spark, sf)
+    val before = PageRankLayout.fromLayoutRanks(spark, sf, iters = 3)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val root = PageRankLayout.layoutRoot(sf)
+    def edgeListing: Set[String] =
+      new java.io.File(s"$root/edges").listFiles().map(_.getName).toSet
+    val files = edgeListing
+    // the fresh-JVM state: stored files survive, catalog declarations don't
+    spark.sql(s"DROP TABLE IF EXISTS ${PageRankLayout.edgesTable(sf)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${PageRankLayout.nodesTable(sf)}")
+    PageRankLayout.ensureLayout(spark, sf)
+    assert(edgeListing === files,
+      "redeclaration path rebuilt the layout instead of reusing the files")
+    // a wrong re-declared bucket count would silently reintroduce the
+    // Exchange — pin the join shape over the REDECLARED tables
+    val edges = spark.table(PageRankLayout.edgesTable(sf))
+    val rank = spark.table(PageRankLayout.rankTable(sf, "result"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = edges.join(rank.hint("shuffle_hash"), col("id") === col("src"))
+      j.collect()
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"),
+        s"redeclared tables lost the Exchange-free bucketed join:\n$jPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val after = PageRankLayout.fromLayoutRanks(spark, sf, iters = 3)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    assert(after === before, "redeclared layout changed the ranks")
+  }
+
   test("stale layout (corpus fingerprint mismatch) is rebuilt, fresh one reused") {
     PageRankLayout.ensureLayout(spark, sf)
     val root = PageRankLayout.layoutRoot(sf)

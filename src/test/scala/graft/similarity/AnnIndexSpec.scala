@@ -97,6 +97,100 @@ class AnnIndexSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("append ≡ from-scratch rebuild; the old corpus is never rescanned or re-encoded") {
+    import graft.Tables
+    // expectation: the full-corpus build at the real corpus root
+    freshIndex()
+    val full = Similarity.annIndexBuild.fn(spark, sf).collect().map(_.toString).toSeq
+    // old snapshot: written to a DELETABLE copy, keyed by its own index root
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_append").toFile
+    val corpusKey = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.annIndexRoot(corpusKey)))
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val oldPath = s"$corpusKey/old_embeddings.parquet"
+    emb.where(pmod(col("vec_id"), lit(4)) =!= 3).write.parquet(oldPath)
+    Similarity.buildAnnIndexFrom(spark, corpusKey, spark.read.parquet(oldPath))
+    // batch held IN MEMORY, then the old snapshot's file is DELETED: any
+    // append-path read of the old corpus now fails loudly instead of
+    // silently rescanning/re-encoding it
+    val batchRows = emb.where(pmod(col("vec_id"), lit(4)) === 3).collect().toSeq
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows, 2), emb.schema)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oldPath))
+    Similarity.appendAnnIndex(spark, corpusKey, batch)
+    val appended = spark.read.parquet(s"${Similarity.annIndexRoot(corpusKey)}/codes")
+      .select(col("vec_id"), col("c_id"), col("s"), col("code"))
+      .orderBy("vec_id", "s").collect().map(_.toString).toSeq
+    assert(appended === full,
+      "append-maintained index diverged from the from-scratch rebuild")
+    // and the folded fingerprint equals the full corpus' — queries see old∪new
+    val meta = spark.read.parquet(s"${Similarity.annIndexRoot(corpusKey)}/meta").head()
+    val liveFp = graft.util.CorpusFingerprint.of(emb, col("vec_id"), col("embedding"))
+    assert(meta.getAs[Long]("corpus_count") === liveFp.count)
+    assert(meta.getAs[Long]("fp_xor") === liveFp.xorFp)
+    assert(new java.math.BigDecimal(meta.getAs[String]("fp_sum"))
+      .compareTo(liveFp.sumFp) === 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  test("append refuses a batch that would have entered the training sample") {
+    freshIndex()
+    Similarity.buildAnnIndex(spark, sf)
+    import spark.implicits._
+    // vec_id ≡ 0 mod 4 is the training stratum; the sf0.001 sample is
+    // unsaturated (125 < 4096), so ANY stratum member would retrain —
+    // append-without-retrain must refuse instead of silently diverging
+    val offending = Seq((100000L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Similarity.appendAnnIndex(spark, sf, offending)
+    }
+    assert(e.getMessage.contains("training sample"))
+    // a stratum-disjoint batch with the same geometry is accepted
+    Similarity.appendAnnIndex(spark, sf,
+      Seq((100001L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding"))
+  }
+
+  test("a same-count content change triggers a rebuild; an unchanged corpus does not") {
+    import graft.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_mut").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.annIndexRoot(dir)))
+    val src = Tables.embeddings(spark, sf)
+    src.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.buildAnnIndex(spark, dir)
+    val root = Similarity.annIndexRoot(dir)
+    def metaXor: Long = spark.read.parquet(s"$root/meta").head().getAs[Long]("fp_xor")
+    def codesListing: Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/codes")).map(f => f.getPath -> f.lastModified).toSet
+    }
+    val xorBefore = metaXor
+    val before = codesListing
+    // unchanged corpus: ensure is a no-op on the stored artifact
+    Similarity.ensureAnnIndex(spark, dir)
+    assert(codesListing === before, "fresh index was rebuilt needlessly")
+    // same-count mutation: negate one row's embedding, rewrite the corpus
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet").collect().toSeq
+    val mutId = rows.head.getAs[Long]("vec_id")
+    val mutated = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), src.schema)
+      .withColumn("embedding",
+        when(col("vec_id") === mutId,
+          transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+      .collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(mutated, 2), src.schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").count() === rows.size.toLong,
+      "mutation was supposed to preserve the row count")
+    Similarity.ensureAnnIndex(spark, dir)
+    assert(metaXor !== xorBefore,
+      "same-count content change did not trigger a rebuild — stale index served")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("a stale index (corpus fingerprint mismatch) triggers a rebuild") {
     freshIndex()
     val root = Similarity.buildAnnIndex(spark, sf)

@@ -198,12 +198,14 @@ object PageRankLayout {
     * _layout_append` shares the full-build oracle VERBATIM on exactly
     * that claim.
     *
-    * The merged frame is materialized (eager localCheckpoint) before the
-    * overwrite because it reads the table it replaces; a production
-    * deployment writes each snapshot to a fresh versioned location and
-    * swaps catalog pointers instead (same plan, no barrier). Fingerprint
-    * maintenance is incremental: stored fp ⊕ batch fp — the old corpus is
-    * not rehashed either. */
+    * The merged snapshot is written to a NEW versioned location and then
+    * swapped in — never overwriting the table it reads, never caching the
+    * corpus-sized frame (an eager-checkpoint variant filled the storage
+    * pool with the edge frame and squeezed the write's sort into a 722 MB
+    * spill at sf1; the snapshot swap is both spill-free and the shape a
+    * production table format runs — write new files, swap the pointer).
+    * Fingerprint maintenance is incremental: stored fp ⊕ batch fp — the
+    * old corpus is not rehashed either. */
   def appendLayout(spark: SparkSession, dataDir: String, batchLi: DataFrame): Unit = {
     val root = layoutRoot(dataDir)
     val meta = spark.read.parquet(s"$root/meta").head()
@@ -216,11 +218,26 @@ object PageRankLayout {
       .unionByName(delta)
       .repartition(buckets, col("src"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    val edgesN = normalized(merged).localCheckpoint(true)
-    writeLayout(spark, dataDir, edgesN, buckets,
+    // write the next snapshot while the current one is still readable...
+    val nextTable = edgesTable(dataDir) + "_next"
+    writeBucketed(spark, normalized(merged), nextTable,
+      s"$root/edges_next", "src", buckets)
+    // ...then swap: the bucketed files move as-is, the declaration repeats
+    // the layout they were written with
+    spark.sql(s"DROP TABLE IF EXISTS ${edgesTable(dataDir)}")
+    spark.sql(s"DROP TABLE IF EXISTS $nextTable")
+    deleteRecursively(new java.io.File(s"$root/edges"))
+    require(new java.io.File(s"$root/edges_next")
+      .renameTo(new java.io.File(s"$root/edges")),
+      s"appendLayout: snapshot swap failed for $root/edges")
+    declare(spark, edgesTable(dataDir), s"$root/edges", "src", buckets)
+    val edgesN = spark.table(edgesTable(dataDir))
+    val nodes = edgesN.select(col("src").as("id")).distinct()
+    writeBucketed(spark, nodes.repartition(buckets, col("id")),
+      nodesTable(dataDir), s"$root/nodes", "id", buckets)
+    val nodeCount = spark.table(nodesTable(dataDir)).count()
+    writeMeta(spark, root, nodeCount, buckets,
       metaFp(meta).fold(liFingerprint(batchLi)))
-    edgesN.unpersist(false)
-    ()
   }
 
   /** Trust a stored layout only while its fingerprint — row count AND

@@ -34,13 +34,19 @@ pipeline_curate,c14_pagerank,c14_triangle_count,\
 c14_pagerank_from_layout,c14_pagerank_layout_build,\
 c18_ann_index_build,c18_ann_ivfpq_from_index,\
 pipeline_span_dedup_apply,c17_passage_dedup,c17_containment,\
-c17_editdist_join,c17_incremental_dedup"
+c17_editdist_join,c17_incremental_dedup,\
+c19_bigram_ppl,c14_pagerank_layout_delete,c18_ann_index_delete"
 # round-17 additions: the persisted-layout PageRank query path (measured
 # against c14_pagerank, the in-query twin) and the five pair-generating
 # plans the r16 verdict flagged as unmeasured past sf1 (directive 4).
 # round-18 additions (r17 verdict directive 4): the persisted-artifact
 # BUILD paths and the ANN from-index query, so both artifacts' build-vs-
 # amortize claims carry a full decade of evidence.
+# round-19 additions (r18 verdict directives 3+7): c19_bigram_ppl — the
+# steepest member of the round-18 (doc,term) count-table family (1.58 s
+# at sf0.1 vs 1.41/0.82 for nb/dsir, and the only one whose state is a
+# BIGRAM table) — and both artifacts' DELETE maintenance legs, so the
+# inverse-maintenance claim carries decade evidence like the builds.
 
 echo "[sf10] compile gate"
 sbt -batch Test/compile

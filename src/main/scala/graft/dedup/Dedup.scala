@@ -522,7 +522,11 @@ object Dedup {
     * scalar action per round. `localCheckpoint` truncates the iterative
     * lineage so plans stay constant-size. The classic alternating
     * large-star/small-star optimization would cut rounds for deep chains;
-    * unnecessary here by the near-clique structure.
+    * unnecessary here by the near-clique structure — and if a corpus ever
+    * violates that assumption (a dup CHAIN deeper than maxIter), the loop
+    * FAILS LOUDLY instead of returning partially-propagated labels: wrong
+    * cluster ids with no error would be the worst possible outcome for a
+    * dedup survivor pick (round-18 verdict robustness item).
     *
     * @param pairs near-dup pairs (doc_a, doc_b), doc_a < doc_b
     * @return (doc_id, cluster_id) for every doc in a cluster of size >= 2
@@ -557,6 +561,12 @@ object Dedup {
       labelSum = nextSum
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds: " +
+        "the pair graph contains a component whose diameter exceeds the " +
+        "near-clique assumption (a deep duplicate chain). Returning the " +
+        "current labels would assign WRONG cluster ids silently — raise " +
+        "maxIter (rounds needed = component diameter) instead")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

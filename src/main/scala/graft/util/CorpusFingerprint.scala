@@ -44,6 +44,14 @@ object CorpusFingerprint {
     def fold(batch: Fp): Fp =
       Fp(count + batch.count, xorFp ^ batch.xorFp, sumFp.add(batch.sumFp))
 
+    /** Remove a deleted batch's fingerprint from this one — the exact
+      * inverse of [[fold]] (counts subtract, XOR is its own inverse, sums
+      * subtract). Only sound when the batch's rows are genuinely a
+      * sub-multiset of the corpus this fingerprint covers; the delete
+      * paths verify that structurally before un-folding. */
+    def unfold(batch: Fp): Fp =
+      Fp(count - batch.count, xorFp ^ batch.xorFp, sumFp.subtract(batch.sumFp))
+
     def matches(other: Fp): Boolean =
       count == other.count && xorFp == other.xorFp &&
         sumFp.compareTo(other.sumFp) == 0
@@ -55,7 +63,10 @@ object CorpusFingerprint {
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
         sum(col("h").cast(DecimalType(38, 0))).as("s"))
       .head()
-    Fp(r.getLong(0), r.getLong(1),
+    // bit_xor/sum over ZERO rows both return null — an empty corpus has
+    // the well-defined identity fingerprint (0, 0, 0), consistent with
+    // Fp.fold's unit, not an NPE out of Row.getLong
+    Fp(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
       Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
   }
 }

@@ -141,11 +141,28 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(
       10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
       100L -> 100L, 200L -> 100L))
-    // maxIter below the path diameter must NOT be enough — pins that the
-    // loop really iterates rather than solving everything in one pass
-    val early = Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    // maxIter below the path diameter must FAIL LOUDLY — partially-
+    // propagated labels are wrong cluster ids, never a silent return
+    val raised = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+    assert(raised.getMessage.contains("did not converge"))
+  }
+
+  test("a duplicate chain deeper than maxIter raises instead of returning " +
+    "wrong cluster ids") {
+    import spark.implicits._
+    // a 30-vertex path: diameter 29 > default maxIter 20 — the planted
+    // violation of the near-clique assumption (round-18 verdict item)
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val raised = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain).collect()
+    }
+    assert(raised.getMessage.contains("maxIter"))
+    // raising maxIter past the diameter converges to the single min label
+    val ok = Dedup.connectedComponents(chain, maxIter = 40).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(early(40L) === 30L) // one round: 40 only sees its neighbor 30
+    assert(ok.values.toSet === Set(0L) && ok.size === 30)
   }
 
   test("connected components under a reliable checkpoint dir: same labels, files written") {

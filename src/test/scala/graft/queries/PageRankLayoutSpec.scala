@@ -6,8 +6,17 @@ import graft.SparkSpec
 
 /** The persisted co-partitioned PageRank layout: parity with the in-query
   * path, the zero-Exchange iteration join the layout exists to provide,
-  * and the staleness contract. */
+  * the staleness contract, and — round 19 — the generational store's
+  * fail-loud order-complete guards, delete maintenance, and
+  * reader-stability across a concurrent append. */
 class PageRankLayoutSpec extends SparkSpec {
+
+  private def currentEdgesName(dataDir: String): String =
+    PageRankLayout.edgesTable(dataDir, PageRankLayout.currentGen(spark, dataDir))
+  private def currentNodesName(dataDir: String): String =
+    PageRankLayout.nodesTable(dataDir, PageRankLayout.currentGen(spark, dataDir))
+  private def genRoot(dataDir: String): String =
+    s"${PageRankLayout.layoutRoot(dataDir)}/v=${PageRankLayout.currentGen(spark, dataDir)}"
 
   test("from-layout ranks match the in-query pageRankRanks bit-for-bit") {
     val inQuery = Relational.pageRankRanks(
@@ -23,8 +32,8 @@ class PageRankLayoutSpec extends SparkSpec {
     PageRankLayout.ensureLayout(spark, sf)
     // the rank tables exist after any from-layout run; make it explicit
     PageRankLayout.fromLayoutRanks(spark, sf, iters = 1)
-    val edges = spark.table(PageRankLayout.edgesTable(sf))
-    val nodes = spark.table(PageRankLayout.nodesTable(sf))
+    val edges = spark.table(currentEdgesName(sf))
+    val nodes = spark.table(currentNodesName(sf))
     val rank = spark.table(PageRankLayout.rankTable(sf, "b"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -57,7 +66,7 @@ class PageRankLayoutSpec extends SparkSpec {
   test("append ≡ from-scratch rebuild; only the delta touches raw lineitem") {
     // expectation: the full-corpus build (stored src,dst,w,wn)
     PageRankLayout.buildLayout(spark, sf)
-    val full = spark.table(PageRankLayout.edgesTable(sf))
+    val full = spark.table(currentEdgesName(sf))
       .orderBy("src", "dst").collect().map(_.toString).toSeq
     // old snapshot: built from a DELETABLE lineitem copy under its own root
     val tmp = java.nio.file.Files.createTempDirectory("graft_pr_append").toFile
@@ -76,7 +85,7 @@ class PageRankLayoutSpec extends SparkSpec {
       spark.sparkContext.parallelize(batchRows, 2), li.schema)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oldPath))
     PageRankLayout.appendLayout(spark, key, batch)
-    val appended = spark.table(PageRankLayout.edgesTable(key))
+    val appended = spark.table(currentEdgesName(key))
       .orderBy("src", "dst").collect().map(_.toString).toSeq
     assert(appended === full,
       "append-maintained layout diverged from the from-scratch rebuild")
@@ -90,6 +99,113 @@ class PageRankLayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("append refuses a batch whose orders already exist in the layout " +
+    "(order-complete guard is fail-loud, not documentation)") {
+    PageRankLayout.ensureLayout(spark, sf)
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    // new rows for an EXISTING order: merging them from the batch alone
+    // would silently drop the old-row × new-row pairs within the order
+    val existingOrder = li.limit(1).collect().head.getLong(0)
+    import spark.implicits._
+    val partial = Seq((existingOrder, 999991L), (existingOrder, 999992L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = intercept[IllegalStateException] {
+      PageRankLayout.appendLayout(spark, sf, partial)
+    }
+    assert(e.getMessage.contains("not order-complete"))
+    // restore the exact-corpus layout for later suites
+    PageRankLayout.ensureLayout(spark, sf)
+  }
+
+  test("delete ≡ from-scratch rebuild over the reduced corpus; guards " +
+    "refuse partial or unknown orders") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_delete").toFile
+    val key = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(key)))
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val liPath = s"$key/lineitem_copy.parquet"
+    li.write.parquet(liPath)
+    PageRankLayout.buildLayoutFrom(spark, key, spark.read.parquet(liPath))
+    // expectation: a from-scratch build over the reduced corpus
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_pr_delete_exp").toFile
+    val expKey = tmp2.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(expKey)))
+    PageRankLayout.buildLayoutFrom(spark, expKey,
+      li.where(pmod(col("l_orderkey"), lit(8)) =!= 0))
+    val expected = spark.table(currentEdgesName(expKey))
+      .orderBy("src", "dst").collect().map(_.toString).toSeq
+    // the delete batch held in memory, then the corpus copy DELETED: the
+    // delete path must derive everything from the batch + stored aggregates
+    val batchRows = li.where(pmod(col("l_orderkey"), lit(8)) === 0).collect().toSeq
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows, 2), li.schema)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(liPath))
+    // guard 1: a PARTIAL order (one row missing) is refused
+    val someOrder = batchRows.head.getLong(0)
+    val partial = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        batchRows.filter(_.getLong(0) == someOrder).drop(1), 1), li.schema)
+    if (batchRows.count(_.getLong(0) == someOrder) > 1) {
+      val e1 = intercept[IllegalStateException] {
+        PageRankLayout.deleteLayout(spark, key, partial)
+      }
+      assert(e1.getMessage.contains("order-complete"))
+    }
+    // guard 2: an order the layout never indexed is refused
+    import spark.implicits._
+    val unknown = Seq((999999999L, 1L)).toDF("l_orderkey", "l_partkey")
+    val e2 = intercept[IllegalStateException] {
+      PageRankLayout.deleteLayout(spark, key, unknown)
+    }
+    assert(e2.getMessage.contains("order-complete"))
+    // the real order-complete delete lands bit-identical to the rebuild
+    PageRankLayout.deleteLayout(spark, key, batch)
+    val deleted = spark.table(currentEdgesName(key))
+      .orderBy("src", "dst").collect().map(_.toString).toSeq
+    assert(deleted === expected,
+      "delete-maintained layout diverged from the reduced-corpus rebuild")
+    // un-folded fingerprint equals the reduced corpus' — ensure would trust it
+    val meta = spark.read.parquet(s"${PageRankLayout.layoutRoot(key)}/meta").head()
+    val redFp = graft.util.CorpusFingerprint.of(
+      li.where(pmod(col("l_orderkey"), lit(8)) =!= 0),
+      col("l_orderkey"), col("l_partkey"))
+    assert(meta.getAs[Long]("lineitem_count") === redFp.count)
+    assert(meta.getAs[Long]("fp_xor") === redFp.xorFp)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp2)
+  }
+
+  test("a frame resolved before an append keeps scanning after it " +
+    "(versioned generations retain the predecessor)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_rdr").toFile
+    val key = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(key)))
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    PageRankLayout.buildLayoutFrom(spark, key,
+      li.where(pmod(col("l_orderkey"), lit(4)) === 1))
+    // resolve the generation-0 frame NOW — a concurrent reader mid-query
+    val resolved = spark.table(currentEdgesName(key))
+    val before = resolved.count()
+    assert(before > 0)
+    // two appends land generations 1 and 2; gen 0 is GC'd at gen 2
+    PageRankLayout.appendLayout(spark, key,
+      li.where(pmod(col("l_orderkey"), lit(4)) === 2))
+    // after ONE append the resolved gen-0 frame must still scan fully
+    assert(resolved.count() === before,
+      "reader resolved before the append lost its snapshot after one commit")
+    assert(new java.io.File(s"${PageRankLayout.layoutRoot(key)}/v=0").exists())
+    PageRankLayout.appendLayout(spark, key,
+      li.where(pmod(col("l_orderkey"), lit(4)) === 3))
+    // retention is ONE predecessor: gen 0 is gone, gen 1 retained
+    assert(!new java.io.File(s"${PageRankLayout.layoutRoot(key)}/v=0").exists(),
+      "generation GC never ran — storage would grow with every batch")
+    assert(new java.io.File(s"${PageRankLayout.layoutRoot(key)}/v=1").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("a same-count content change triggers a layout rebuild; an unchanged corpus does not") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_mut").toFile.getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(
@@ -100,7 +216,7 @@ class PageRankLayoutSpec extends SparkSpec {
     val root = PageRankLayout.layoutRoot(dir)
     def metaXor: Long = spark.read.parquet(s"$root/meta").head().getAs[Long]("fp_xor")
     def edgeListing: Set[(String, Long)] =
-      new java.io.File(s"$root/edges").listFiles()
+      new java.io.File(s"${genRoot(dir)}/edges").listFiles()
         .map(f => f.getName -> f.lastModified).toSet
     val xorBefore = metaXor
     val before = edgeListing
@@ -127,19 +243,18 @@ class PageRankLayoutSpec extends SparkSpec {
     PageRankLayout.ensureLayout(spark, sf)
     val before = PageRankLayout.fromLayoutRanks(spark, sf, iters = 3)
       .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
-    val root = PageRankLayout.layoutRoot(sf)
     def edgeListing: Set[String] =
-      new java.io.File(s"$root/edges").listFiles().map(_.getName).toSet
+      new java.io.File(s"${genRoot(sf)}/edges").listFiles().map(_.getName).toSet
     val files = edgeListing
     // the fresh-JVM state: stored files survive, catalog declarations don't
-    spark.sql(s"DROP TABLE IF EXISTS ${PageRankLayout.edgesTable(sf)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${PageRankLayout.nodesTable(sf)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${currentEdgesName(sf)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${currentNodesName(sf)}")
     PageRankLayout.ensureLayout(spark, sf)
     assert(edgeListing === files,
       "redeclaration path rebuilt the layout instead of reusing the files")
     // a wrong re-declared bucket count would silently reintroduce the
     // Exchange — pin the join shape over the REDECLARED tables
-    val edges = spark.table(PageRankLayout.edgesTable(sf))
+    val edges = spark.table(currentEdgesName(sf))
     val rank = spark.table(PageRankLayout.rankTable(sf, "result"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -159,7 +274,7 @@ class PageRankLayoutSpec extends SparkSpec {
     PageRankLayout.ensureLayout(spark, sf)
     val root = PageRankLayout.layoutRoot(sf)
     def edgeFiles: Set[String] =
-      new java.io.File(s"$root/edges").listFiles().map(_.getName).toSet
+      new java.io.File(s"${genRoot(sf)}/edges").listFiles().map(_.getName).toSet
     def metaCount: Long = spark.read.parquet(s"$root/meta").head().getLong(0)
     val before = edgeFiles
     // fresh: ensure is a no-op on the files

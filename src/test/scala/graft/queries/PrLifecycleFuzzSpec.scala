@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Lifecycle fuzz for the persisted PageRank layout (round-18 verdict
+  * directive 2) — the graph twin of
+  * [[graft.similarity.AnnLifecycleFuzzSpec]]: the staleness contract
+  * became as load-bearing as the ANN index's when incremental maintenance
+  * landed, so drive it with seeded random corpus lifecycles and assert
+  * the registered invariant after EVERY draw:
+  *
+  *   `c14_pagerank_from_layout` rows ≡ `c14_pagerank` rows on the LIVE
+  *   corpus (the registered pair sharing one oracle).
+  *
+  * Draw ops over a mutable copy of the sf0.001 lineitem corpus:
+  *  - MUTATE: swap one random row's l_partkey (count-preserving — the
+  *    change a count-only fingerprint cannot see); the next ensure must
+  *    detect content drift and rebuild.
+  *  - APPEND: add one whole NEW order (2–4 rows, fresh l_orderkey) to the
+  *    corpus AND fold it into the stored layout via
+  *    [[PageRankLayout.appendLayout]] — ensure must then TRUST the folded
+  *    fingerprint (no rebuild) and still answer identically.
+  *  - DELETE: remove one random COMPLETE order from the corpus AND
+  *    subtract it from the layout via [[PageRankLayout.deleteLayout]] —
+  *    ensure must trust the un-folded fingerprint, no rebuild.
+  *  - TOUCH: rewrite the corpus with identical content (new files, same
+  *    rows) — ensure must neither rebuild (pinned on the current
+  *    generation's edge-file (path, mtime) listing) nor mis-trust.
+  *
+  * Draw count/seed come from SPARK_GRAFT_PR_FUZZ_DRAWS /
+  * SPARK_GRAFT_PR_FUZZ_SEED (defaults 4 / 42 for the regular suite; the
+  * committed sweep record in FUZZCAPS.md runs 25 draws). */
+class PrLifecycleFuzzSpec extends SparkSpec {
+
+  private val draws = sys.env.get("SPARK_GRAFT_PR_FUZZ_DRAWS").map(_.toInt).getOrElse(4)
+  private val seed = sys.env.get("SPARK_GRAFT_PR_FUZZ_SEED").map(_.toLong).getOrElse(42L)
+
+  test(s"persisted-layout lifecycle stays parity-green over $draws random " +
+    s"mutate/append/delete/touch draws (seed $seed)") {
+    val rnd = new scala.util.Random(seed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_fuzz")
+      .toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(dir)))
+    val src = graft.Tables.lineitem(spark, sf)
+    val schema = src.schema
+    src.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    def corpus = spark.read.parquet(s"$dir/lineitem.parquet")
+    def rewrite(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def toBatch(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .select("l_orderkey", "l_partkey")
+
+    val okIdx = schema.fieldIndex("l_orderkey")
+    val pkIdx = schema.fieldIndex("l_partkey")
+    var nextOrder = corpus.agg(max("l_orderkey")).head().getLong(0) + 1
+
+    for (i <- 1 to draws) {
+      val op = rnd.nextInt(4) match {
+        case 0 => // MUTATE: count-preserving content change
+          val rows = corpus.collect().toSeq
+          val at = rnd.nextInt(rows.size)
+          val vals = rows(at).toSeq.toArray
+          vals(pkIdx) = vals(pkIdx).asInstanceOf[Long] + 1000000L
+          rewrite(rows.updated(at, org.apache.spark.sql.Row(vals: _*)))
+          "mutate"
+        case 1 => // APPEND: one whole NEW order; layout folds, never rebuilds
+          PageRankLayout.ensureLayout(spark, dir) // layout must exist to fold into
+          val rows = corpus.collect().toSeq
+          val template = rows(rnd.nextInt(rows.size))
+          val order = nextOrder; nextOrder += 1
+          val newRows = (0 until 2 + rnd.nextInt(3)).map { _ =>
+            val donor = rows(rnd.nextInt(rows.size))
+            val vals = template.toSeq.toArray
+            vals(okIdx) = order
+            vals(pkIdx) = donor.getLong(pkIdx)
+            org.apache.spark.sql.Row(vals: _*)
+          }
+          rewrite(rows ++ newRows)
+          PageRankLayout.appendLayout(spark, dir, toBatch(newRows))
+          "append"
+        case 2 => // DELETE: one whole EXISTING order; layout un-folds
+          PageRankLayout.ensureLayout(spark, dir)
+          val rows = corpus.collect().toSeq
+          val order = {
+            val keys = rows.map(_.getLong(okIdx)).distinct
+            keys(rnd.nextInt(keys.size))
+          }
+          val victims = rows.filter(_.getLong(okIdx) == order)
+          rewrite(rows.filterNot(_.getLong(okIdx) == order))
+          PageRankLayout.deleteLayout(spark, dir, toBatch(victims))
+          "delete"
+        case 3 => // TOUCH: same content, new files
+          PageRankLayout.ensureLayout(spark, dir) // settle pre-snapshot
+          rewrite(corpus.collect().toSeq)
+          "touch"
+      }
+      // second contract half beyond answer parity for the trusting ops:
+      // no needless rebuild, pinned on the current generation's edge files
+      def edgeListing: Set[(String, Long)] = {
+        val g = PageRankLayout.currentGen(spark, dir)
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"${PageRankLayout.layoutRoot(dir)}/v=$g/edges"))
+          .map(f => f.getAbsolutePath -> f.lastModified).toSet
+      }
+      val listingBefore =
+        if (op == "touch" || op == "append" || op == "delete") Some(edgeListing)
+        else None
+      val fromLayout = PageRankLayout.pageRankFromLayout.fn(spark, dir)
+        .collect().map(_.toString).toSeq
+      listingBefore.foreach { before =>
+        assert(edgeListing === before,
+          s"draw $i ($op): ensure rebuilt a layout it should have trusted")
+      }
+      val inQuery = Relational.c14PageRank.fn(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(fromLayout.nonEmpty && fromLayout === inQuery,
+        s"draw $i ($op): persisted-layout ranks diverged from the in-query derivation")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}

@@ -34,10 +34,13 @@ class AnnIndexSpec extends SparkSpec {
     val a = Similarity.annIndexBuild.fn(spark, sf).collect().map(_.toString).toSeq
     val b = Similarity.annIndexBuild.fn(spark, sf).collect().map(_.toString).toSeq
     assert(a.nonEmpty && a === b, "rebuild changed the persisted index content")
-    // the persisted layout: codes partitioned by coarse cell + model tables
+    // the persisted layout: codes partitioned by generation (build = gen 0)
+    // then coarse cell + model tables
     val root = Similarity.annIndexRoot(sf)
-    assert(new java.io.File(s"$root/codes").list().exists(_.startsWith("c_id=")),
-      "codes table is not partitioned by c_id")
+    assert(new java.io.File(s"$root/codes").list().exists(_.startsWith("gen=")),
+      "codes table is not partitioned by generation")
+    assert(new java.io.File(s"$root/codes/gen=0").list().exists(_.startsWith("c_id=")),
+      "codes table is not partitioned by c_id within a generation")
     Seq("cents", "books", "meta").foreach { t =>
       assert(new java.io.File(s"$root/$t").exists(), s"missing index table $t")
     }

@@ -24,7 +24,14 @@ import graft.SparkSpec
   *    the folded fingerprint (no rebuild) and still answer identically,
   *    because the batch stratum can never perturb the bounded sample.
   *  - TOUCH: rewrite the corpus with identical content (new files, same
-  *    rows) — ensure must neither rebuild nor mis-trust.
+  *    rows) — ensure must neither rebuild (pinned on the code files'
+  *    (path, mtime) listing — answer parity alone would also pass under
+  *    a spurious rebuild) nor mis-trust.
+  *  - DELETE (round 19): remove 1–3 random non-training-stratum rows from
+  *    the corpus AND from the stored index via [[Similarity
+  *    .deleteAnnIndex]] — the fingerprint un-fold must leave ensure
+  *    TRUSTING the reduced index (no rebuild) and answering identically
+  *    to the in-query derivation over the reduced corpus.
   *
   * Draw count/seed come from SPARK_GRAFT_ANN_FUZZ_DRAWS /
   * SPARK_GRAFT_ANN_FUZZ_SEED (defaults 4 / 42 for the regular suite; the
@@ -35,7 +42,7 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
   private val seed = sys.env.get("SPARK_GRAFT_ANN_FUZZ_SEED").map(_.toLong).getOrElse(42L)
 
   test(s"persisted-index lifecycle stays parity-green over $draws random " +
-    s"mutate/append/touch draws (seed $seed)") {
+    s"mutate/append/touch/delete draws (seed $seed)") {
     val rnd = new scala.util.Random(seed)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_fuzz")
       .toFile.getAbsolutePath
@@ -54,7 +61,7 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
     val dims = src.head().getAs[scala.collection.Seq[Float]]("embedding").length
 
     for (i <- 1 to draws) {
-      val op = rnd.nextInt(3) match {
+      val op = rnd.nextInt(4) match {
         case 0 => // MUTATE: count-preserving content change
           val rows = corpus.collect().toSeq
           val at = rnd.nextInt(rows.size)
@@ -82,11 +89,44 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
               .select(col("vec_id"), col("embedding")))
           "append"
         case 2 => // TOUCH: same content, new files
+          Similarity.ensureAnnIndex(spark, dir) // settle the index pre-snapshot
           rewrite(corpus.collect().toSeq)
           "touch"
+        case 3 => // DELETE: corpus shrinks; index un-folds, never rebuilds
+          Similarity.ensureAnnIndex(spark, dir) // index must exist to delete from
+          val rows = corpus.collect().toSeq
+          // victims outside the training stratum AND outside the fixed
+          // query-vector set (dropping a query id would change which
+          // queries both paths answer — legal but a weaker comparison)
+          val victims = new scala.util.Random(rnd.nextLong())
+            .shuffle(rows.filter(r => r.getLong(0) % 4 != 0 && r.getLong(0) >= 5))
+            .take(1 + rnd.nextInt(3))
+          rewrite(rows.diff(victims))
+          Similarity.deleteAnnIndex(spark, dir,
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(victims, 1), schema)
+              .select(col("vec_id"), col("embedding")))
+          "delete"
       }
+      // TOUCH and DELETE have a second contract half beyond answer parity:
+      // no needless rebuild — a spurious rebuild also answers correctly,
+      // so pin it via the stored code files' (path, mtime) listing staying
+      // byte-identical across the ensure inside the query (ADVICE r18)
+      def codesListing: Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"${Similarity.annIndexRoot(dir)}/codes"))
+          .map(f => f.getAbsolutePath -> f.lastModified).toSet
+      }
+      val listingBefore =
+        if (op == "touch" || op == "delete") Some(codesListing) else None
       val fromIndex = Similarity.annIvfPqFromIndex.fn(spark, dir)
         .collect().map(_.toString).toSeq
+      listingBefore.foreach { before =>
+        assert(codesListing === before,
+          s"draw $i ($op): ensure rebuilt an index it should have trusted")
+      }
       val inQuery = Similarity.annIvfPqMd5.fn(spark, dir)
         .collect().map(_.toString).toSeq
       assert(fromIndex.nonEmpty && fromIndex === inQuery,

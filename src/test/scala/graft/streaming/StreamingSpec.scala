@@ -785,4 +785,185 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- artifact maintenance sinks (round 19): replay idempotence --------
+
+  private def walkFiles(dir: String): Set[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filterNot(_.getName.startsWith("."))
+      .map(f => (f.getPath, f.length, f.lastModified)).toSet
+  }
+
+  test("ANN index maintenance sink: N streamed batches ≡ one-shot build, " +
+    "replayed batch is a byte-for-byte no-op, forked checkpoint fails fast") {
+    import graft.similarity.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ann_sink").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.annIndexRoot(dir)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // gen 0: the old snapshot; two stream batches carry the vec_id ≡ 3
+    // (mod 4) remainder split in half — all outside the training stratum
+    Similarity.buildAnnIndexFrom(spark, dir,
+      emb.where(pmod(col("vec_id"), lit(4)) =!= 3))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Float])] =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray)).toSeq
+    val b0 = rowsOf(emb.where(pmod(col("vec_id"), lit(8)) === 3))
+    val b1 = rowsOf(emb.where(pmod(col("vec_id"), lit(8)) === 7))
+    val in = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_sink_ckpt").toString
+    val q = StreamingJobs.annIndexMaintenanceSink(
+      in.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val root = Similarity.annIndexRoot(dir)
+    def committedCodeRows: Seq[String] = {
+      val last = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_gen")
+      spark.read.parquet(s"$root/codes").where(col("gen") <= last)
+        .select("vec_id", "c_id", "s", "code")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // state after the stream ≡ a one-shot build over the full corpus
+    val streamed = committedCodeRows
+    val oneShotKey = java.nio.file.Files.createTempDirectory("ann_oneshot")
+      .toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.annIndexRoot(oneShotKey)))
+    val osRoot = Similarity.buildAnnIndexFrom(spark, oneShotKey, emb)
+    val oneShot = spark.read.parquet(s"$osRoot/codes")
+      .select("vec_id", "c_id", "s", "code")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === oneShot,
+      "stream-maintained index diverged from the one-shot build")
+    // replay of an already-committed batchId: COMPLETE no-op — meta
+    // (fingerprint + watermark) and every code file untouched
+    val metaBefore = spark.read.parquet(s"$root/meta").head().toString
+    val filesBefore = walkFiles(s"$root/codes")
+    Similarity.mergeAnnIndexBatch(spark, dir,
+      b1.toDF("vec_id", "embedding"), batchId = 1L)
+    assert(spark.read.parquet(s"$root/meta").head().toString === metaBefore,
+      "replayed batch double-folded the fingerprint")
+    assert(walkFiles(s"$root/codes") === filesBefore,
+      "replayed batch rewrote code files")
+    // a batchId far ahead of the committed watermark = checkpoint/store
+    // divergence: fail fast instead of forking generations
+    val e = intercept[IllegalStateException] {
+      Similarity.mergeAnnIndexBatch(spark, dir,
+        b1.toDF("vec_id", "embedding"), batchId = 9L)
+    }
+    assert(e.getMessage.contains("refusing to fork"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("PageRank layout maintenance sink: N streamed batches ≡ one-shot " +
+    "build, replayed batch is a byte-for-byte no-op") {
+    import graft.queries.PageRankLayout
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pr_sink").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(dir)))
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    PageRankLayout.buildLayoutFrom(spark, dir,
+      li.where(pmod(col("l_orderkey"), lit(8)).isin(1, 2, 3, 5, 6, 7)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b0 = rowsOf(li.where(pmod(col("l_orderkey"), lit(8)) === 0))
+    val b1 = rowsOf(li.where(pmod(col("l_orderkey"), lit(8)) === 4))
+    val in = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("pr_sink_ckpt").toString
+    val q = StreamingJobs.layoutMaintenanceSink(
+      in.toDF().toDF("l_orderkey", "l_partkey"), dir, ckpt)
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val root = PageRankLayout.layoutRoot(dir)
+    def currentEdgesRows(key: String): Seq[String] = {
+      val r = PageRankLayout.layoutRoot(key)
+      val g = spark.read.parquet(s"$r/meta").head().getAs[Long]("last_gen")
+      spark.read.parquet(s"$r/v=$g/edges")
+        .select("src", "dst", "w", "wn").collect().map(_.toString).sorted.toSeq
+    }
+    val oneShotKey = java.nio.file.Files.createTempDirectory("pr_oneshot")
+      .toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(oneShotKey)))
+    PageRankLayout.buildLayoutFrom(spark, oneShotKey, li)
+    assert(currentEdgesRows(dir) === currentEdgesRows(oneShotKey),
+      "stream-maintained layout diverged from the one-shot build")
+    // replay of a committed batchId: meta pointer and every generation
+    // file byte-for-byte untouched (round 18 would have rebuilt here)
+    val metaBefore = spark.read.parquet(s"$root/meta").head().toString
+    val gen = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_gen")
+    val filesBefore = walkFiles(s"$root/v=$gen")
+    PageRankLayout.mergeLayoutBatch(spark, dir,
+      b1.toDF("l_orderkey", "l_partkey"), batchId = 1L)
+    assert(spark.read.parquet(s"$root/meta").head().toString === metaBefore,
+      "replayed batch double-folded the fingerprint")
+    assert(walkFiles(s"$root/v=$gen") === filesBefore,
+      "replayed batch rewrote layout files")
+    val e = intercept[IllegalStateException] {
+      PageRankLayout.mergeLayoutBatch(spark, dir,
+        b1.toDF("l_orderkey", "l_partkey"), batchId = 7L)
+    }
+    assert(e.getMessage.contains("refusing to fork"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("C8 streaming as-of enrichment: stream ≡ batch asofJoin row-for-row, " +
+    "invariant to micro-batch cuts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // dimension: click history per user (the c8_asof_join right side shape)
+    val dim = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:30:00"), 101L),
+      (2L, ts("2024-01-01 09:10:00"), 200L),
+      (3L, ts("2024-01-01 09:50:00"), 300L)
+    ).toDF("user_id", "ts", "event_id")
+    // purchase stream, cut into two micro-batches at an arbitrary point
+    val p1 = Seq((1L, ts("2024-01-01 09:20:00"), 9001L),
+      (2L, ts("2024-01-01 09:05:00"), 9002L))
+    val p2 = Seq((1L, ts("2024-01-01 10:00:00"), 9003L),
+      (3L, ts("2024-01-01 09:55:00"), 9004L))
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val out = java.nio.file.Files.createTempDirectory("asof_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("asof_ckpt").toString
+    val payload = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts")
+    val q = StreamingJobs.asofEnrichmentSink(
+      in.toDF().toDF("user_id", "ts", "purchase_id"), dim,
+      key = "user_id", tsCol = "ts", payload = payload,
+      tie = Some(col("event_id")), outDir = out, checkpoint = ckpt)
+    in.addData(p1: _*); q.processAllAvailable()
+    in.addData(p2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("purchase_id", "user_id", "ts", "last_click_id", "last_click_ts")
+      .collect().map(_.toString).sorted.toSeq
+    // batch expectation: the SAME operator over the whole purchase set in
+    // one pass — per-left-row independence makes the cut irrelevant
+    val batch = graft.operators.ScaleOps.asofJoin(
+      (p1 ++ p2).toDF("user_id", "ts", "purchase_id"), dim,
+      key = "user_id", tsCol = "ts", payload = payload,
+      tie = Some(col("event_id")))
+      .select("purchase_id", "user_id", "ts", "last_click_id", "last_click_ts")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch,
+      "streaming as-of enrichment diverged from the batch asofJoin")
+    // spot-check the as-of semantics themselves: 9002 precedes user 2's
+    // only click -> null; 9003 takes user 1's LATEST click at 09:30
+    val byId = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[Any]("last_click_id"))).toMap
+    assert(byId(9002L) === None)
+    assert(byId(9003L) === Some(101L))
+    assert(byId(9001L) === Some(100L))
+  }
 }

@@ -48,6 +48,11 @@ object Bench {
     // rung" claim now holds for the ANN pair too)
     "c14_pagerank_layout_build", "c18_ann_index_build",
     "c18_ann_ivfpq_from_index",
+    // round 19: the DELETE maintenance legs and the steepest (doc,term)
+    // count-table member — headliner status gives the round-19 sf10
+    // additions their iso sf0.1/sf1 counterparts (same rationale as the
+    // r17/r18 rows above; scalecheck10's coverage note named these)
+    "c14_pagerank_layout_delete", "c18_ann_index_delete", "c19_bigram_ppl",
     // round 17: the pair-generating plans the sf10 rung now tracks
     // (r16 verdict directive 4) — headliner status gives them the iso
     // sf0.1/sf1 counterparts the scaling exponents are computed from

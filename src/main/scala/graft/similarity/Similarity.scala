@@ -1536,7 +1536,18 @@ object Similarity {
     *    different models — delete-without-retrain would silently diverge);
     *  - every deleted id must exist in the committed index exactly once,
     *    and the batch must not repeat ids (otherwise the fingerprint
-    *    un-fold would not match the reduced corpus). */
+    *    un-fold would not match the reduced corpus).
+    *
+    * Crash-ordering contract: unlike the append path (whose generations
+    * commit through meta) this rewrites touched partitions in place, so a
+    * crash mid-swap leaves the codes inconsistent with the UN-changed
+    * meta fingerprint. That is fail-safe exactly when the live corpus has
+    * already shrunk (the CDC cadence: corpus delete lands first, then the
+    * index delete) — the stale fingerprint then mismatches the corpus and
+    * the next ensure rebuilds. Callers that delete index-first against an
+    * unshrunk corpus would have the window trusted; don't. The PageRank
+    * layout's delete has no such window (every commit is a whole new
+    * generation behind the meta pointer). */
   def deleteAnnIndex(spark: SparkSession, dataDir: String, deleted: DataFrame): Unit = {
     val root = annIndexRoot(dataDir)
     val meta = spark.read.parquet(s"$root/meta").head()

@@ -177,6 +177,81 @@ class PageRankLayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp2)
   }
 
+  test("maintenance commits are COPY-ON-WRITE: untouched bucket files are " +
+    "reused (same inode), only delta-touched buckets are rewritten") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_cow").toFile
+    val key = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(key)))
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    li.write.parquet(s"$key/lineitem.parquet")
+    PageRankLayout.buildLayoutFrom(spark, key, spark.read.parquet(s"$key/lineitem.parquet"))
+    val root = PageRankLayout.layoutRoot(key)
+    def gen: Long = PageRankLayout.currentGen(spark, key)
+    def dataFiles(sub: String, g: Long): Map[String, java.nio.file.Path] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/v=$g/$sub"))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => f.getName -> f.toPath).toMap
+    }
+    val g0 = gen
+    val build = dataFiles("edges", g0)
+    val buildRows = spark.table(
+      PageRankLayout.edgesTable(key, g0)).orderBy("src", "dst")
+      .collect().map(_.toString).toSeq
+    // ONE new order over 3 parts: the delta touches at most 3 src buckets
+    val batch = Seq((999999001L, 1L), (999999001L, 2L), (999999001L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    PageRankLayout.appendLayout(spark, key, batch)
+    val g1 = gen
+    assert(g1 === g0 + 1)
+    val appended = dataFiles("edges", g1)
+    val carried = appended.keySet.intersect(build.keySet)
+    val rewritten = appended.keySet -- build.keySet
+    // the delta's 3 srcs hash into at most 3 buckets; everything else is
+    // carried — and carried means the SAME file (hardlink inode), not a
+    // byte-identical rewrite
+    assert(rewritten.size <= 3,
+      s"append rewrote ${rewritten.size} bucket files for a 3-src delta: $rewritten")
+    assert(carried.nonEmpty, "append carried no bucket files — CoW is off")
+    carried.foreach { name =>
+      assert(java.nio.file.Files.isSameFile(build(name), appended(name)),
+        s"carried edge bucket file $name was rewritten, not reused")
+    }
+    // nodes and the ledger carry the same way
+    val nodesCarried = dataFiles("nodes", g1).keySet
+      .intersect(dataFiles("nodes", g0).keySet)
+    assert(nodesCarried.nonEmpty, "append carried no node bucket files")
+    val ledger0 = dataFiles("orderkeys", g0)
+    val ledger1 = dataFiles("orderkeys", g1)
+    val ledgerCarried = ledger1.keySet.intersect(ledger0.keySet)
+    assert(ledgerCarried.nonEmpty, "append carried no ledger partitions")
+    ledgerCarried.foreach { name =>
+      assert(java.nio.file.Files.isSameFile(ledger0(name), ledger1(name)),
+        s"carried ledger file $name was rewritten, not reused")
+    }
+    // deleting the same order is CoW too, and round-trips bit-identically
+    PageRankLayout.deleteLayout(spark, key, batch)
+    val g2 = gen
+    val deleted = dataFiles("edges", g2)
+    val delCarried = deleted.keySet.intersect(appended.keySet)
+    assert((deleted.keySet -- appended.keySet).size <= 3)
+    assert(delCarried.nonEmpty)
+    delCarried.foreach { name =>
+      assert(java.nio.file.Files.isSameFile(appended(name), deleted(name)),
+        s"carried edge bucket file $name was rewritten by the delete")
+    }
+    val roundTrip = spark.table(
+      PageRankLayout.edgesTable(key, g2)).orderBy("src", "dst")
+      .collect().map(_.toString).toSeq
+    assert(roundTrip === buildRows,
+      "append-then-delete did not round-trip to the original layout")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("a frame resolved before an append keeps scanning after it " +
     "(versioned generations retain the predecessor)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pr_rdr").toFile

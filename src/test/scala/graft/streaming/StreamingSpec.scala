@@ -917,6 +917,142 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("ANN CDC maintenance sink: mixed I/D/upsert batches ≡ one-shot build " +
+    "over the net corpus; a replayed pure-DELETE batch is a byte-for-byte " +
+    "no-op; a below-watermark batchId fails fast") {
+    import graft.similarity.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ann_cdc").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.annIndexRoot(dir)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // strata A (≡3 mod 8) and B (≡7 mod 8) are both ≡3 mod 4 — disjoint
+    // from the training stratum (≡0 mod 4), so maintain-without-retrain
+    // is exact and the guards pass rather than being assumed away
+    val aDf = emb.where(pmod(col("vec_id"), lit(8)) === 3)
+    val bDf = emb.where(pmod(col("vec_id"), lit(8)) === 7)
+    Similarity.buildAnnIndexFrom(spark, dir,
+      emb.where(!pmod(col("vec_id"), lit(8)).isin(3, 7)))
+    def cdcRows(df: org.apache.spark.sql.DataFrame, op: String): Seq[(String, Long, Array[Float])] =
+      df.collect().map(r => (op, r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray)).toSeq
+    val aIns = cdcRows(aDf, "I")
+    val aDel = cdcRows(aDf, "D")
+    val aRev = cdcRows(aDf.withColumn("embedding", reverse(col("embedding"))), "I")
+    val bIns = cdcRows(bDf, "I")
+    val bDel = cdcRows(bDf, "D")
+    val in = MemoryStream[(String, Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_cdc_ckpt").toString
+    val q = StreamingJobs.annCdcMaintenanceSink(
+      in.toDF().toDF("op", "vec_id", "embedding"), dir, ckpt)
+    // batch 0: pure insert of A; batch 1: mixed — insert B, UPSERT A
+    // (delete old rows + insert reversed replacements in ONE batch);
+    // batch 2: pure delete of B — the shape round 19 refused fail-loud
+    in.addData(aIns: _*); q.processAllAvailable()
+    in.addData(bIns ++ aDel ++ aRev: _*); q.processAllAvailable()
+    in.addData(bDel: _*); q.processAllAvailable()
+    q.stop()
+    // live code rows resolve through the committed generation's cell
+    // manifest — the reader contract the CDC commits maintain
+    def liveCodeRows(key: String): Seq[String] = {
+      val root = Similarity.annIndexRoot(key)
+      val last = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_gen")
+      val live = spark.read.parquet(s"$root/cells/v=$last")
+        .collect().map(r => (r.getAs[Long]("gen"), r.getAs[Int]("c_id"))).toSeq
+      if (live.isEmpty) Seq.empty
+      else spark.read.option("basePath", s"$root/codes")
+        .parquet(live.map { case (g, c) => s"$root/codes/gen=$g/c_id=$c" }: _*)
+        .select("vec_id", "c_id", "s", "code")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // net corpus after the CDC feed: base ∪ A-reversed (B came and went)
+    val net = emb.where(!pmod(col("vec_id"), lit(8)).isin(3, 7))
+      .unionByName(aDf.withColumn("embedding", reverse(col("embedding"))))
+    val oneShotKey = java.nio.file.Files.createTempDirectory("ann_cdc_oneshot")
+      .toFile.getAbsolutePath
+    val osRoot = Similarity.buildAnnIndexFrom(spark, oneShotKey, net)
+    val oneShot = spark.read.parquet(s"$osRoot/codes")
+      .select("vec_id", "c_id", "s", "code")
+      .collect().map(_.toString).sorted.toSeq
+    assert(liveCodeRows(dir) === oneShot,
+      "CDC-maintained index diverged from the one-shot build over the net corpus")
+    // replay of the committed pure-DELETE batch: complete no-op — meta,
+    // manifests and every code file byte-for-byte untouched
+    val root = Similarity.annIndexRoot(dir)
+    val before = walkFiles(root)
+    Similarity.mergeAnnCdcBatch(spark, dir,
+      bDel.toDF("op", "vec_id", "embedding"), batchId = 2L)
+    assert(walkFiles(root) === before,
+      "replayed pure-DELETE CDC batch touched the store")
+    // a batchId BELOW the committed watermark can only come from a
+    // recreated/swapped checkpoint — its rows would be silently lost
+    // under a blanket <= no-op, so it must fail fast (round-19 ADVICE)
+    val e = intercept[IllegalStateException] {
+      Similarity.mergeAnnCdcBatch(spark, dir,
+        aIns.toDF("op", "vec_id", "embedding"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("refusing to fork"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("layout CDC maintenance sink: mixed I/D/upsert batches ≡ one-shot " +
+    "build over the net corpus; a replayed pure-DELETE batch is a " +
+    "byte-for-byte no-op") {
+    import graft.queries.PageRankLayout
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pr_cdc").toFile.getAbsolutePath
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val s0 = li.where(pmod(col("l_orderkey"), lit(8)) === 0)
+    val s4 = li.where(pmod(col("l_orderkey"), lit(8)) === 4)
+    PageRankLayout.buildLayoutFrom(spark, dir,
+      li.where(!pmod(col("l_orderkey"), lit(8)).isin(0, 4)))
+    val maxPk = li.agg(max("l_partkey")).head().getLong(0)
+    val s0Fixed = s0.withColumn("l_partkey", pmod(col("l_partkey"), lit(maxPk)) + lit(1L))
+    def cdcRows(df: org.apache.spark.sql.DataFrame, op: String): Seq[(String, Long, Long)] =
+      df.collect().map(r => (op, r.getLong(0), r.getLong(1))).toSeq
+    val in = MemoryStream[(String, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("pr_cdc_ckpt").toString
+    val q = StreamingJobs.layoutCdcMaintenanceSink(
+      in.toDF().toDF("op", "l_orderkey", "l_partkey"), dir, ckpt)
+    // batch 0: insert the %8=0 orders; batch 1: mixed — UPSERT them
+    // (retire originals + insert partkey-remapped corrections, the
+    // reference's fix-errors-later workflow) and append the %8=4 orders;
+    // batch 2: pure delete of the %8=4 orders
+    in.addData(cdcRows(s0, "I"): _*); q.processAllAvailable()
+    in.addData(cdcRows(s0, "D") ++ cdcRows(s0Fixed, "I") ++ cdcRows(s4, "I"): _*)
+    q.processAllAvailable()
+    in.addData(cdcRows(s4, "D"): _*); q.processAllAvailable()
+    q.stop()
+    def currentEdgesRows(key: String): Seq[String] = {
+      val r = PageRankLayout.layoutRoot(key)
+      val g = spark.read.parquet(s"$r/meta").head().getAs[Long]("last_gen")
+      spark.read.parquet(s"$r/v=$g/edges")
+        .select("src", "dst", "w", "wn").collect().map(_.toString).sorted.toSeq
+    }
+    val oneShotKey = java.nio.file.Files.createTempDirectory("pr_cdc_oneshot")
+      .toFile.getAbsolutePath
+    PageRankLayout.buildLayoutFrom(spark, oneShotKey,
+      li.where(!pmod(col("l_orderkey"), lit(8)).isin(0, 4)).unionByName(s0Fixed))
+    assert(currentEdgesRows(dir) === currentEdgesRows(oneShotKey),
+      "CDC-maintained layout diverged from the one-shot build over the net corpus")
+    // replay of the committed pure-DELETE batch: byte-for-byte no-op
+    val root = PageRankLayout.layoutRoot(dir)
+    val before = walkFiles(root)
+    PageRankLayout.mergeLayoutCdcBatch(spark, dir,
+      cdcRows(s4, "D").toDF("op", "l_orderkey", "l_partkey"), batchId = 2L)
+    assert(walkFiles(root) === before,
+      "replayed pure-DELETE CDC batch touched the store")
+    val e = intercept[IllegalStateException] {
+      PageRankLayout.mergeLayoutCdcBatch(spark, dir,
+        cdcRows(s0, "I").toDF("op", "l_orderkey", "l_partkey"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("refusing to fork"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("C8 streaming as-of enrichment: stream ≡ batch asofJoin row-for-row, " +
     "invariant to micro-batch cuts") {
     implicit val sqlCtx = spark.sqlContext

@@ -35,7 +35,8 @@ c14_pagerank_from_layout,c14_pagerank_layout_build,\
 c18_ann_index_build,c18_ann_ivfpq_from_index,\
 pipeline_span_dedup_apply,c17_passage_dedup,c17_containment,\
 c17_editdist_join,c17_incremental_dedup,\
-c19_bigram_ppl,c14_pagerank_layout_delete,c18_ann_index_delete"
+c19_bigram_ppl,c14_pagerank_layout_delete,c18_ann_index_delete,\
+c14_pagerank_layout_upsert,c18_ann_index_upsert"
 # round-17 additions: the persisted-layout PageRank query path (measured
 # against c14_pagerank, the in-query twin) and the five pair-generating
 # plans the r16 verdict flagged as unmeasured past sf1 (directive 4).
@@ -47,6 +48,11 @@ c19_bigram_ppl,c14_pagerank_layout_delete,c18_ann_index_delete"
 # at sf0.1 vs 1.41/0.82 for nb/dsir, and the only one whose state is a
 # BIGRAM table) — and both artifacts' DELETE maintenance legs, so the
 # inverse-maintenance claim carries decade evidence like the builds.
+# round-20 additions (r19 verdict directive 5): both artifacts' UPSERT
+# legs — the one-commit correction path — so the composed maintenance
+# claim carries the same decade evidence; the per-phase build/maintain/
+# return split for all six maintenance legs lives in MAINTPHASES*.json
+# (graft.MaintBench, r19 directive 7) rendered in PERFTABLE.md.
 
 echo "[sf10] compile gate"
 sbt -batch Test/compile

@@ -97,6 +97,50 @@ for q in headline:
         f"| `{q}` | {fmt(full, q)} | {fmt(iso, q)} | {fmt(iso, q, 'cpu_s')} "
         f"| {fmt(sf1, q)} | {fmt(iso1, q)} |")
 
+# ---- maintenance-leg phase decomposition (round-20, r19 directive 7) ----
+maint = [("sf0.1", load("MAINTPHASES.json")),
+         ("sf1", load("MAINTPHASES_SF1.json")),
+         ("sf10", load("MAINTPHASES_SF10.json"))]
+if any(rec for _, rec in maint):
+    lines += [
+        "",
+        "## Maintenance-leg phase decomposition (graft.MaintBench)",
+        "",
+        "The registered artifact maintenance legs deliberately compose a",
+        "full/reduced BUILD + one MAINTAIN commit + the stored-table RETURN",
+        "so the driver's hash compare gates parity-with-rebuild — their",
+        "headline numbers above therefore conflate the (deliberate,",
+        "artifact-sized) build with the maintenance cost rounds 19-20 made",
+        "batch-proportional. `runMain graft.MaintBench` re-times the three",
+        "phases separately per rung (median of reps, same batch strata as",
+        "the registered legs, same pinned canary pair). Watch the",
+        "`maintain` column: it should scale with the BATCH, and its",
+        "sf-decade exponent — not the build's — is the incremental-",
+        "maintenance claim.",
+        "",
+        "| leg | rung | build s | maintain s | return s |",
+        "|---|---|---|---|---|",
+    ]
+    leg_names = []
+    for _, rec in maint:
+        for n in rec.get("legs", {}):
+            if n not in leg_names:
+                leg_names.append(n)
+    for n in leg_names:
+        for rung, rec in maint:
+            leg = rec.get("legs", {}).get(n)
+            if leg:
+                lines.append(
+                    f"| `{n}` | {rung} | {leg['build_s']:.2f} "
+                    f"| {leg['maintain_s']:.2f} | {leg['return_s']:.2f} |")
+    lines += [
+        "",
+        "Canaries per MAINTPHASES record (drift normalization): " + "; ".join(
+            f"{rung} {rec.get('canary', {}).get('range_mod_sum_s', '—')}/"
+            f"{rec.get('canary', {}).get('scan_sf01_lineitem_s', '—')}"
+            for rung, rec in maint if rec) + ".",
+    ]
+
 lines += [
     "",
     "## c14_pagerank CPU anatomy (graft.ProfileQuery, measured round 13)",

@@ -28,6 +28,14 @@ import graft.SparkSpec
   *  - TOUCH: rewrite the corpus with identical content (new files, same
   *    rows) — ensure must neither rebuild (pinned on the current
   *    generation's edge-file (path, mtime) listing) nor mis-trust.
+  *  - UPSERT (round 20): remap one random COMPLETE order's partkeys in
+  *    the corpus AND correct it in the layout via ONE
+  *    [[PageRankLayout.upsertLayout]] commit — one generation, one
+  *    fingerprint transition, ensure must trust the corrected layout.
+  *  - REPLAY (round 20): redeliver the LAST COMMITTED maintenance batch
+  *    (real rows, CDC shape) through [[PageRankLayout.mergeLayoutCdcBatch]]
+  *    at its original batchId — the store must be byte-for-byte
+  *    untouched, and a far-ahead batchId must fail fast.
   *
   * Draw count/seed come from SPARK_GRAFT_PR_FUZZ_DRAWS /
   * SPARK_GRAFT_PR_FUZZ_SEED (defaults 4 / 42 for the regular suite; the
@@ -38,7 +46,7 @@ class PrLifecycleFuzzSpec extends SparkSpec {
   private val seed = sys.env.get("SPARK_GRAFT_PR_FUZZ_SEED").map(_.toLong).getOrElse(42L)
 
   test(s"persisted-layout lifecycle stays parity-green over $draws random " +
-    s"mutate/append/delete/touch draws (seed $seed)") {
+    s"mutate/append/delete/touch/upsert/replay draws (seed $seed)") {
     val rnd = new scala.util.Random(seed)
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_fuzz")
       .toFile.getAbsolutePath
@@ -60,8 +68,15 @@ class PrLifecycleFuzzSpec extends SparkSpec {
     val pkIdx = schema.fieldIndex("l_partkey")
     var nextOrder = corpus.agg(max("l_orderkey")).head().getLong(0) + 1
 
+    // the last committed maintenance batch in CDC shape — what a
+    // redelivered micro-batch would carry (None until a maintenance op)
+    var lastCdc: Option[org.apache.spark.sql.DataFrame] = None
+    def cdcOf(rows: Seq[org.apache.spark.sql.Row], opCode: String) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .select(lit(opCode).as("op"), col("l_orderkey"), col("l_partkey"))
+
     for (i <- 1 to draws) {
-      val op = rnd.nextInt(4) match {
+      val op = rnd.nextInt(6) match {
         case 0 => // MUTATE: count-preserving content change
           val rows = corpus.collect().toSeq
           val at = rnd.nextInt(rows.size)
@@ -83,6 +98,7 @@ class PrLifecycleFuzzSpec extends SparkSpec {
           }
           rewrite(rows ++ newRows)
           PageRankLayout.appendLayout(spark, dir, toBatch(newRows))
+          lastCdc = Some(cdcOf(newRows, "I"))
           "append"
         case 2 => // DELETE: one whole EXISTING order; layout un-folds
           PageRankLayout.ensureLayout(spark, dir)
@@ -94,11 +110,54 @@ class PrLifecycleFuzzSpec extends SparkSpec {
           val victims = rows.filter(_.getLong(okIdx) == order)
           rewrite(rows.filterNot(_.getLong(okIdx) == order))
           PageRankLayout.deleteLayout(spark, dir, toBatch(victims))
+          lastCdc = Some(cdcOf(victims, "D"))
           "delete"
         case 3 => // TOUCH: same content, new files
           PageRankLayout.ensureLayout(spark, dir) // settle pre-snapshot
           rewrite(corpus.collect().toSeq)
           "touch"
+        case 4 => // UPSERT: correct one order in place — ONE commit (round 20)
+          PageRankLayout.ensureLayout(spark, dir)
+          val rows = corpus.collect().toSeq
+          val order = {
+            val keys = rows.map(_.getLong(okIdx)).distinct
+            keys(rnd.nextInt(keys.size))
+          }
+          val victims = rows.filter(_.getLong(okIdx) == order)
+          val corrected = victims.map { r =>
+            val donor = rows(rnd.nextInt(rows.size))
+            val vals = r.toSeq.toArray
+            vals(pkIdx) = donor.getLong(pkIdx)
+            org.apache.spark.sql.Row(vals: _*)
+          }
+          rewrite(rows.filterNot(_.getLong(okIdx) == order) ++ corrected)
+          PageRankLayout.upsertLayout(spark, dir,
+            toBatch(victims), toBatch(corrected))
+          lastCdc = Some(cdcOf(victims, "D").unionByName(cdcOf(corrected, "I")))
+          "upsert"
+        case 5 => // REPLAY: redelivered committed batch = byte-for-byte no-op
+          PageRankLayout.ensureLayout(spark, dir)
+          val root = PageRankLayout.layoutRoot(dir)
+          val last = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_gen")
+          def storeListing: Set[(String, Long, Long)] = {
+            def walk(f: java.io.File): Seq[java.io.File] =
+              if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+              else Seq(f)
+            walk(new java.io.File(root))
+              .map(f => (f.getAbsolutePath, f.length, f.lastModified)).toSet
+          }
+          val before = storeListing
+          val redelivered = lastCdc.getOrElse(cdcOf(Seq.empty, "I"))
+          PageRankLayout.mergeLayoutCdcBatch(spark, dir, redelivered,
+            batchId = last - 1)
+          assert(storeListing === before,
+            s"draw $i (replay): redelivered batch touched the store")
+          val e = intercept[IllegalStateException] {
+            PageRankLayout.mergeLayoutCdcBatch(spark, dir, redelivered,
+              batchId = last + 5)
+          }
+          assert(e.getMessage.contains("refusing to fork"))
+          "replay"
       }
       // second contract half beyond answer parity for the trusting ops:
       // no needless rebuild, pinned on the current generation's edge files
@@ -111,8 +170,7 @@ class PrLifecycleFuzzSpec extends SparkSpec {
           .map(f => f.getAbsolutePath -> f.lastModified).toSet
       }
       val listingBefore =
-        if (op == "touch" || op == "append" || op == "delete") Some(edgeListing)
-        else None
+        if (op != "mutate") Some(edgeListing) else None
       val fromLayout = PageRankLayout.pageRankFromLayout.fn(spark, dir)
         .collect().map(_.toString).toSeq
       listingBefore.foreach { before =>

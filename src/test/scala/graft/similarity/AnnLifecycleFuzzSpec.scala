@@ -32,6 +32,15 @@ import graft.SparkSpec
   *    .deleteAnnIndex]] — the fingerprint un-fold must leave ensure
   *    TRUSTING the reduced index (no rebuild) and answering identically
   *    to the in-query derivation over the reduced corpus.
+  *  - UPSERT (round 20): negate 1–2 random non-training-stratum rows'
+  *    embeddings in the corpus AND correct them in the index via ONE
+  *    [[Similarity.upsertAnnIndex]] commit — one generation, one
+  *    fingerprint transition, ensure must trust the corrected index.
+  *  - REPLAY (round 20): redeliver the LAST COMMITTED maintenance batch
+  *    (real rows, CDC shape) through [[Similarity.mergeAnnCdcBatch]] at
+  *    its original batchId — the store must be byte-for-byte untouched
+  *    (files, manifests, meta), and a batchId far ahead of the watermark
+  *    must fail fast as checkpoint divergence.
   *
   * Draw count/seed come from SPARK_GRAFT_ANN_FUZZ_DRAWS /
   * SPARK_GRAFT_ANN_FUZZ_SEED (defaults 4 / 42 for the regular suite; the
@@ -42,7 +51,7 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
   private val seed = sys.env.get("SPARK_GRAFT_ANN_FUZZ_SEED").map(_.toLong).getOrElse(42L)
 
   test(s"persisted-index lifecycle stays parity-green over $draws random " +
-    s"mutate/append/touch/delete draws (seed $seed)") {
+    s"mutate/append/touch/delete/upsert/replay draws (seed $seed)") {
     val rnd = new scala.util.Random(seed)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_fuzz")
       .toFile.getAbsolutePath
@@ -60,8 +69,15 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
     var nextId = corpus.agg(max("vec_id")).head().getLong(0) + 1
     val dims = src.head().getAs[scala.collection.Seq[Float]]("embedding").length
 
+    // the last committed maintenance batch in CDC shape — what a
+    // redelivered micro-batch would carry (None until a maintenance op)
+    var lastCdc: Option[org.apache.spark.sql.DataFrame] = None
+    def cdcOf(rows: Seq[org.apache.spark.sql.Row], opCode: String) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .select(lit(opCode).as("op"), col("vec_id"), col("embedding"))
+
     for (i <- 1 to draws) {
-      val op = rnd.nextInt(4) match {
+      val op = rnd.nextInt(6) match {
         case 0 => // MUTATE: count-preserving content change
           val rows = corpus.collect().toSeq
           val at = rnd.nextInt(rows.size)
@@ -87,6 +103,7 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
             spark.createDataFrame(
               spark.sparkContext.parallelize(newRows, 1), schema)
               .select(col("vec_id"), col("embedding")))
+          lastCdc = Some(cdcOf(newRows, "I"))
           "append"
         case 2 => // TOUCH: same content, new files
           Similarity.ensureAnnIndex(spark, dir) // settle the index pre-snapshot
@@ -106,7 +123,54 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
             spark.createDataFrame(
               spark.sparkContext.parallelize(victims, 1), schema)
               .select(col("vec_id"), col("embedding")))
+          lastCdc = Some(cdcOf(victims, "D"))
           "delete"
+        case 4 => // UPSERT: correct rows in place — ONE commit (round 20)
+          Similarity.ensureAnnIndex(spark, dir)
+          val rows = corpus.collect().toSeq
+          val victims = new scala.util.Random(rnd.nextLong())
+            .shuffle(rows.filter(r => r.getLong(0) % 4 != 0 && r.getLong(0) >= 5))
+            .take(1 + rnd.nextInt(2))
+          val corrected = victims.map { r =>
+            org.apache.spark.sql.Row(r.getLong(0),
+              r.getAs[scala.collection.Seq[Float]](1).map(x => -x),
+              r.getInt(2))
+          }
+          rewrite(rows.diff(victims) ++ corrected)
+          Similarity.upsertAnnIndex(spark, dir,
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(victims, 1), schema)
+              .select(col("vec_id"), col("embedding")),
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(corrected, 1), schema)
+              .select(col("vec_id"), col("embedding")))
+          lastCdc = Some(cdcOf(victims, "D").unionByName(cdcOf(corrected, "I")))
+          "upsert"
+        case 5 => // REPLAY: redelivered committed batch = byte-for-byte no-op
+          Similarity.ensureAnnIndex(spark, dir)
+          val root = Similarity.annIndexRoot(dir)
+          val last = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_gen")
+          def storeListing: Set[(String, Long, Long)] = {
+            def walk(f: java.io.File): Seq[java.io.File] =
+              if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+              else Seq(f)
+            walk(new java.io.File(root))
+              .map(f => (f.getAbsolutePath, f.length, f.lastModified)).toSet
+          }
+          val before = storeListing
+          // the redelivered content is the LAST batch's real rows when one
+          // exists (a rebuild since then resets the clock — the gen gate
+          // must still short-circuit on the watermark alone)
+          val redelivered = lastCdc.getOrElse(cdcOf(Seq.empty, "I"))
+          Similarity.mergeAnnCdcBatch(spark, dir, redelivered, batchId = last - 1)
+          assert(storeListing === before,
+            s"draw $i (replay): redelivered batch touched the store")
+          // far-ahead batchId = checkpoint divergence: fail fast
+          val e = intercept[IllegalStateException] {
+            Similarity.mergeAnnCdcBatch(spark, dir, redelivered, batchId = last + 5)
+          }
+          assert(e.getMessage.contains("refusing to fork"))
+          "replay"
       }
       // TOUCH and DELETE have a second contract half beyond answer parity:
       // no needless rebuild — a spurious rebuild also answers correctly,
@@ -120,7 +184,9 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
           .map(f => f.getAbsolutePath -> f.lastModified).toSet
       }
       val listingBefore =
-        if (op == "touch" || op == "delete") Some(codesListing) else None
+        if (op == "touch" || op == "delete" || op == "upsert" || op == "replay")
+          Some(codesListing)
+        else None
       val fromIndex = Similarity.annIvfPqFromIndex.fn(spark, dir)
         .collect().map(_.toString).toSeq
       listingBefore.foreach { before =>

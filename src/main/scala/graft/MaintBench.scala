@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   *              driver would hash), read back through the committed
   *              generation/manifest like any reader.
   *
+  * Because the registered strata are corpus-sized (they touch every
+  * bucket/cell — the parity gates need oracle-expressible strata), two
+  * extra SMALL-BATCH legs time the same APIs at the production cadence
+  * (one whole order / a handful of vectors against the full artifact,
+  * self-cleaning per rep) — the numbers that must stay near-flat across
+  * the corpus decade for the batch-proportional-commit claim.
+  *
   * Emits one JSON line and writes MAINTPHASES*.json (SPARK_GRAFT_BENCH_OUT
   * overrides; SPARK_GRAFT_BENCH_NOFILE suppresses) with the same pinned
   * canary pair as every committed record — run it per rung (sf0.1 / sf1 /
@@ -148,9 +155,69 @@ object MaintBench {
         median(phases.map(_._3)))
     }
 
-    val legsJson = results.map { case (n, (b, m, r)) =>
+    // ---- SMALL-BATCH cadence (the production hourly shape) ------------
+    // The registered strata above are deliberately CORPUS-SIZED (1/8 or
+    // 1/16 of all rows — the parity-gate design needs oracle-expressible
+    // strata), so they touch essentially every bucket/cell and cannot
+    // show the copy-on-write win. These legs time the same maintenance
+    // APIs at the reference's actual cadence — ONE order / a handful of
+    // vectors against the full artifact — where per-commit cost must
+    // scale with the batch, not the artifact. Each rep is self-cleaning
+    // (append X → delete X; upsert to identical content = unfold∘fold
+    // identity), so medians are over identical artifact states.
+    val liRows = li.limit(4).collect()
+    val newOrderKey = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val smallOrder = spark.createDataFrame(
+      spark.sparkContext.parallelize(liRows.map(r =>
+        org.apache.spark.sql.Row(newOrderKey, r.getLong(1))).toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l_partkey",
+          org.apache.spark.sql.types.LongType))))
+    // one whole EXISTING order (stored content, so the content-hash
+    // guard passes) for the upsert-to-same-content leg
+    val someKey = li.where(pmod(col("l_orderkey"), lit(8)) === 1)
+      .agg(min("l_orderkey")).head().getLong(0)
+    val someOrder = li.where(col("l_orderkey") === someKey)
+    val layoutSmall = (1 to reps).map { _ =>
+      val a = time(PageRankLayout.appendLayout(spark, sfDir, smallOrder))
+      val d = time(PageRankLayout.deleteLayout(spark, sfDir, smallOrder))
+      val u = time(PageRankLayout.upsertLayout(spark, sfDir, someOrder, someOrder))
+      (a, d, u)
+    }
+    // ANN: 8 fresh ids outside the training stratum, embeddings borrowed
+    // from existing rows (content is irrelevant to cost); 4 existing
+    // non-stratum ids for the upsert-to-same-content leg
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0)
+    val embRows = emb.limit(8).collect()
+    val freshIds = Iterator.iterate(maxVec + 1)(_ + 1)
+      .filter(_ % 4 != 0).take(embRows.length).toSeq
+    val smallVecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(embRows.toSeq.zip(freshIds).map {
+        case (r, id) =>
+          org.apache.spark.sql.Row(id, r.getAs[scala.collection.Seq[Float]](1))
+      }, 1), emb.schema)
+    val upVecs = emb.where(pmod(col("vec_id"), lit(16)) === 13).limit(4)
+    val annSmall = (1 to reps).map { _ =>
+      val a = time(Similarity.appendAnnIndex(spark, sfDir, smallVecs))
+      val d = time(Similarity.deleteAnnIndex(spark, sfDir, smallVecs))
+      val u = time(Similarity.upsertAnnIndex(spark, sfDir, upVecs, upVecs))
+      (a, d, u)
+    }
+    val small = Seq(
+      "c14_pagerank_layout_small" ->
+        ((median(layoutSmall.map(_._1)), median(layoutSmall.map(_._2)),
+          median(layoutSmall.map(_._3)), liRows.length)),
+      "c18_ann_index_small" ->
+        ((median(annSmall.map(_._1)), median(annSmall.map(_._2)),
+          median(annSmall.map(_._3)), embRows.length)))
+
+    val legsJson = (results.map { case (n, (b, m, r)) =>
       s""""$n":{"build_s":${fmt(b)},"maintain_s":${fmt(m)},"return_s":${fmt(r)}}"""
-    }.mkString(",")
+    } ++ small.map { case (n, (a, d, u, rows)) =>
+      s""""$n":{"append_s":${fmt(a)},"delete_s":${fmt(d)},"upsert_s":${fmt(u)},"batch_rows":$rows}"""
+    }).mkString(",")
     val canaryJson = canary.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
     val json =
       s"""{"metric":"maint_phases","sf":"$sfDir","reps":$reps,"canary":{$canaryJson},"legs":{$legsJson}}"""

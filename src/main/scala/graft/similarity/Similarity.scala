@@ -1520,61 +1520,112 @@ object Similarity {
     // <= sampleMax: on a SATURATED sample an id TYING the stored sample's
     // max would perturb the bounded draw's orderBy/limit tie-break —
     // refuse the boundary id too (round-18 ADVICE)
-    def inSampleGuard(df: DataFrame, what: String): Unit = {
-      val offenders = df
-        .where(pmod(col("vec_id"), lit(IdxSampleMod)) === 0 &&
-          (lit(sampleN) < IdxMaxTrain || col("vec_id") <= sampleMax))
-        .select("vec_id").limit(5)
-        .collect().map(_.getLong(0))
-      if (offenders.nonEmpty)
-        throw new IllegalStateException(
-          s"$what: batch rows ${offenders.mkString(", ")} are in (or would " +
-            s"have entered) the stored models' training sample (stratum " +
-            s"vec_id % $IdxSampleMod == 0, sample_n=$sampleN, " +
-            s"sample_max=$sampleMax) — maintenance-without-retrain would " +
-            "silently diverge from a rebuild; rebuild the index instead " +
-            "(buildAnnIndex) or keep batch ids outside the training stratum")
-    }
-    inSampleGuard(add, "appendAnnIndex")
-    inSampleGuard(del, "deleteAnnIndex")
-    val committed = committedCodes(spark, root, meta)
-    // delete leg: every id present exactly once, batch unrepeated — or
-    // the fingerprint un-fold would drift from the live corpus
-    val delIds = del.select("vec_id")
-    val nDel = delIds.count()
-    require(delIds.distinct().count() == nDel,
-      "deleteAnnIndex: the delete batch repeats vec_ids")
-    val located = committed
-      .where(col("s") === 0)
-      .join(broadcast(delIds), Seq("vec_id"))
-      .select(col("vec_id"), col("gen").cast(LongType).as("gen"), col("c_id"))
-    val hit = located.count()
-    require(hit == nDel,
-      s"deleteAnnIndex: only $hit of $nDel delete ids exist in the stored " +
-        "index — deleting absent rows would corrupt the staleness fingerprint")
-    // append leg: unrepeated, and absent from the committed index net of
-    // this batch's deletes (an upsert re-adds a deleted id legally). One
-    // column-pruned pass over the stored codes' s=0 rows, batch broadcast.
-    val addIds = add.select("vec_id")
-    val nAdd = addIds.count()
-    require(addIds.distinct().count() == nAdd,
-      "appendAnnIndex: the append batch repeats vec_ids")
-    val dups = committed
-      .where(col("s") === 0)
-      .join(broadcast(delIds), Seq("vec_id"), "left_anti")
-      .join(broadcast(addIds), Seq("vec_id"), "left_semi")
-      .limit(5).collect().map(_.getAs[Long]("vec_id"))
-    if (dups.nonEmpty)
+    def inSample(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(IdxSampleMod)) === 0 &&
+        (lit(sampleN) < IdxMaxTrain || c <= sampleMax)
+    def sampleError(df: DataFrame, what: String): Nothing = {
+      val offenders = df.where(inSample(col("vec_id")))
+        .select("vec_id").limit(5).collect().map(_.getLong(0))
       throw new IllegalStateException(
-        s"appendAnnIndex: batch vec_ids ${dups.mkString(", ")} already exist " +
-          "in the stored index — appending would duplicate code rows; " +
-          "delete them first (deleteAnnIndex), route the correction " +
-          "through upsertAnnIndex, or fix the batch")
-    // the touched-partition set is bounded by the delete batch size (one
-    // cell per deleted vector) — a bounded driver collect, like the
-    // probed-cell literals on the query path
-    val touched: Seq[(Long, Int)] = located.select("gen", "c_id").distinct()
-      .collect().map(r => (r.getAs[Long]("gen"), r.getAs[Int]("c_id"))).toSeq
+        s"$what: batch rows ${offenders.mkString(", ")} are in (or would " +
+          s"have entered) the stored models' training sample (stratum " +
+          s"vec_id % $IdxSampleMod == 0, sample_n=$sampleN, " +
+          s"sample_max=$sampleMax) — maintenance-without-retrain would " +
+          "silently diverge from a rebuild; rebuild the index instead " +
+          "(buildAnnIndex) or keep batch ids outside the training stratum")
+    }
+    // ONE aggregate per leg replaces the round-20 four separate batch
+    // scans (training-sample guard, row count, distinct-id count,
+    // fingerprint hash): row/distinct counts, the CorpusFingerprint
+    // folds over xxhash64(vec_id, embedding) — identical aggregates to
+    // [[embFingerprint]] — and the in-training-sample detector. Offending
+    // example ids are fetched by a second (exceptional-path) query only
+    // when a guard actually fires.
+    final case class Leg(n: Long, nDistinct: Long,
+        fp: graft.util.CorpusFingerprint.Fp, nInSample: Long)
+    def legStats(df: DataFrame): Leg = {
+      val r = df
+        .select(col("vec_id"), xxhash64(col("vec_id"), col("embedding")).as("h"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("vec_id")).as("nd"),
+          expr("bit_xor(h)").as("x"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          sum(when(inSample(col("vec_id")), 1L).otherwise(0L)).as("off"))
+        .head()
+      Leg(r.getLong(0), r.getLong(1),
+        graft.util.CorpusFingerprint.Fp(r.getLong(0),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          Option(r.getDecimal(3)).getOrElse(java.math.BigDecimal.ZERO)),
+        if (r.isNullAt(4)) 0L else r.getLong(4))
+    }
+    val delLeg = legStats(del)
+    val addLeg = legStats(add)
+    if (addLeg.nInSample > 0) sampleError(add, "appendAnnIndex")
+    if (delLeg.nInSample > 0) sampleError(del, "deleteAnnIndex")
+    val nDel = delLeg.n
+    require(delLeg.nDistinct == nDel,
+      "deleteAnnIndex: the delete batch repeats vec_ids")
+    val nAdd = addLeg.n
+    require(addLeg.nDistinct == nAdd,
+      "appendAnnIndex: the append batch repeats vec_ids")
+    val committed = committedCodes(spark, root, meta)
+    val delIds = del.select("vec_id")
+    val addIds = add.select("vec_id")
+    // ONE column-pruned pass over the committed codes' s=0 rows (batch id
+    // sets broadcast — map-side, no corpus shuffle) evaluates the delete
+    // locate, the duplicate-append guard AND the touched-partition set;
+    // round 20 ran three separate corpus-sized scans for the same three
+    // answers. The collect_set is bounded: distinct (gen, c_id) of the
+    // delete hits ≤ live partitions ≤ commits × IdxC — the same class as
+    // the manifest collect.
+    //  - hits: rows whose vec_id the delete batch names (ids are unique
+    //    in both the index and the batch, so join multiplicity is 1);
+    //  - dups: ids the add batch re-adds WITHOUT this batch deleting
+    //    them (an upsert's re-encode nets out legally);
+    //  - touched: the (gen, c_id) partitions holding deleted rows, whose
+    //    survivors rewrite into this generation.
+    // empty legs contribute nothing to the pass — skip their broadcasts
+    // (a pure append never locates, a pure delete never dup-checks, and
+    // an empty-empty streaming commit skips the corpus pass entirely)
+    val touched: Seq[(Long, Int)] =
+      if (nDel == 0 && nAdd == 0) Seq.empty
+      else {
+        val s0 = committed.where(col("s") === 0)
+        val withDel =
+          if (nDel == 0) s0.withColumn("is_del", lit(null).cast("boolean"))
+          else s0.join(broadcast(delIds.withColumn("is_del", lit(true))),
+            Seq("vec_id"), "left_outer")
+        val withAdd =
+          if (nAdd == 0) withDel.withColumn("is_add", lit(null).cast("boolean"))
+          else withDel.join(broadcast(addIds.withColumn("is_add", lit(true))),
+            Seq("vec_id"), "left_outer")
+        val marked = withAdd.agg(
+          sum(when(col("is_del"), 1L).otherwise(0L)).as("hits"),
+          sum(when(col("is_add") && col("is_del").isNull, 1L)
+            .otherwise(0L)).as("dups"),
+          collect_set(when(col("is_del"),
+            struct(col("gen").cast(LongType).as("gen"), col("c_id"))))
+            .as("touched"))
+          .head()
+        val hit = if (marked.isNullAt(0)) 0L else marked.getLong(0)
+        require(hit == nDel,
+          s"deleteAnnIndex: only $hit of $nDel delete ids exist in the stored " +
+            "index — deleting absent rows would corrupt the staleness fingerprint")
+        if (!marked.isNullAt(1) && marked.getLong(1) != 0L) {
+          val dups = committed
+            .where(col("s") === 0)
+            .join(broadcast(delIds), Seq("vec_id"), "left_anti")
+            .join(broadcast(addIds), Seq("vec_id"), "left_semi")
+            .limit(5).collect().map(_.getAs[Long]("vec_id"))
+          throw new IllegalStateException(
+            s"appendAnnIndex: batch vec_ids ${dups.mkString(", ")} already exist " +
+              "in the stored index — appending would duplicate code rows; " +
+              "delete them first (deleteAnnIndex), route the correction " +
+              "through upsertAnnIndex, or fix the batch")
+        }
+        // sorted for a deterministic manifest row order
+        marked.getSeq[org.apache.spark.sql.Row](2)
+          .map(r => (r.getAs[Long]("gen"), r.getAs[Int]("c_id"))).sorted
+      }
     // survivors of the touched partitions, rewritten into THIS generation
     val survivors: Option[DataFrame] =
       if (touched.isEmpty) None
@@ -1615,9 +1666,11 @@ object Similarity {
     val prevLive = readCellManifest(spark, root, last)
     val newLive = prevLive.filterNot(touched.toSet) ++ writtenCells.map(c => (gen, c))
     writeCellManifest(spark, root, gen, newLive)
+    // the fingerprint transition folds the leg aggregates already computed
+    // above — no further batch-sized hash scans
     writeAnnMeta(spark, root, meta.getAs[Int]("dims"), sampleN, sampleMax,
       lastGen = gen,
-      annMetaFp(meta).unfold(embFingerprint(del)).fold(embFingerprint(add)))
+      annMetaFp(meta).unfold(delLeg.fp).fold(addLeg.fp))
     // GC: code partitions referenced by neither the new manifest nor the
     // retained predecessor (covers readers that resolved meta just before
     // this commit), and manifests two or more generations behind
@@ -1706,7 +1759,11 @@ object Similarity {
     val root = annIndexRoot(dataDir)
     val meta = streamBatchMeta(spark, root, "mergeAnnCdcBatch")
     annStreamGen("mergeAnnCdcBatch", root, meta, batchId).foreach { gen =>
-      val bad = batch.where(!col("op").isin("I", "D")).limit(1).collect()
+      // isNull disjunct: `!isin` is NULL (not true) for a null op under
+      // three-valued logic, so a null-op row would otherwise bypass the
+      // tripwire and silently drop from both legs (round-20 ADVICE)
+      val bad = batch.where(col("op").isNull || !col("op").isin("I", "D"))
+        .limit(1).collect()
       require(bad.isEmpty,
         s"mergeAnnCdcBatch: unknown op '${bad.headOption.map(_.getAs[String]("op")).getOrElse("")}' — the CDC feed carries only I (insert) and D (delete)")
       maintainAnnGen(spark, root, meta,

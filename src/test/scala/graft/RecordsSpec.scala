@@ -126,7 +126,10 @@ class RecordsSpec extends SparkSpec {
     // 8 GiB dev heap (measured isolated, fresh JVM, zero spill from every
     // other registered query at sf1) — graceful sort spill, not a
     // partitioning bug; the allowance is a measured bound, not a waiver.
-    val spillBudget = Map("BENCH_SF1.json" -> 2L * 1024 * 1024 * 1024)
+    // Budget = measured 1.06 GB aggregate + ~25% margin (round-20 ADVICE:
+    // the earlier 2 GiB slack would have let a fresh ~1 GB spill
+    // regression in any OTHER sf1 query pass silently).
+    val spillBudget = Map("BENCH_SF1.json" -> (1.3 * 1024 * 1024 * 1024).toLong)
     inSuite.foreach { f =>
       record(f).foreach { r =>
         val spilled = r.get("spilled_bytes")

@@ -34,7 +34,9 @@ class PageRankLayoutSpec extends SparkSpec {
     PageRankLayout.fromLayoutRanks(spark, sf, iters = 1)
     val edges = spark.table(currentEdgesName(sf))
     val nodes = spark.table(currentNodesName(sf))
-    val rank = spark.table(PageRankLayout.rankTable(sf, "b"))
+    // round 21: iterations checkpoint in memory; `result` is the only
+    // persisted rank table — same bucketed layout the loop's vectors ride
+    val rank = spark.table(PageRankLayout.rankTable(sf, "result"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -60,6 +62,37 @@ class PageRankLayoutSpec extends SparkSpec {
       val shuffles = "Exchange hashpartitioning".r.findAllIn(sPlan).size
       assert(shuffles === 1,
         s"expected exactly the contribution shuffle, got $shuffles:\n$sPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("round 21: an in-loop PERSISTED rank vector (what fromLayoutRanks " +
+    "now iterates on instead of scratch tables) keeps the step's only " +
+    "Exchange the inherent contribution shuffle") {
+    PageRankLayout.ensureLayout(spark, sf)
+    val edges = spark.table(currentEdgesName(sf))
+    val nodes = spark.table(currentNodesName(sf))
+    val meta = spark.read.parquet(s"${PageRankLayout.layoutRoot(sf)}/meta").head()
+    val cnt = meta.getAs[Long]("node_count")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // r0 exactly as fromLayoutRanks builds it: bucketed node scan →
+      // project → eagerly materialized persist, whose InMemoryRelation
+      // preserves the id HashPartitioning into the step's joins
+      val r0 = nodes.select(col("id"),
+        round(lit(1.0 / cnt), 9).as("r")).persist()
+      r0.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val step = Relational.pageRankStep(edges, nodes, cnt, r0)
+      step.collect()
+      val sPlan = step.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!sPlan.contains("BroadcastExchange"),
+        s"rank must never broadcast:\n$sPlan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(sPlan).size
+      assert(shuffles === 1,
+        s"expected exactly the contribution shuffle over the persisted " +
+          s"rank vector, got $shuffles:\n$sPlan")
+      r0.unpersist(false)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

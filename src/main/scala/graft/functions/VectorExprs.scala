@@ -513,6 +513,136 @@ case class ByteSliceSums(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** Integer-exact IVF assignment for the md5-twin/persisted-index pipelines:
+  * quantize the float vector EXACTLY as the twins' `dims` view does
+  * (q = floor(v·1000) + 1024, a long), then return the ids of the `keep`
+  * nearest centroids by integer squared L2, ordered by (dist, id) — the
+  * same total order as the relational form's
+  * `ROW_NUMBER() OVER (ORDER BY dist, c)`. Integer sums are exact in any
+  * association, so this per-row loop is BIT-IDENTICAL to the
+  * explode-join-aggregate-window formulation it replaces
+  * ([[graft.similarity.Similarity]] round 21) while touching each corpus
+  * row once: the old shape exploded every vector to 64 dim rows, joined
+  * them against a C×64-row broadcast (a 16× row multiplication), partially
+  * aggregated n·C distance rows and window-sorted them — all for an argmin
+  * a fused per-row loop computes in registers. The oracles are unchanged:
+  * they mirror the ARITHMETIC (which is identical), not the plan.
+  * Input: array<float>. Output: array<int> of `keep` cell ids.
+  */
+case class IntNearestCells(child: Expression, cents: Seq[Seq[Long]], keep: Int)
+    extends ComputeRefCodegen {
+  require(cents.nonEmpty && keep >= 1 && keep <= cents.size,
+    "keep must be in [1, #cells]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "int_nearest_cells"
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = centArr(0).length
+    val c = centArr.length
+    val q = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      q(i) = math.floor(v.getFloat(i).toDouble * 1000).toLong + 1024L
+      i += 1
+    }
+    val dist = new Array[Long](c)
+    var k = 0
+    while (k < c) {
+      val ct = centArr(k)
+      var s = 0L; var d = 0
+      while (d < dims) { val x = q(d) - ct(d); s += x * x; d += 1 }
+      dist(k) = s
+      k += 1
+    }
+    // selection by (dist, id) lexicographic: strict < with ascending id
+    // scan reproduces the relational ROW_NUMBER ordering exactly
+    val out = new Array[Int](keep)
+    val used = new Array[Boolean](c)
+    var r = 0
+    while (r < keep) {
+      var best = -1; var bd = Long.MaxValue
+      k = 0
+      while (k < c) {
+        if (!used(k) && dist(k) < bd) { bd = dist(k); best = k }
+        k += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntNearestCells =
+    copy(child = newChild)
+}
+
+/** Integer-exact PQ encode for the md5-twin/persisted-index pipelines:
+  * quantize like [[IntNearestCells]], then per contiguous subspace s return
+  * the codeword with the smallest integer squared L2 (ties to the lowest
+  * j — strict `<` with ascending scan, the relational
+  * `min(struct(dist, j))`'s exact order). `books` is row-major: entry
+  * (s·k + j) holds subspace s's codeword j (dsub longs). Same replacement
+  * economics as [[IntNearestCells]]: one per-row fused loop instead of an
+  * exploded (n·dims) view joined against an m·k·dsub broadcast and
+  * re-aggregated. Input: array<float>. Output: array<int> of m codes.
+  */
+case class IntPqCodes(child: Expression, books: Seq[Seq[Long]], m: Int, k: Int)
+    extends ComputeRefCodegen {
+  require(books.size == m * k, s"books must hold m*k=${m * k} codewords")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "int_pq_codes"
+
+  @transient private lazy val bookArr: Array[Array[Long]] =
+    books.map(_.toArray).toArray
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    val dsub = dims / m
+    val q = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      q(i) = math.floor(v.getFloat(i).toDouble * 1000).toLong + 1024L
+      i += 1
+    }
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var best = 0; var bd = Long.MaxValue
+      var j = 0
+      while (j < k) {
+        val cw = bookArr(s * k + j)
+        var dist = 0L; var d = 0
+        while (d < dsub) { val x = q(base + d) - cw(d); dist += x * x; d += 1 }
+        if (dist < bd) { bd = dist; best = j } // strict <: lowest j wins ties
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntPqCodes =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: fused codegen cosine similarity of two float arrays. */
   def cosineSim(a: Column, b: Column): Column =
@@ -552,4 +682,14 @@ object VectorExprs {
   /** Per-slice byte sums (`dims` slices) of a binary payload. */
   def byteSliceSums(payload: Column, dims: Int): Column =
     GraftBridge.column(ByteSliceSums(GraftBridge.expression(payload), dims))
+
+  /** Integer-exact IVF assignment (quantized q = floor(v·1000)+1024): ids
+    * of the `keep` nearest cells by integer L2, ordered (dist, id). */
+  def intNearestCells(emb: Column, cents: Seq[Seq[Long]], keep: Int): Column =
+    GraftBridge.column(IntNearestCells(GraftBridge.expression(emb), cents, keep))
+
+  /** Integer-exact PQ codes (array<int> of m) under a row-major integer
+    * codebook — the md5-twin arithmetic as one fused per-row loop. */
+  def intPqCodes(emb: Column, books: Seq[Seq[Long]], m: Int, k: Int): Column =
+    GraftBridge.column(IntPqCodes(GraftBridge.expression(emb), books, m, k))
 }

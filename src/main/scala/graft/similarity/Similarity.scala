@@ -694,12 +694,18 @@ object Similarity {
     * sf0.1). */
   def ivfMd5Candidates(emb: DataFrame, c: Int, iters: Int, sampleMod: Int,
       nQueries: Int, probes: Int, maxTrain: Int = 4096): DataFrame = {
-    val dims = intDims(emb)
-    val centsDf = intCentsDf(emb.sparkSession,
+    // corpus assignment as ONE fused per-row pass (round 21 — bit-identical
+    // integer arithmetic to the exploded-dims join it replaced, see
+    // [[graft.functions.IntNearestCells]]); no dim explode, no model join
+    val cents = centVectors(
       ivfMd5Train(intSample(emb, sampleMod, maxTrain), c, iters))
-    val finalAssign = intAssign(dims, centsDf, keep = 1)
-    val probed = intAssign(dims.where(col("vec_id") < nQueries), centsDf, keep = probes)
-      .select(col("vec_id").as("q_id"), col("c").as("c_id"))
+    val finalAssign = emb.spreadByKey(col("vec_id")).select(col("vec_id"),
+      element_at(graft.functions.VectorExprs.intNearestCells(
+        col("embedding"), cents, 1), 1).as("c"))
+    val probed = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(graft.functions.VectorExprs.intNearestCells(
+          col("embedding"), cents, probes)).as("c_id"))
     val qVecs = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // rerank: tiny probe set broadcast onto the assigned corpus; exact fused
@@ -798,6 +804,40 @@ object Similarity {
       vals.zipWithIndex.map { case (v, d) => (cid, d, v) }
     }.toDF("c", "d", "val"))
   }
+
+  /** The same model as cell-ordered centroid vectors — the shape the fused
+    * per-row assignment expression ([[graft.functions.IntNearestCells]])
+    * carries instead of joining the (c, d, val) table. */
+  private def centVectors(cents: Seq[(Int, Array[Long])]): Seq[Seq[Long]] = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices.toSeq,
+      "centroid cell ids must be contiguous from 0")
+    sorted.map(_._2.toSeq)
+  }
+
+  /** Row-major codeword vectors (entry s·k + j) from the flat
+    * (s, j, i, val) book rows — the [[graft.functions.IntPqCodes]] shape. */
+  private def bookVectors(rows: Seq[(Int, Int, Int, Long)], m: Int,
+      k: Int): Seq[Seq[Long]] = {
+    val byCode = rows.groupBy(r => (r._1, r._2))
+    (0 until m).flatMap { s =>
+      (0 until k).map(j => byCode((s, j)).sortBy(_._3).map(_._4).toSeq)
+    }
+  }
+
+  /** Stored-model readback into the fused-expression shapes — bounded
+    * collects (C×dims and m×k×dsub rows, the same model the round-20 path
+    * broadcast per job). */
+  private def centVectorsFromDf(df: DataFrame): Seq[Seq[Long]] =
+    centVectors(df.collect()
+      .groupBy(_.getAs[Int]("c"))
+      .map { case (c, rows) =>
+        (c, rows.sortBy(_.getAs[Int]("d")).map(_.getAs[Long]("val")))
+      }.toSeq)
+
+  private def bookVectorsFromDf(df: DataFrame, m: Int, k: Int): Seq[Seq[Long]] =
+    bookVectors(df.collect().map(r => (r.getAs[Int]("s"), r.getAs[Int]("j"),
+      r.getAs[Int]("i"), r.getAs[Long]("val"))).toIndexedSeq, m, k)
 
   /** Integer-L2 argmin assignment against a broadcast (c, d, val) centroid
     * table — one map-side join + one partial-aggregated groupBy + a
@@ -1005,22 +1045,31 @@ object Similarity {
       maxTrain: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dims = intDims(emb)
     val sample = intSample(emb, sampleMod, maxTrain)
     val dsub = sample(0)._2.length / m
-    // coarse quantizer: the IVF twin's bounded driver-local trainer
-    val centsDf = intCentsDf(spark, ivfMd5Train(sample, c, iters))
-    val finalAssign = intAssign(dims, centsDf, keep = 1)
-    val probed = intAssign(dims.where(col("vec_id") < nQueries), centsDf,
-      keep = probes)
-      .select(col("vec_id").as("q_id"), col("c").as("c_id"))
-    // PQ codebooks: one integer Lloyd per dsub-dim subspace, same sample
-    val booksDf = broadcast(
-      pqMd5Train(sample, m, k, iters).toDF("s", "j", "i", "val"))
-    val pdims = intPdims(dims, dsub)
-    val codes = intPqEncode(pdims, booksDf)
+    // coarse quantizer: the IVF twin's bounded driver-local trainer. The
+    // CORPUS-sized passes (assignment + PQ encode) run as fused per-row
+    // expressions (round 21 — bit-identical integer arithmetic, see
+    // [[graft.functions.IntNearestCells]]); only the nQueries-sized LUT
+    // build keeps the relational (dims ⋈ books) form.
+    val coarse = ivfMd5Train(sample, c, iters)
+    val cents = centVectors(coarse)
+    val books = pqMd5Train(sample, m, k, iters)
+    val spread = emb.spreadByKey(col("vec_id"))
+    val finalAssign = spread.select(col("vec_id"),
+      element_at(graft.functions.VectorExprs.intNearestCells(
+        col("embedding"), cents, 1), 1).as("c"))
+    val probed = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(graft.functions.VectorExprs.intNearestCells(
+          col("embedding"), cents, probes)).as("c_id"))
+    val booksDf = broadcast(books.toDF("s", "j", "i", "val"))
+    val codes = spread.select(col("vec_id"),
+      posexplode(graft.functions.VectorExprs.intPqCodes(
+        col("embedding"), bookVectors(books, m, k), m, k)).as(Seq("s", "code")))
     // query LUTs: ALL k distances per (query, subspace) — nQueries·m·k rows
-    val lut = intCodeDists(pdims.where(col("vec_id") < nQueries), booksDf)
+    val lut = intCodeDists(
+      intPdims(intDims(emb.where(col("vec_id") < nQueries)), dsub), booksDf)
       .select(col("vec_id").as("q_id"), col("s"),
         col("j").as("code"), col("dist"))
     // candidates: probed lists' members — a query scores |corpus|·probes/c
@@ -1369,23 +1418,30 @@ object Similarity {
     val root = annIndexRoot(dataDir)
     val sample = intSample(emb, IdxSampleMod, IdxMaxTrain)
     val dims0 = sample(0)._2.length
-    val dsub = dims0 / IdxM
     val coarse = ivfMd5Train(sample, IdxC, IdxIters)
     val books = pqMd5Train(sample, IdxM, IdxK, IdxIters)
-    val centsDf = intCentsDf(spark, coarse)
-    val booksDf = broadcast(books.toDF("s", "j", "i", "val"))
-    val dims = intDims(emb)
-    // corpus-sized work: one assignment pass + one encode pass, joined on
-    // vec_id (both partial-aggregated; the join is the build's only
-    // corpus-sized shuffle) — then ONE write clustered by coarse cell
-    val assign = intAssign(dims, centsDf, keep = 1)
-      .select(col("vec_id"), col("c").as("c_id"))
-    val codes = intPqEncode(intPdims(dims, dsub), booksDf)
+    // corpus-sized work: ONE fused map-side pass — per-row integer
+    // assignment + PQ encode ([[graft.functions.IntNearestCells]] /
+    // [[graft.functions.IntPqCodes]], bit-identical integer arithmetic to
+    // the relational formulation they replaced in round 21) — then ONE
+    // write clustered by coarse cell. The old shape exploded every vector
+    // into 64 dim rows, joined them against broadcast model tables (a
+    // C×/k× row multiplication), re-aggregated per vector, and paid a
+    // corpus-sized vec_id join to glue assignment to codes; the
+    // repartition by c_id below is now the build's only shuffle of any
+    // kind.
     // gen=0 is the build generation; maintenance commits land as
     // gen=1,2,… partitions (nested under the same root, so c_id partition
     // pruning is unchanged) and the committed generation's cell manifest
     // gates which partitions readers trust
-    codes.join(assign, Seq("vec_id"))
+    emb.spreadByKey(col("vec_id"))
+      .select(col("vec_id"),
+        element_at(graft.functions.VectorExprs.intNearestCells(
+          col("embedding"), centVectors(coarse), 1), 1).as("c_id"),
+        posexplode(graft.functions.VectorExprs.intPqCodes(
+          col("embedding"), bookVectors(books, IdxM, IdxK), IdxM, IdxK))
+          .as(Seq("s", "code")))
+      .select(col("vec_id"), col("s"), col("code"), col("c_id"))
       .withColumn("gen", lit(0L))
       .repartition(col("c_id"))
       .sortWithinPartitions("vec_id", "s")
@@ -1633,18 +1689,22 @@ object Similarity {
         .parquet(touched.map { case (g, c) => s"$root/codes/gen=$g/c_id=$c" }: _*)
         .join(broadcast(delIds), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("s"), col("code"), col("c_id")))
-    // append leg encoded with the stored models
+    // append leg encoded with the stored models — the same fused per-row
+    // assignment+encode pass as the build (the stored model readback is a
+    // bounded collect, the same model rows the round-20 path broadcast),
+    // so the batch is scanned ONCE with no dim explode and no vec_id join
     val appended: Option[DataFrame] =
       if (nAdd == 0) None
       else {
-        val dsub = meta.getAs[Int]("dims") / IdxM
-        val centsDf = broadcast(spark.read.parquet(s"$root/cents"))
-        val booksDf = broadcast(spark.read.parquet(s"$root/books"))
-        val dims = intDims(add)
-        val assign = intAssign(dims, centsDf, keep = 1)
-          .select(col("vec_id"), col("c").as("c_id"))
-        Some(intPqEncode(intPdims(dims, dsub), booksDf)
-          .join(assign, Seq("vec_id"))
+        val cents = centVectorsFromDf(spark.read.parquet(s"$root/cents"))
+        val bookVs = bookVectorsFromDf(spark.read.parquet(s"$root/books"),
+          IdxM, IdxK)
+        Some(add
+          .select(col("vec_id"),
+            element_at(graft.functions.VectorExprs.intNearestCells(
+              col("embedding"), cents, 1), 1).as("c_id"),
+            posexplode(graft.functions.VectorExprs.intPqCodes(
+              col("embedding"), bookVs, IdxM, IdxK)).as(Seq("s", "code")))
           .select(col("vec_id"), col("s"), col("code"), col("c_id")))
       }
     val combined = (survivors.toSeq ++ appended.toSeq).reduceOption(_ unionByName _)
@@ -2156,13 +2216,22 @@ object Similarity {
     * total order, so output is deterministic under any partitioning. */
   def semanticMd5Kept(corpus: DataFrame, c: Int, iters: Int, sampleMod: Int,
       probes: Int, tau: Double, maxTrain: Int = 4096): DataFrame = {
-    val dims = intDims(corpus)
-    val centsDf = intCentsDf(corpus.sparkSession,
+    // ONE fused per-row pass computes the probed cell list (round 21 —
+    // bit-identical integer arithmetic to the exploded-dims joins it
+    // replaced, see [[graft.functions.IntNearestCells]]); its first entry
+    // IS the keep=1 home cell (the list is (dist, id)-ordered), so the
+    // round-20 shape's THREE corpus-sized derivations (home assign, probed
+    // assign, embedding refetch join) collapse into one checkpointed scan
+    // with the embedding carried alongside
+    val cents = centVectors(
       ivfMd5Train(intSample(corpus, sampleMod, maxTrain), c, iters))
-    val home = intAssign(dims, centsDf, keep = 1)
-    // refetch raw embeddings onto the probed assignment for the verify
-    val probed = intAssign(dims, centsDf, keep = probes)
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val withCells = corpus.spreadByKey(col("vec_id")).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorExprs.intNearestCells(
+        col("embedding"), cents, probes).as("cells"))
+      .localCheckpoint(false)
+    val probed = withCells.select(
+      col("vec_id"), col("embedding"), explode(col("cells")).as("c"))
     val a = probed.select(
       col("c"), col("vec_id").as("keep_id"), col("embedding").as("e_a"))
     val b = probed.select(
@@ -2172,8 +2241,8 @@ object Similarity {
       .where(round(graft.functions.VectorExprs.cosineSim(
         col("e_a"), col("e_b")), 6) >= tau)
       .select(col("drop_id").as("vec_id")).distinct()
-    home.join(drops, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("c").as("c_id"))
+    withCells.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), element_at(col("cells"), 1).as("c_id"))
       .orderBy("vec_id")
   }
 

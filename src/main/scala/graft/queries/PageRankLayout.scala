@@ -163,6 +163,31 @@ object PageRankLayout {
     Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
   }
 
+  /** DROP TABLE IF EXISTS through the catalog API — the same effect as
+    * `spark.sql("DROP TABLE IF EXISTS …")` without paying a SQL
+    * parse/analyze round-trip per call (round 22: the maintenance legs
+    * issue several drops per commit, and at local[32] their driver-side
+    * latency is part of the per-job fixed cost the composition pays). */
+  private def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sessionState.catalog.dropTable(
+      org.apache.spark.sql.catalyst.TableIdentifier(table),
+      ignoreIfNotExists = true, purge = false)
+    ()
+  }
+
+  /** A frame whose optimized plan is a LITERALLY EMPTY local relation —
+    * the statically-empty legs ([[emptyLi]]) the pure append/delete paths
+    * pass. Driver-side plan inspection only: no Spark job, unlike
+    * `df.isEmpty`. A runtime-empty distributed frame (e.g. a CDC leg whose
+    * filter matched nothing) correctly reports false and pays its one
+    * stats job. */
+  private def isStaticallyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   /** Drop any stale declaration, clear the location, write `df` bucketed
     * (and per-file sorted) by `key` as an EXTERNAL parquet table at `loc`.
     * Inputs already hash-partitioned on `key` with the same count land one
@@ -170,7 +195,7 @@ object PageRankLayout {
     * HashPartitioning), so the layout stays one-file-per-bucket. */
   private def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
       loc: String, key: String, buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    dropTable(spark, table)
     ArtifactStore.delete(spark, loc)
     df.write.format("parquet").option("path", loc)
       .bucketBy(buckets, key).sortBy(key)
@@ -364,8 +389,8 @@ object PageRankLayout {
       .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption.map(_ -> st))
       .filter(_._1 <= gen - 2)
       .foreach { case (g, st) =>
-        spark.sql(s"DROP TABLE IF EXISTS ${edgesTable(dataDir, g)}")
-        spark.sql(s"DROP TABLE IF EXISTS ${nodesTable(dataDir, g)}")
+        dropTable(spark, edgesTable(dataDir, g))
+        dropTable(spark, nodesTable(dataDir, g))
         ArtifactStore.delete(spark, st.getPath.toString)
       }
   }
@@ -387,8 +412,8 @@ object PageRankLayout {
       .filter(_.getPath.getName.startsWith("v="))
       .flatMap(_.getPath.getName.stripPrefix("v=").toLongOption)
       .foreach { g =>
-        spark.sql(s"DROP TABLE IF EXISTS ${edgesTable(dataDir, g)}")
-        spark.sql(s"DROP TABLE IF EXISTS ${nodesTable(dataDir, g)}")
+        dropTable(spark, edgesTable(dataDir, g))
+        dropTable(spark, nodesTable(dataDir, g))
       }
     ArtifactStore.delete(spark, root)
     val np = spark.sessionState.conf.numShufflePartitions
@@ -425,10 +450,10 @@ object PageRankLayout {
     *    (stored touched rows ∪ delta → sum → drop w ≤ 0 → renormalize —
     *    all per-src, hence bucket-local) and rewritten; every untouched
     *    bucket is carried (see [[commitGen]]);
-    *  - the merged frame is materialized ONCE (localCheckpoint) and
-    *    shared by the negative-weight tripwire and the commit write
-    *    (round-19 ADVICE: the two consumers previously re-ran the
-    *    stored-edge scan and the batch self-join);
+    *  - the merged frame is materialized ONCE (persist, populated by the
+    *    negative-weight aggregate's scan) and shared by the tripwire and
+    *    the commit write (round-19 ADVICE: the two consumers previously
+    *    re-ran the stored-edge scan and the batch self-join);
     *  - the ledger shrinks/grows per-order with the same CoW carry, and
     *    the fingerprint transitions as stored ⊖ delete-batch ⊕
     *    append-batch — one transition per commit, so an upsert is ONE
@@ -447,19 +472,60 @@ object PageRankLayout {
     val buckets = meta.getAs[Int]("buckets")
     val del = delLi.select("l_orderkey", "l_partkey")
     val add = addLi.select("l_orderkey", "l_partkey")
-    // per-order ledgers of both legs, materialized ONCE — each is reused
-    // by the guard pass, the touched-ob set, the ledger write AND the
-    // fingerprint fold below (the round-20 shape recomputed these
-    // groupBys up to four times per commit and paid two further whole-
-    // batch hash scans for the fingerprints)
-    val delOrders = orderLedger(del).localCheckpoint()
-    val addOrders = orderLedger(add).localCheckpoint()
+    // Per-order ledger of each leg, materialized ONCE (persist), with the
+    // leg's order count, fingerprint folds AND touched-ob set fused into
+    // ONE aggregate over it — the aggregate's scan is what populates the
+    // cache, so the four consumers (guard, ledger write, fingerprint
+    // transition, ob pruning) cost a single job per leg (round 22; the
+    // round-21 shape paid a checkpoint job + a count job + a fingerprint
+    // fold job per leg plus a shared ob distinct-collect). The collect_set
+    // is bounded by the bucket count. A statically-empty leg (the pure
+    // append/delete entries pass a literal empty frame) skips its job
+    // entirely.
+    final case class LegLedger(ledger: DataFrame, cached: Boolean,
+        nOrders: Long, fp: Fp, obs: Set[Int])
+    def legLedger(li: DataFrame): LegLedger = {
+      val ledger = orderLedger(li)
+      if (isStaticallyEmpty(li))
+        LegLedger(ledger, cached = false, 0L,
+          Fp(0L, 0L, java.math.BigDecimal.ZERO), Set.empty)
+      else {
+        val cached = ledger.persist()
+        val r = cached.agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("n_rows")).as("n"), expr("bit_xor(chash)").as("x"),
+          sum(col("csum")).as("s"),
+          collect_set(bucketOf(col("l_orderkey"), buckets)).as("obs")).head()
+        LegLedger(cached, cached = true, r.getLong(0),
+          Fp(if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2),
+            Option(r.getDecimal(3)).getOrElse(java.math.BigDecimal.ZERO)),
+          r.getSeq[Int](4).toSet)
+      }
+    }
+    val delL = legLedger(del)
+    val addL = legLedger(add)
+    val nDelOrders = delL.nOrders
+    // ledger CoW scope: only the ob partitions the batch's orders hash
+    // into — and because every order either leg names hashes into this
+    // set, the stored-ledger rows BOTH order-complete guards can match
+    // live here too, so the guard pass below reads the touched partitions
+    // instead of the whole corpus-orders-sized ledger (round 22: at 100 TB
+    // this turns the per-commit guard from a corpus-ordered-sized scan
+    // into a batch-proportional one; partition pruning via the isin on
+    // the ob directory column)
+    val touchedObs: Set[Int] = delL.obs ++ addL.obs
     val stored = spark.read.parquet(s"$root/v=$last/orderkeys")
-    // ONE pass over the stored ledger evaluates BOTH order-complete
-    // guards (batch ledgers broadcast — map-side, no shuffle):
+    val storedTouchedObs =
+      if (touchedObs.isEmpty) stored.where(lit(false))
+      else stored.where(col("ob").isin(touchedObs.toSeq: _*))
+    // ONE pass over the touched stored-ledger partitions evaluates BOTH
+    // order-complete guards (batch ledgers broadcast — map-side, no
+    // shuffle; an empty leg contributes literal-null columns instead of a
+    // join):
     //  - delete leg: every batch order must match a stored order in row
-    //    count AND both content folds (xor and — new, round-20 ADVICE —
-    //    the decimal sum, which catches the paired substitutions xor
+    //    count AND both content folds (xor and — round-20 ADVICE — the
+    //    decimal sum, which catches the paired substitutions xor
     //    cancels); del_matched == |delOrders| iff none is absent,
     //    partial, or content-mismatched (stored and batch orders are both
     //    unique, so the join multiplicity is 1);
@@ -467,25 +533,37 @@ object PageRankLayout {
     //    the add batch re-adds is an overlap (an upsert's re-added order
     //    nets out legally).
     // Offending example ids are fetched by a second (exceptional-path)
-    // query only when a guard actually fires.
-    val delB = broadcast(delOrders.select(col("l_orderkey"),
-      col("n_rows").as("batch_rows"), col("chash").as("batch_chash"),
-      col("csum").as("batch_csum")))
-    val addB = broadcast(addOrders.select(col("l_orderkey"))
-      .withColumn("is_add", lit(true)))
-    val guard = stored
-      .join(delB, Seq("l_orderkey"), "left_outer")
-      .join(addB, Seq("l_orderkey"), "left_outer")
-      .agg(
-        sum(when(col("batch_rows") === col("n_rows") &&
-          col("batch_chash") === col("chash") &&
-          col("batch_csum") === col("csum"), 1L).otherwise(0L)).as("del_matched"),
-        sum(when(col("is_add") && col("batch_rows").isNull, 1L)
-          .otherwise(0L)).as("overlap"))
-      .head()
-    val nDelOrders = delOrders.count()
-    if ((if (guard.isNullAt(0)) 0L else guard.getLong(0)) != nDelOrders) {
-      val mismatched = delOrders
+    // query only when a guard actually fires. Both legs empty (a replayed
+    // empty streaming commit) skip the pass entirely.
+    val guard: Option[Row] =
+      if (nDelOrders == 0 && addL.nOrders == 0) None
+      else {
+        val withDel =
+          if (nDelOrders == 0) storedTouchedObs
+            .withColumn("batch_rows", lit(null).cast(LongType))
+            .withColumn("batch_chash", lit(null).cast(LongType))
+            .withColumn("batch_csum",
+              lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          else storedTouchedObs.join(broadcast(delL.ledger.select(
+            col("l_orderkey"), col("n_rows").as("batch_rows"),
+            col("chash").as("batch_chash"), col("csum").as("batch_csum"))),
+            Seq("l_orderkey"), "left_outer")
+        val withAdd =
+          if (addL.nOrders == 0)
+            withDel.withColumn("is_add", lit(null).cast("boolean"))
+          else withDel.join(broadcast(addL.ledger.select(col("l_orderkey"))
+            .withColumn("is_add", lit(true))), Seq("l_orderkey"), "left_outer")
+        Some(withAdd.agg(
+          sum(when(col("batch_rows") === col("n_rows") &&
+            col("batch_chash") === col("chash") &&
+            col("batch_csum") === col("csum"), 1L).otherwise(0L)).as("del_matched"),
+          sum(when(col("is_add") && col("batch_rows").isNull, 1L)
+            .otherwise(0L)).as("overlap"))
+          .head())
+      }
+    if (guard.map(g => if (g.isNullAt(0)) 0L else g.getLong(0))
+        .getOrElse(0L) != nDelOrders) {
+      val mismatched = delL.ledger
         .withColumnRenamed("n_rows", "batch_rows")
         .withColumnRenamed("chash", "batch_chash")
         .withColumnRenamed("csum", "batch_csum")
@@ -504,10 +582,10 @@ object PageRankLayout {
           "indexed corpus, and subtracting it would silently corrupt the " +
           "edge weights; rebuild the layout (buildLayout) or fix the batch")
     }
-    if (!guard.isNullAt(1) && guard.getLong(1) != 0L) {
-      val overlapping = stored
-        .join(broadcast(delOrders.select("l_orderkey")), Seq("l_orderkey"), "left_anti")
-        .join(broadcast(addOrders.select("l_orderkey")), Seq("l_orderkey"), "left_semi")
+    if (guard.exists(g => !g.isNullAt(1) && g.getLong(1) != 0L)) {
+      val overlapping = storedTouchedObs
+        .join(broadcast(delL.ledger.select("l_orderkey")), Seq("l_orderkey"), "left_anti")
+        .join(broadcast(addL.ledger.select("l_orderkey")), Seq("l_orderkey"), "left_semi")
         .limit(5).collect().map(_.getAs[Long]("l_orderkey"))
       throw new IllegalStateException(
         s"appendLayout: batch orders ${overlapping.mkString(", ")} already " +
@@ -517,15 +595,20 @@ object PageRankLayout {
           "(buildLayout), fix the batch boundary to whole NEW orders, or " +
           "route a correction through upsertLayout")
     }
-    // delta pairs from the batch-only self-joins; deletes subtract
+    // delta pairs from the batch-only self-joins; deletes subtract. The
+    // touched-bucket set is ONE bounded aggregate (collect_set ≤ buckets)
+    // over the persisted frame — the aggregate's scan populates the cache,
+    // so the delta is computed exactly once for its two consumers (the
+    // touched set here, the merge union below) without a separate
+    // checkpoint job + distinct-collect job (round 22).
     val delta = Relational.coPurchaseEdgesFrom(add)
       .groupBy("src", "dst").agg(sum(col("w").cast(DoubleType)).as("w"))
       .unionByName(Relational.coPurchaseEdgesFrom(del)
         .groupBy("src", "dst").agg((-sum(col("w").cast(DoubleType))).as("w")))
-      .localCheckpoint()
+      .persist()
     val touched: Set[Int] = delta
-      .select(bucketOf(col("src"), buckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+      .agg(collect_set(bucketOf(col("src"), buckets)).as("bs"))
+      .head().getSeq[Int](0).toSet
     // stored rows of ONLY the touched buckets, located file-level through
     // the bucketed layout's file-name bucket ids — the untouched buckets
     // are never read, never shuffled, never rewritten
@@ -549,40 +632,40 @@ object PageRankLayout {
       .repartition(buckets, col("src"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .persist()
-    merged.foreachPartition((_: Iterator[Row]) => ())
-    // negative-weight tripwire as ONE aggregate over the checkpointed
-    // frame (a limit-1 collect runs up to four incremental partition-
-    // scaling jobs for the same answer)
+    // negative-weight tripwire as ONE aggregate — whose scan is also what
+    // materializes the persist for the commit write below (round 22: the
+    // round-21 shape paid a separate foreachPartition materialization job
+    // before this aggregate; a limit-1 collect before that ran up to four
+    // incremental partition-scaling jobs for the same answer)
     val minW = Option(merged.agg(min(col("w"))).head().get(0))
       .map(_.asInstanceOf[Double])
     require(minW.forall(_ >= 0),
       "deleteLayout: subtraction drove an edge weight negative — the batch " +
         "contains pairs the stored layout never indexed; refusing to commit")
-    // ledger CoW: only the ob partitions the batch's orders hash into
-    // (a tiny job over the two checkpointed batch ledgers)
-    val touchedObs: Set[Int] = delOrders.select("l_orderkey")
-      .unionByName(addOrders.select("l_orderkey"))
-      .select(bucketOf(col("l_orderkey"), buckets).as("ob"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val ledgerTouched = stored
-      .where(col("ob").isin(touchedObs.toSeq: _*))
-      .select("l_orderkey", "n_rows", "chash", "csum")
-      .join(broadcast(delOrders.select("l_orderkey")), Seq("l_orderkey"), "left_anti")
-      .unionByName(addOrders)
-      .withColumn("ob", bucketOf(col("l_orderkey"), buckets))
-    // the fingerprint transition folds off the checkpointed batch ledgers
-    // (same xor+sum aggregates — see ledgerFp) instead of re-hashing both
-    // batches in two further scans
+    // surviving stored-ledger rows of the touched obs (already pruned) +
+    // the append leg's ledger; empty legs skip their join/union arm
+    val storedKept =
+      if (nDelOrders == 0) storedTouchedObs
+        .select("l_orderkey", "n_rows", "chash", "csum")
+      else storedTouchedObs
+        .select("l_orderkey", "n_rows", "chash", "csum")
+        .join(broadcast(delL.ledger.select("l_orderkey")), Seq("l_orderkey"), "left_anti")
+    val ledgerTouched =
+      (if (addL.nOrders == 0) storedKept else storedKept.unionByName(addL.ledger))
+        .withColumn("ob", bucketOf(col("l_orderkey"), buckets))
+    // the fingerprint transition folds off the leg aggregates already
+    // computed above (same xor+sum folds — see ledgerFp): no further
+    // batch-sized hash scans
     commitGen(spark, dataDir, gen, normalized(merged.where(col("w") > 0)),
       ledgerTouched, buckets,
-      Some(metaFp(meta).unfold(ledgerFp(delOrders)).fold(ledgerFp(addOrders))),
+      Some(metaFp(meta).unfold(delL.fp).fold(addL.fp)),
       cow = Some(Cow(last, touched, touchedObs)))
-    // the commit is durable: release the maintenance checkpoints' executor
-    // blocks now instead of leaving them to a driver GC cycle (the CC/
-    // maintenance harnesses' resident-state pressure, round-20 verdict)
+    // the commit is durable: release the maintenance caches' blocks now
+    // instead of leaving them to a driver GC cycle (the CC/maintenance
+    // harnesses' resident-state pressure, round-20 verdict)
     merged.unpersist(false)
-    Seq(delOrders, addOrders, delta)
-      .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
+    delta.unpersist(false)
+    Seq(delL, addL).foreach(l => if (l.cached) l.ledger.unpersist(false))
   }
 
   /** Fold an appended batch of ORDER-COMPLETE lineitem rows into the

@@ -839,21 +839,6 @@ object Similarity {
     bookVectors(df.collect().map(r => (r.getAs[Int]("s"), r.getAs[Int]("j"),
       r.getAs[Int]("i"), r.getAs[Long]("val"))).toIndexedSeq, m, k)
 
-  /** Integer-L2 argmin assignment against a broadcast (c, d, val) centroid
-    * table — one map-side join + one partial-aggregated groupBy + a
-    * per-vector window; ties break to the lowest cell id (integer SUMs are
-    * order-independent, so the argmin is exact under any partitioning). */
-  private def intAssign(dims: DataFrame, centsDf: DataFrame,
-      keep: Int): DataFrame = {
-    val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))
-    dims.join(centsDf, Seq("d"))
-      .groupBy(col("vec_id"), col("c"))
-      .agg(sum((col("q") - col("val")) * (col("q") - col("val"))).as("dist"))
-      .withColumn("rk", row_number().over(wA))
-      .where(col("rk") <= keep)
-      .select(col("vec_id"), col("c"))
-  }
-
   /** Driver-local L2 normalization (mirror of the [[graft.functions.L2Normalize]]
     * expression) for preparing PQ training sub-vectors. */
   def l2NormLocal(v: Array[Float]): Array[Float] = {
@@ -1467,8 +1452,8 @@ object Similarity {
 
   /** Fold an appended batch of embeddings into the stored index — the
     * incremental-maintenance path (round-18 verdict directive 1): the
-    * batch is encoded with the STORED models (no retraining — [[intAssign]]
-    * / [[intPqEncode]] against the stored cents/books), its codes are
+    * batch is encoded with the STORED models (no retraining — the fused
+    * per-row assignment/encode against the stored cents/books), its codes are
     * APPENDED to the cell-partitioned code table (new files inside the
     * existing c_id partitions — old files untouched), and the staleness
     * fingerprint is folded incrementally (stored fp ⊕ batch fp). The old
@@ -1526,6 +1511,19 @@ object Similarity {
     import spark.implicits._
     Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
   }
+
+  /** A frame whose optimized plan is a LITERALLY EMPTY local relation —
+    * the statically-empty legs ([[emptyEmb]]) the pure append/delete paths
+    * pass. Driver-side plan inspection only (no Spark job): a pure append
+    * or delete skips its empty leg's stats aggregate entirely, while a
+    * runtime-empty distributed frame (a CDC leg whose filter matched
+    * nothing) correctly reports false and pays its one stats job. */
+  private def isStaticallyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
 
   /** The unified maintenance core — ONE generation commit folding a
     * DELETE leg and an APPEND leg of (vec_id, embedding) rows into the
@@ -1599,20 +1597,24 @@ object Similarity {
     // when a guard actually fires.
     final case class Leg(n: Long, nDistinct: Long,
         fp: graft.util.CorpusFingerprint.Fp, nInSample: Long)
-    def legStats(df: DataFrame): Leg = {
-      val r = df
-        .select(col("vec_id"), xxhash64(col("vec_id"), col("embedding")).as("h"))
-        .agg(count(lit(1)).as("n"), count_distinct(col("vec_id")).as("nd"),
-          expr("bit_xor(h)").as("x"),
-          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
-          sum(when(inSample(col("vec_id")), 1L).otherwise(0L)).as("off"))
-        .head()
-      Leg(r.getLong(0), r.getLong(1),
-        graft.util.CorpusFingerprint.Fp(r.getLong(0),
-          if (r.isNullAt(2)) 0L else r.getLong(2),
-          Option(r.getDecimal(3)).getOrElse(java.math.BigDecimal.ZERO)),
-        if (r.isNullAt(4)) 0L else r.getLong(4))
-    }
+    def legStats(df: DataFrame): Leg =
+      if (isStaticallyEmpty(df))
+        Leg(0L, 0L, graft.util.CorpusFingerprint.Fp(0L, 0L,
+          java.math.BigDecimal.ZERO), 0L)
+      else {
+        val r = df
+          .select(col("vec_id"), xxhash64(col("vec_id"), col("embedding")).as("h"))
+          .agg(count(lit(1)).as("n"), count_distinct(col("vec_id")).as("nd"),
+            expr("bit_xor(h)").as("x"),
+            sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+            sum(when(inSample(col("vec_id")), 1L).otherwise(0L)).as("off"))
+          .head()
+        Leg(r.getLong(0), r.getLong(1),
+          graft.util.CorpusFingerprint.Fp(r.getLong(0),
+            if (r.isNullAt(2)) 0L else r.getLong(2),
+            Option(r.getDecimal(3)).getOrElse(java.math.BigDecimal.ZERO)),
+          if (r.isNullAt(4)) 0L else r.getLong(4))
+      }
     val delLeg = legStats(del)
     val addLeg = legStats(add)
     if (addLeg.nInSample > 0) sampleError(add, "appendAnnIndex")
@@ -1707,18 +1709,25 @@ object Similarity {
               col("embedding"), bookVs, IdxM, IdxK)).as(Seq("s", "code")))
           .select(col("vec_id"), col("s"), col("code"), col("c_id")))
       }
+    // the written-cell set is ONE bounded aggregate (collect_set ≤ live
+    // cells) over the persisted combined frame — the aggregate's scan
+    // populates the cache for the write below, so the survivors+appends
+    // are computed exactly once without a separate checkpoint job +
+    // distinct-collect job (round 22)
     val combined = (survivors.toSeq ++ appended.toSeq).reduceOption(_ unionByName _)
     val writtenCells: Seq[Int] = combined match {
       case None => Seq.empty
       case Some(df) =>
-        val out = df.localCheckpoint()
-        val cells = out.select("c_id").distinct().collect().map(_.getInt(0)).toSeq
+        val out = df.persist()
+        val cells = out.agg(collect_set(col("c_id")).as("cs"))
+          .head().getSeq[Int](0).sorted
         out.withColumn("gen", lit(gen))
           .repartition(col("c_id"))
           .sortWithinPartitions("vec_id", "s")
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("gen", "c_id").parquet(s"$root/codes")
+        out.unpersist(false)
         cells
     }
     // commit: manifest (live = previous − touched + written), then meta
@@ -1921,7 +1930,6 @@ object Similarity {
     val emb = Tables.embeddings(spark, dataDir).select(col("vec_id"), col("embedding"))
     val meta = spark.read.parquet(s"$root/meta").head()
     val dsub = meta.getAs[Int]("dims") / IdxM
-    val centsDf = broadcast(spark.read.parquet(s"$root/cents"))
     val booksDf = broadcast(spark.read.parquet(s"$root/books"))
     // (vec_id, s, code) + (gen, c_id) partitions; only COMMITTED
     // generations — an uncommitted gen left by a crashed append must
@@ -1933,9 +1941,18 @@ object Similarity {
       .select(col("vec_id"), col("d").cast(IntegerType).as("d"),
         (floor(col("v").cast(DoubleType) * 1000).cast(LongType) + 1024).as("q"))
     // probed (q_id, c_id) pairs: BOUNDED driver collect (nQueries·probes
-    // rows) — these literals drive the code-table partition pruning
-    val probedPairs = intAssign(qdims, centsDf, keep = probes)
-      .select(col("vec_id").as("q_id"), col("c").as("c_id"))
+    // rows) — these literals drive the code-table partition pruning. The
+    // stored coarse model rides the fused per-row assignment expression
+    // ([[graft.functions.IntNearestCells]] — bit-identical integer
+    // arithmetic to the relational dims ⋈ cents ⋈ window argmin it
+    // replaced; round 22), so the probe assignment is ONE single-stage
+    // collect over the nQueries pushdown scan instead of an
+    // explode + broadcast-join + partial-agg + window chain.
+    val cents = centVectorsFromDf(spark.read.parquet(s"$root/cents"))
+    val probedPairs = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(graft.functions.VectorExprs.intNearestCells(
+          col("embedding"), cents, probes)).as("c_id"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     val cells = probedPairs.map(_._2).distinct.sorted
     val pruned = codes.where(col("c_id").isin(cells: _*))

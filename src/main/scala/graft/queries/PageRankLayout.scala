@@ -272,6 +272,43 @@ object PageRankLayout {
       Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
   }
 
+  /** Scale-adaptive bucket count for a NEW layout build (round 22; guide
+    * §2/§6 — derive partitioning from input size, not a constant). The
+    * copy-on-write rewrite unit is a bucket file, O(corpus/buckets) with
+    * the bucket count frozen at build — so a count pinned to the shuffle
+    * width (the round-20/21 shape) made small-batch maintenance cost GROW
+    * linearly with the corpus (the measured ~2× per decade in
+    * MAINTPHASES). Buckets now scale with the SOURCE BYTES feeding the
+    * build: `np × clamp(round(srcBytes / (np × target)), 1, 64)` —
+    *
+    *  - always a MULTIPLE of the session shuffle width np, so every write
+    *    whose input rides a HashPartitioning(key, np·k) still lands one
+    *    file per bucket (pmod(hash, np) == pmod(pmod(hash, np·m), np));
+    *  - at the driver's bench SFs (sf0.1 and below) the round stays 1 and
+    *    the count equals np — bit-identical layout to round 21, so the
+    *    driver's bench comparison is undisturbed;
+    *  - source bytes come from the plan's LEAF stats (file sizes for a
+    *    parquet scan, literal bytes for a spec's local relation) —
+    *    deterministic, no extra job;
+    *  - `spark.graft.layout.bucketTargetBytes` (default 2 MiB of source
+    *    bytes per bucket) is the scale knob: the default is sized so the
+    *    measured sf0.1→sf1→sf10 decades hold the rewrite unit near-flat;
+    *    a production deployment at 100 TB runs a realistic shuffle width
+    *    (thousands) and sets the target to GiBs, landing bucket files in
+    *    the 100 MB–1 GB range the guide recommends. The cap (×64) bounds
+    *    file-count blowup if someone points a tiny-np session at a huge
+    *    corpus. */
+  private[graft] def layoutBuckets(spark: SparkSession, li: DataFrame): Int = {
+    val np = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf.getOption("spark.graft.layout.bucketTargetBytes")
+      .map(_.toLong).getOrElse(2L * 1024 * 1024)
+    val srcBytes = li.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val mult = (BigDecimal(srcBytes) / BigDecimal(np.toLong * target))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    np * math.max(1L, math.min(64L, mult)).toInt
+  }
+
   /** Bucket id of a column under the layout's bucketing: `functions.hash`
     * is Murmur3(seed 42), identical to HashPartitioning's
     * partitionIdExpression and to bucketBy's file-name bucket id — the
@@ -416,17 +453,20 @@ object PageRankLayout {
         dropTable(spark, nodesTable(dataDir, g))
       }
     ArtifactStore.delete(spark, root)
-    val np = spark.sessionState.conf.numShufflePartitions
+    val buckets = layoutBuckets(spark, li)
     val raw = Relational.coPurchaseEdgesFrom(li)
-    val edges = raw.repartition(np, col("src"))
+    val edges = raw.repartition(buckets, col("src"))
       .groupBy("src", "dst")
       .agg(sum(col("w").cast(DoubleType)).as("w"))
     // fp = None: the committed fingerprint folds off the written ledger
     // (same xor+sum aggregates), so the build's only corpus-sized passes
-    // are the pair join and the ledger groupBy — no separate hash scan
+    // are the pair join and the ledger groupBy — no separate hash scan.
+    // The ledger groupBy runs at the session shuffle width np; buckets is
+    // a multiple of np, so task i still holds exactly the orders whose
+    // ob ≡ i (mod np) and the partitionBy write stays one file per ob.
     commitGen(spark, dataDir, gen = 0L, normalized(edges),
-      orderLedger(li).withColumn("ob", bucketOf(col("l_orderkey"), np)),
-      np, fp = None, cow = None)
+      orderLedger(li).withColumn("ob", bucketOf(col("l_orderkey"), buckets)),
+      buckets, fp = None, cow = None)
   }
 
   def buildLayout(spark: SparkSession, dataDir: String): Unit =

@@ -285,6 +285,96 @@ class PageRankLayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("round 22: scale-adaptive bucket count — a source past the per-bucket " +
+    "target builds buckets = 2·np (a multiple of np), stays one file per " +
+    "bucket and per ob, and maintenance + from-layout parity hold at the " +
+    "scaled count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_scale").toFile
+    val key = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(PageRankLayout.layoutRoot(key)))
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    li.write.parquet(s"$key/lineitem.parquet")
+    val src = spark.read.parquet(s"$key/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val np = spark.sessionState.conf.numShufflePartitions
+    // pick the target so srcBytes / (np × target) rounds to exactly 2
+    val srcBytes = src.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val target = math.max(1L, (srcBytes / (np * 2)).toLong)
+    spark.conf.set("spark.graft.layout.bucketTargetBytes", target.toString)
+    try {
+      assert(PageRankLayout.layoutBuckets(spark, src) === 2 * np)
+      PageRankLayout.buildLayoutFrom(spark, key, src)
+      val root = PageRankLayout.layoutRoot(key)
+      val meta = spark.read.parquet(s"$root/meta").head()
+      val buckets = meta.getAs[Int]("buckets")
+      assert(buckets === 2 * np, "meta did not record the scaled bucket count")
+      def gen: Long = PageRankLayout.currentGen(spark, key)
+      def dataFiles(sub: String, g: Long): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$root/v=$g/$sub"))
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      }
+      // one file per bucket: the build's repartition width IS the scaled
+      // bucket count, so bucketBy splits nothing further
+      val edgeFiles = dataFiles("edges", gen)
+      assert(edgeFiles.size === buckets,
+        s"expected one edge file per bucket ($buckets), got ${edgeFiles.size}")
+      // one file per ob: the ledger groupBy runs np-wide, but np divides
+      // the scaled count, so task i holds exactly the obs ≡ i (mod np)
+      val obDirs = new java.io.File(s"$root/v=$gen/orderkeys").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ob="))
+      assert(obDirs.nonEmpty)
+      obDirs.foreach { d =>
+        val files = d.listFiles().filterNot(f =>
+          f.getName.startsWith("_") || f.getName.startsWith("."))
+        assert(files.length === 1,
+          s"${d.getName} holds ${files.length} files — ledger write no longer " +
+            "lands one file per ob at a scaled bucket count")
+      }
+      val buildRows = spark.table(PageRankLayout.edgesTable(key, gen))
+        .orderBy("src", "dst").collect().map(_.toString).toSeq
+      // maintenance at the scaled count: a 3-src order touches ≤ 3 of the
+      // 2·np buckets, everything else carries (same inode), and the
+      // append→delete round-trip is bit-identical
+      val g0 = gen
+      val before = dataFiles("edges", g0).map(f => f.getName -> f.toPath).toMap
+      val batch = Seq((999999001L, 1L), (999999001L, 2L), (999999001L, 3L))
+        .toDF("l_orderkey", "l_partkey")
+      PageRankLayout.appendLayout(spark, key, batch)
+      val after = dataFiles("edges", gen).map(f => f.getName -> f.toPath).toMap
+      val carried = after.keySet.intersect(before.keySet)
+      assert((after.keySet -- before.keySet).size <= 3,
+        "a 3-src delta rewrote more than 3 scaled buckets")
+      assert(carried.size >= buckets - 3, "scaled-bucket CoW carried too few files")
+      carried.take(4).foreach { name =>
+        assert(java.nio.file.Files.isSameFile(before(name), after(name)),
+          s"carried bucket file $name was rewritten at the scaled count")
+      }
+      PageRankLayout.deleteLayout(spark, key, batch)
+      val roundTrip = spark.table(PageRankLayout.edgesTable(key, gen))
+        .orderBy("src", "dst").collect().map(_.toString).toSeq
+      assert(roundTrip === buildRows,
+        "append-then-delete did not round-trip at the scaled bucket count")
+      // the query path over a buckets ≠ np layout: ranks must stay
+      // bit-identical to the in-query derivation
+      val fromLayout = PageRankLayout.fromLayoutRanks(spark, key, iters = 3)
+        .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+      val inQuery = Relational.pageRankRanks(
+        Relational.coPurchaseEdgesFrom(li), iters = 3)
+        .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+      assert(fromLayout === inQuery,
+        "from-layout ranks diverged at a scaled bucket count")
+    } finally {
+      spark.conf.unset("spark.graft.layout.bucketTargetBytes")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
   test("a frame resolved before an append keeps scanning after it " +
     "(versioned generations retain the predecessor)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pr_rdr").toFile

@@ -1740,10 +1740,15 @@ object Similarity {
     writeAnnMeta(spark, root, meta.getAs[Int]("dims"), sampleN, sampleMax,
       lastGen = gen,
       annMetaFp(meta).unfold(delLeg.fp).fold(addLeg.fp))
-    // GC: code partitions referenced by neither the new manifest nor the
-    // retained predecessor (covers readers that resolved meta just before
-    // this commit), and manifests two or more generations behind
-    val referenced = (newLive ++ prevLive).toSet
+    gcAnn(spark, root, (newLive ++ prevLive).toSet, gen)
+  }
+
+  /** GC shared by every commit: code partitions referenced by neither the
+    * new manifest nor the retained predecessor (covers readers that
+    * resolved meta just before this commit), and manifests two or more
+    * generations behind. */
+  private def gcAnn(spark: SparkSession, root: String,
+      referenced: Set[(Long, Int)], gen: Long): Unit = {
     graft.util.ArtifactStore.list(spark, s"$root/codes")
       .flatMap(st => st.getPath.getName.stripPrefix("gen=").toLongOption.map(_ -> st))
       .foreach { case (g, genDir) =>
@@ -1760,6 +1765,47 @@ object Similarity {
       .foreach { case (_, st) =>
         graft.util.ArtifactStore.delete(spark, st.getPath.toString)
       }
+  }
+
+  /** Rewrite the live cell set into ONE fresh generation and let the
+    * superseded partitions GC — maintenance-history COMPACTION (round-22;
+    * the round-20 verdict's directive). Every maintenance commit adds its
+    * own `gen=G/c_id=C` partitions, so under the reference's hourly
+    * cadence (24 commits/day) the live-partition manifest — and with it
+    * every reader's partition listing, the maintenance guard's bounded
+    * collect_set, and the per-cell file count a query's pruned scan
+    * opens — grows with COMMIT COUNT, unbounded. Compaction bounds all
+    * three at ≤ [[IdxC]] again.
+    *
+    * It is a FINGERPRINT-IDENTITY commit: the committed rows are
+    * rewritten one-partition-per-live-cell into the next generation, the
+    * manifest shrinks to one row per cell, and meta carries the SAME
+    * fingerprint — same rows, same codes, only the partition layout
+    * changes, which is why the stored-codes oracle gates the registered
+    * compaction query verbatim. The previous generation stays readable
+    * for in-flight readers (same one-predecessor retention as every
+    * commit); an index already at one live generation is a no-op. */
+  def compactAnnIndex(spark: SparkSession, dataDir: String): Unit = {
+    val root = annIndexRoot(dataDir)
+    val meta = spark.read.parquet(s"$root/meta").head()
+    val last = meta.getAs[Long]("last_gen")
+    val prevLive = readCellManifest(spark, root, last)
+    if (prevLive.map(_._1).distinct.size > 1) {
+      val gen = last + 1L
+      committedCodes(spark, root, meta)
+        .select(col("vec_id"), col("s"), col("code"), col("c_id"))
+        .withColumn("gen", lit(gen))
+        .repartition(col("c_id"))
+        .sortWithinPartitions("vec_id", "s")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "c_id").parquet(s"$root/codes")
+      val newLive = prevLive.map(_._2).distinct.sorted.map(c => (gen, c))
+      writeCellManifest(spark, root, gen, newLive)
+      writeAnnMeta(spark, root, meta.getAs[Int]("dims"),
+        meta.getAs[Long]("sample_n"), meta.getAs[Long]("sample_max"),
+        lastGen = gen, annMetaFp(meta))
+      gcAnn(spark, root, (newLive ++ prevLive).toSet, gen)
+    }
   }
 
   private def streamBatchMeta(spark: SparkSession, root: String,
@@ -2089,6 +2135,25 @@ object Similarity {
     storedCodes(s, root)
   }
 
+  /** Maintenance-history compaction as a registered, full-oracle query
+    * (round-22; round-20 verdict directive 6): build the index from an
+    * OLD corpus snapshot, [[appendAnnIndex]] the remaining batch — the
+    * stored state now spans TWO live generations — then
+    * [[compactAnnIndex]] folds the live cells into one fresh generation.
+    * The oracle is the FULL-corpus stored-codes derivation VERBATIM
+    * ([[annIndexCodesOracle]], the same oracle the build and append legs
+    * share): compaction must be row-identical to the index it compacted,
+    * so the driver's hash compare IS the fingerprint-identity gate. */
+  val annIndexCompact: QueryDef = QueryDef(
+    "c18_ann_index_compact", "C18", annIndexCodesOracle) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val root = buildAnnIndexFrom(s, d,
+      emb.where(pmod(col("vec_id"), lit(4)) =!= 3))
+    appendAnnIndex(s, d, emb.where(pmod(col("vec_id"), lit(4)) === 3))
+    compactAnnIndex(s, d)
+    storedCodes(s, root)
+  }
+
   /** IVF-PQ answered from the persisted index ([[ivfPqFromIndexRows]]) —
     * same fixed params as [[annIvfPqMd5]], same oracle VERBATIM: the
     * driver's hash compare doubles as the build/query-split parity gate.
@@ -2352,6 +2417,6 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(knnBrute, knnAgg, annLsh, annLshMd5, embNearDup, embNearDupLsh,
       annIvf, annIvfMd5, annIvfPq, annIvfPqMd5, annIndexDelete,
-      annIndexUpsert, annIndexBuild, annIndexAppend, annIvfPqFromIndex,
-      radiusSearch, semanticDedup, semanticDedupMd5)
+      annIndexUpsert, annIndexCompact, annIndexBuild, annIndexAppend,
+      annIvfPqFromIndex, radiusSearch, semanticDedup, semanticDedupMd5)
 }

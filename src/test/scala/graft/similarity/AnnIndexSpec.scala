@@ -137,6 +137,59 @@ class AnnIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("round 22: compaction folds a multi-generation live set into one " +
+    "generation — same rows, same fingerprint, manifest bounded by the " +
+    "cell count; an already-compact index is a no-op") {
+    import graft.Tables
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_compact").toFile
+    val key = tmp.getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.annIndexRoot(key)))
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    emb.write.parquet(s"$key/embeddings.parquet")
+    val src = spark.read.parquet(s"$key/embeddings.parquet")
+    Similarity.buildAnnIndexFrom(spark, key,
+      src.where(pmod(col("vec_id"), lit(4)) =!= 3))
+    Similarity.appendAnnIndex(spark, key,
+      src.where(pmod(col("vec_id"), lit(4)) === 3))
+    val root = Similarity.annIndexRoot(key)
+    def meta = spark.read.parquet(s"$root/meta").head()
+    def manifest(g: Long) = spark.read.parquet(s"$root/cells/v=$g")
+      .collect().map(r => (r.getAs[Long]("gen"), r.getAs[Int]("c_id"))).toSeq
+    def stored = {
+      val m = meta
+      val live = manifest(m.getAs[Long]("last_gen"))
+      spark.read.option("basePath", s"$root/codes")
+        .parquet(live.map { case (g, c) => s"$root/codes/gen=$g/c_id=$c" }: _*)
+        .select("vec_id", "c_id", "s", "code")
+        .orderBy("vec_id", "s").collect().map(_.toString).toSeq
+    }
+    val before = stored
+    val m0 = meta
+    val live0 = manifest(m0.getAs[Long]("last_gen"))
+    assert(live0.map(_._1).distinct.size === 2,
+      "precondition: build+append should leave two live generations")
+    Similarity.compactAnnIndex(spark, key)
+    val m1 = meta
+    val g1 = m1.getAs[Long]("last_gen")
+    assert(g1 === m0.getAs[Long]("last_gen") + 1, "compaction must commit a generation")
+    val live1 = manifest(g1)
+    assert(live1.map(_._1).distinct === Seq(g1),
+      "compacted manifest still references old generations")
+    assert(live1.size === live0.map(_._2).distinct.size,
+      "compacted manifest must hold exactly one row per live cell")
+    assert(stored === before, "compaction changed the stored rows")
+    assert(m1.getAs[Long]("fp_xor") === m0.getAs[Long]("fp_xor") &&
+      m1.getAs[Long]("corpus_count") === m0.getAs[Long]("corpus_count") &&
+      m1.getAs[String]("fp_sum") === m0.getAs[String]("fp_sum"),
+      "compaction is a fingerprint-identity commit")
+    // an already-compact index: complete no-op (no generation bump)
+    Similarity.compactAnnIndex(spark, key)
+    assert(meta.getAs[Long]("last_gen") === g1, "no-op compaction bumped a generation")
+    // the from-index query path answers identically over the compacted store
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("append refuses a batch that would have entered the training sample") {
     freshIndex()
     Similarity.buildAnnIndex(spark, sf)

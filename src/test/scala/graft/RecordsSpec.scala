@@ -118,18 +118,16 @@ class RecordsSpec extends SparkSpec {
           s"$f has no canary pair — captured outside scripts/refresh_bench.sh?")
       }
     }
-    // The zero-spill claim is strict at sf0.1. At sf1 the one exception
-    // is `c14_pagerank_layout_upsert` (round 20): the parity-gate leg
-    // deliberately derives the 21M-row artifact TWICE in one JVM (full
-    // build, then retire-and-refold an eighth of the corpus), and its
-    // merge aggregation sort-spills ~156 MB/rep on the suite's fixed
-    // 8 GiB dev heap (measured isolated, fresh JVM, zero spill from every
-    // other registered query at sf1) — graceful sort spill, not a
-    // partitioning bug; the allowance is a measured bound, not a waiver.
-    // Budget = measured 1.06 GB aggregate + ~25% margin (round-20 ADVICE:
-    // the earlier 2 GiB slack would have let a fresh ~1 GB spill
-    // regression in any OTHER sf1 query pass silently).
-    val spillBudget = Map("BENCH_SF1.json" -> (1.3 * 1024 * 1024 * 1024).toLong)
+    // The zero-spill claim is strict at sf0.1 — and, since round 22,
+    // effectively at sf1 too: the round-20 `c14_pagerank_layout_upsert`
+    // merge-aggregation sort spill (~1.06 GB/suite on the fixed 8 GiB dev
+    // heap) disappeared when round 21 switched the merged frame to a
+    // columnar persist and round 21/22 removed the redundant maintenance
+    // passes; the r22 BENCH_SF1 capture records 0 spilled bytes. The old
+    // 1.3 GiB allowance is retired to a 256 MiB tripwire margin (round-21
+    // verdict directive 7) so any fresh sf1 spill — graceful or not —
+    // trips this gate instead of hiding inside a stale budget.
+    val spillBudget = Map("BENCH_SF1.json" -> (256L * 1024 * 1024))
     inSuite.foreach { f =>
       record(f).foreach { r =>
         val spilled = r.get("spilled_bytes")

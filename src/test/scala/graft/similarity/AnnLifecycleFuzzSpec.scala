@@ -77,7 +77,7 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
         .select(lit(opCode).as("op"), col("vec_id"), col("embedding"))
 
     for (i <- 1 to draws) {
-      val op = rnd.nextInt(6) match {
+      val op = rnd.nextInt(7) match {
         case 0 => // MUTATE: count-preserving content change
           val rows = corpus.collect().toSeq
           val at = rnd.nextInt(rows.size)
@@ -171,6 +171,26 @@ class AnnLifecycleFuzzSpec extends SparkSpec {
           }
           assert(e.getMessage.contains("refusing to fork"))
           "replay"
+        case 6 => // COMPACT (round 22): fingerprint-identity rewrite — the
+          // manifest must come out bounded by the cell count, one
+          // generation, fingerprint untouched, and parity must hold
+          Similarity.ensureAnnIndex(spark, dir)
+          val root = Similarity.annIndexRoot(dir)
+          val fpBefore = spark.read.parquet(s"$root/meta").head()
+            .getAs[Long]("fp_xor")
+          Similarity.compactAnnIndex(spark, dir)
+          val meta = spark.read.parquet(s"$root/meta").head()
+          assert(meta.getAs[Long]("fp_xor") === fpBefore,
+            s"draw $i (compact): compaction changed the fingerprint")
+          val live = spark.read
+            .parquet(s"$root/cells/v=${meta.getAs[Long]("last_gen")}")
+            .collect().map(r => (r.getAs[Long]("gen"), r.getAs[Int]("c_id")))
+          assert(live.length <= 16,
+            s"draw $i (compact): manifest holds ${live.length} rows — not " +
+              "bounded by the cell count")
+          assert(live.map(_._1).distinct.length <= 1,
+            s"draw $i (compact): live set still spans generations")
+          "compact"
       }
       // TOUCH and DELETE have a second contract half beyond answer parity:
       // no needless rebuild — a spurious rebuild also answers correctly,
